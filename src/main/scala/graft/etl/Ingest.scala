@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingest operators — SURVEY.md §2.1 (S1–S8) + §2.4 A5.
+  *
+  * The reference scans headerless CSV with a manual `split(",")` + arity
+  * filter (ref 流行音乐趋势预测.md:29-31,39-40,924-928 and
+  * 豆瓣图书推荐.md:31-33); here that is `spark.read.schema(...).csv` with
+  * DROPMALFORMED, which keeps the scan vectorized and lets malformed rows
+  * die in the reader instead of a Scala closure.
+  */
+object Ingest {
+
+  /** S1 — typed CSV scan with malformed-row drop (arity-filter semantics). */
+  def csvScan(spark: SparkSession, path: String, schema: StructType,
+              delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** A5 — exact row-level dedup (ref 流行音乐趋势预测.md:42,
+    * `select distinct * from rawUserAction`). A full-row hash shuffle; at
+    * 100 TB this is the exact-dedup baseline the MinHash path approximates.
+    */
+  def dedup(df: DataFrame): DataFrame = df.distinct()
+
+  /** S3 — parquet checkpoint (ref 流行音乐趋势预测.md:129,156,184 used
+    * `repartition(1).write.parquet`; `coalesce` avoids the full shuffle —
+    * SURVEY.md §2.1 S8). Single-file only makes sense for small outputs;
+    * callers at scale pass `numFiles` matched to data volume.
+    */
+  def checkpointParquet(df: DataFrame, path: String, numFiles: Int = 1): Unit =
+    df.coalesce(numFiles).write.mode("overwrite").parquet(path)
+
+  /** S4 — read a checkpoint back. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S5 — text/CSV sink (ref `saveAsTextFile`, 流行音乐趋势预测.md:98,295). */
+  def writeCsv(df: DataFrame, path: String, numFiles: Int = 1): Unit =
+    df.coalesce(numFiles).write.mode("overwrite").option("header", "true").csv(path)
+}

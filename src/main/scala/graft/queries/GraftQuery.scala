@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a named Spark query over an sf-dir of fixture
+  * parquet, plus (when ANSI-SQL-expressible) the DuckDB oracle SQL the
+  * driver hash-compares against (driver contract in
+  * `graft/SparkEntry.scala`). Column names and order-by keys must match
+  * between `run`'s result and `oracle` — the compare sorts columns by
+  * name and hashes values.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Catalog {
+  /** Full registry; SparkEntry derives `queries` and `oracleSql` from it. */
+  def all: Seq[GraftQuery] = Relational.queries
+}
