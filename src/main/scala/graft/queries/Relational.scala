@@ -374,16 +374,19 @@ object Relational {
     * (ref 豆瓣图书推荐.md:21; SURVEY.md §2.7). */
   val q18ExceptAnti = GraftQuery(
     "q18_except_anti",
-    "users who signed up but never purchased (EXCEPT)",
-    Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+    "(user, day) pairs with a signup but no purchase (EXCEPT)",
+    Some("""SELECT user_id, CAST(ts AS DATE) AS ds
+      FROM events WHERE event_type = 'signup'
       EXCEPT
-      SELECT user_id FROM events WHERE event_type = 'purchase'
-      ORDER BY user_id"""),
+      SELECT user_id, CAST(ts AS DATE) AS ds
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY user_id, ds"""),
     (s, d) => {
       val ev = events(s, d)
-      ev.filter(col("event_type") === "signup").select(col("user_id"))
-        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
-        .orderBy(col("user_id"))
+      def slice(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), to_date(col("ts")).as("ds"))
+      slice("signup").except(slice("purchase"))
+        .orderBy(col("user_id"), col("ds"))
     })
 
   /** A8 — column statistics feeding the standardizer

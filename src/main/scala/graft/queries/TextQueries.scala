@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingMinHash.rolling_min_hash
+import graft.model.Tables._
+import graft.text.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline operators over the `documents` and
+  * `embeddings` fixtures — SURVEY.md §7.6 north star. Oracle SQL where
+  * the op is ANSI-expressible; sketch/hash-based ops (MinHash, SimHash,
+  * fingerprint, LSH) are rows-only here and property-tested in
+  * ScalaTest instead (hash impls are engine-specific by nature).
+  */
+object TextQueries {
+
+  def queries: Seq[GraftQuery] = Seq(
+    q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
+    q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
+    q31EmbeddingNorms, q32ApproxDistinct)
+
+  private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val q22DocTokens = GraftQuery(
+    "q22_doc_tokens",
+    "whitespace token count per document",
+    Some("""SELECT doc_id, lang,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      n_chars
+      FROM documents ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id")))
+
+  val q23DocQuality = GraftQuery(
+    "q23_doc_quality",
+    "per-source avg token/punct/stopword/quality metrics",
+    Some(s"""WITH m AS (
+        SELECT source,
+          len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+          len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+              t -> t IN ($stopList))) AS n_stop,
+          length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+            / length(text) AS punct_ratio
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        ROUND(AVG(n_tok * 1.0), 4) AS avg_tokens,
+        ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
+        ROUND(AVG(n_stop * 1.0 / n_tok), 4) AS avg_stopword_ratio,
+        ROUND(AVG(least(n_tok * 1.0 / 100.0, 1.0) * 0.3
+          + (n_stop * 1.0 / n_tok) * 0.4 + (1.0 - punct_ratio) * 0.3), 4)
+          AS avg_quality
+      FROM m GROUP BY 1 ORDER BY 1"""),
+    (s, d) => documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TA.tokenCount(col("text")).cast("double")), 4).as("avg_tokens"),
+        round(avg(TA.punctRatio(col("text"))), 4).as("avg_punct_ratio"),
+        round(avg(TA.stopwordRatio(col("text"))), 4).as("avg_stopword_ratio"),
+        round(avg(TA.qualityScore(col("text"))), 4).as("avg_quality"))
+      .orderBy(col("source")))
+
+  val q24LangId = GraftQuery(
+    "q24_lang_id",
+    "marker-word language-ID heuristic per document",
+    Some("""WITH t AS (
+        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+      s AS (SELECT doc_id, lang,
+        (length(p) - length(replace(p, ' the ', ''))) / 5.0
+          + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+          + (length(p) - length(replace(p, ' is ', ''))) / 4.0 AS en,
+        (length(p) - length(replace(p, ' el ', ''))) / 4.0
+          + (length(p) - length(replace(p, ' la ', ''))) / 4.0
+          + (length(p) - length(replace(p, ' de ', ''))) / 4.0 AS es,
+        (length(p) - length(replace(p, ' der ', ''))) / 5.0
+          + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+          + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS de
+        FROM t)
+      SELECT doc_id, lang,
+        CASE WHEN en >= es AND en >= de THEN 'en'
+             WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
+      FROM s ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")))
+
+  val q25ExactDedup = GraftQuery(
+    "q25_exact_dedup",
+    "exact dedup groups by md5 of normalized text",
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        AS content_hash,
+      MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    (s, d) => Dedup.exactDupGroups(documents(s, d))
+      .orderBy(col("content_hash")))
+
+  val q26NgramJaccard = GraftQuery(
+    "q26_ngram_jaccard",
+    "exact 3-gram Jaccard near-dup pairs (threshold 0.4)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+      FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4)
+      .orderBy(col("doc_a"), col("doc_b")))
+
+  /** Rows-only: minhash values are xxhash64-specific. The spec asserts
+    * LSH pairs ⊆ exact pairs and full recall at the threshold. */
+  val q27MinHashLsh = GraftQuery(
+    "q27_minhash_lsh_pairs",
+    "MinHash+LSH banded near-dup pairs, Jaccard-verified (threshold 0.4)",
+    None,
+    (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4)
+      .orderBy(col("doc_a"), col("doc_b")))
+
+  /** Rows-only: simhash values are xxhash64-specific. */
+  val q28SimHashPairs = GraftQuery(
+    "q28_simhash_pairs",
+    "SimHash pairs within hamming distance 3 (pigeonhole-banded join)",
+    None,
+    (s, d) => Dedup.simHashPairs(documents(s, d), 3)
+      .orderBy(col("doc_a"), col("doc_b")))
+
+  /** Rows-only: custom rolling-hash Catalyst expression. */
+  val q29Fingerprint = GraftQuery(
+    "q29_fingerprint",
+    "rolling min-hash fingerprint per document (native codegen expression)",
+    None,
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), rolling_min_hash(col("text"), 16).as("fingerprint"))
+      .orderBy(col("doc_id")))
+
+  val q30CosineTopK = GraftQuery(
+    "q30_cosine_topk",
+    "brute-force exact cosine top-5 neighbors for query vectors (id < 20)",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+      s AS (SELECT q_id, e.vec_id, list_cosine_similarity(qv, v) AS cos
+            FROM q, e WHERE e.vec_id != q_id),
+      r AS (SELECT q_id, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS rk
+            FROM s)
+      SELECT q_id, vec_id, ROUND(cos, 4) AS cos, CAST(rk AS INTEGER) AS rk
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+    (s, d) => Similarity.cosineTopK(embeddings(s, d), col("vec_id") < 20, 5)
+      .orderBy(col("q_id"), col("rk")))
+
+  val q31EmbeddingNorms = GraftQuery(
+    "q31_embedding_norms",
+    "count + avg L2 norm per embedding label",
+    Some("""SELECT label, COUNT(*) AS n,
+      ROUND(AVG(sqrt(list_sum(list_transform(
+        CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+      FROM embeddings GROUP BY 1 ORDER BY 1"""),
+    (s, d) => embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(Similarity.norm2(Similarity.toDouble(col("embedding")))), 4)
+          .as("avg_norm"))
+      .orderBy(col("label")))
+
+  /** Rows-only: HLL sketch values are engine-specific — the 100 TB twin
+    * of q08's exact distinct (SURVEY.md §2.4 note). */
+  val q32ApproxDistinct = GraftQuery(
+    "q32_approx_distinct",
+    "approx_count_distinct (HLL) next to the exact count",
+    None,
+    (s, d) => events(s, d)
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"),
+        count(lit(1)).as("n_rows")))
+}

@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for the training-data pipeline —
+  * SURVEY.md §7.6 (extends the reference's exact `distinct()` dedup,
+  * ref 流行音乐趋势预测.md:42, to the near-dup forms a 100 TB corpus
+  * needs). Every operator is a pure DataFrame plan: shuffles are keyed
+  * on doc_id / shingle / band — never a driver-side collect.
+  */
+object Dedup {
+
+  /** Canonical text form for content hashing: lowercase + collapsed
+    * whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup groups by content hash (hash-groupBy): one row per
+    * distinct normalized text, keeper = min doc_id. At scale this is a
+    * single shuffle on a 128-bit hash — the baseline the sketch-based
+    * variants approximate.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(normalized(col("text")).cast("binary")).as("content_hash"),
+              col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** (doc_id, shingles) — distinct word n-gram shingles per document.
+    * Docs shorter than n tokens drop out (no shingles → can't collide).
+    */
+  def tokenShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = split(lower(trim(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("t")) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(col("t"), i + j)): _*)
+        )).as("shingles"))
+  }
+
+  /** Exploded shingle table: (doc_id, n_shingles, shingle). */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    tokenShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+              explode(col("shingles")).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs: self-join on shingle →
+    * per-pair intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    * Scale note: the shingle self-join is quadratic in per-shingle doc
+    * frequency; at 100 TB run [[minHashLshPairs]] instead (this exact
+    * form is the oracle-checkable ground truth).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val ex = shingleRows(docs, n)
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    val jac = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), min(col("n_a")).as("n_a"),
+           min(col("n_b")).as("n_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * seeded xxhash64; signature_i = min over shingles. One hash-agg over
+    * the exploded shingles — k min-aggregates, no extra shuffle beyond
+    * the doc_id grouping.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame =
+    shingleRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_sh")).as("n_sh"),
+        (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+
+  /** MinHash + LSH banding: signatures → `bands` band hashes → bucket
+    * join on (band_idx, band_hash) → candidate pairs → verified with
+    * exact Jaccard (computed only for candidates). The standard
+    * shingle→minhash→band→bucket-join pipeline; with k=32, bands=16
+    * (r=2), P(candidate | s=0.5) ≈ 0.99.
+    */
+  def minHashLshPairs(docs: DataFrame, threshold: Double,
+                      k: Int = 32, bands: Int = 16, n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minHashSignatures(docs, k, n)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band_idx", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard — pair-local array intersect,
+    // so verification cost is proportional to |candidates|, not corpus²
+    val sh = tokenShingles(docs, n)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 vote,
+    * sign → bit. Implemented as 64 generated sum-aggregates (no row
+    * blowup: one hash-agg keyed on doc_id, all inside codegen).
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val assemble = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    toks.groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
+    * pigeonhole-banded join — split the 64-bit hash into 4 16-bit
+    * chunks; any pair within hamming 3 shares at least one chunk, so
+    * the join on (chunk_idx, chunk_val) finds all of them without a
+    * cross join (the scale path; a cross join would be O(n²)).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming <= 3")
+    val sh = simHash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*))
+        .as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk_idx", "chunk_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]) —
+  * SURVEY.md §7.6 north star (the reference's KNN recommender,
+  * 豆瓣图书推荐.md:8-21, is the user×item analogue).
+  *
+  * Two paths: exact brute-force top-k (the oracle-checkable baseline,
+  * O(|Q|·|N|)) and a random-hyperplane LSH bucketed variant (the
+  * 100 TB path: candidates only meet inside a bucket, so cost is
+  * O(Σ bucket²) instead of O(n²)).
+  */
+object Similarity {
+
+  /** Array[Float] → Array[Double] so all arithmetic is double-precision
+    * (bit-stable against the DuckDB oracle's DOUBLE[] cast). */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact top-k cosine neighbors for each query vector (queries =
+    * rows passing `isQuery`). Per-query rank ties broken by neighbor id.
+    * The join is a broadcast of the (small) query side against the full
+    * corpus — at scale the corpus streams once, no shuffle until the
+    * per-query top-k aggregation.
+    */
+  def cosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p derived from a splitmix-style integer mix of (p, j) —
+    * reproducible across sessions with no RNG state.
+    */
+  private def planeComponent(p: Int, j: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // map to [-1, 1)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-random-projection bucket id: `planes` bits, bit p set iff
+    * dot(v, plane_p) > 0. Vectors in the same bucket are cosine-close
+    * with high probability.
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column =
+    (0 until planes).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate top-k: bucket every vector, join queries
+    * to corpus within the same bucket only, then exact cosine + top-k
+    * inside the candidate set. Recall < 1 by construction; the spec
+    * asserts recall against [[cosineTopK]] on fixtures.
+    */
+  def lshCosineTopK(emb: DataFrame, isQuery: Column, k: Int,
+                    dim: Int, planes: Int = 12): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, planes))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    q.join(e, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+}

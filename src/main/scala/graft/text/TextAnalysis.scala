@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for the training-data pipeline —
+  * SURVEY.md §7.6 north star. Built-ins only (SURVEY.md §2.8 rule:
+  * zero UDFs), so everything stays codegen'd and pushdown-friendly, and
+  * every function here has an exact ANSI-SQL twin for the oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword list shared by quality scoring and the oracle SQL. */
+  val Stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
+
+  /** Fraction of characters that are ASCII uppercase. */
+  def upperRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text)
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(Stopwords))).cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1]: length saturation + stopword
+    * presence + low punctuation noise. Deliberately simple — every term
+    * is SQL-expressible for the oracle.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.3 +
+      stopwordRatio(text) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3
+
+  /** Marker-word occurrence count via the length-difference trick —
+    * identical non-overlapping left-to-right semantics in Spark and
+    * DuckDB, so the langid heuristic is oracle-checkable. The text is
+    * space-padded so edge words match.
+    */
+  def markerHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val marker = s" $word "
+    (length(padded) - length(regexp_replace(padded, marker, ""))).cast("double") /
+      marker.length
+  }
+
+  /** Language-marker score sets (n-gram-style heuristic; deterministic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"))
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(markerHits(text, _)).reduce(_ + _)
+
+  /** Heuristic language id with a fixed tie-break order (en, es, de). */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en")
+    val es = langScore(text, "es")
+    val de = langScore(text, "de")
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+}
