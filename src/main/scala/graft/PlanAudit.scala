@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Catalog
+
+/** Prints the formatted physical plan for each catalog query (or the
+  * names passed as args) — the §"explain and iterate" loop. Not part of
+  * the driver contract; a builder-side audit tool.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> [queryName...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Catalog.all
+      .filter(q => names.isEmpty || names(q.name))
+      .foreach { q =>
+        println(s"\n========== ${q.name} ==========")
+        try q.run(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Ingest, LagFeatures, Pivot}
+import graft.model.Tables
+
+/** E2E replay of the reference's attempt-5 flagship (SURVEY.md §5.2.5):
+  * ingest → dedup → pivot-agg → per-entity daily rollup → lag features →
+  * KMeans cluster tag → per-cluster GBT → autoregressive forecast → MSE.
+  * Entities are fixture users (the "artists"); the target is daily
+  * event count (the "plays").
+  *
+  * Also a runnable main for eyeballing the full flow on a fixture dir:
+  *   runMain graft.ml.FlagshipPipeline [sfDir] [steps]
+  */
+object FlagshipPipeline {
+
+  final case class Result(trainMse: Double, forecast: DataFrame)
+
+  def run(spark: SparkSession, sfDir: String, forecastSteps: Int = 7,
+          gbtIters: Int = 10): Result = {
+    // ingest + dedup + pivot (ref 流行音乐趋势预测.md:29-98 modernized)
+    val daily = Pivot.dailyUserCounters(Ingest.dedup(Tables.events(spark, sfDir)))
+    // lag features via the gap-exact shift-join (J5) + weekday (F5)
+    val lagged = LagFeatures.shiftJoin(
+        LagFeatures.shiftJoin(daily, "user_id", "ds", 1,
+          Seq("n_events", "clicks", "purchases"), "_y1"),
+        "user_id", "ds", 2, Seq("n_events"), "_y2")
+      .withColumn("weekday", dayofweek(col("ds")).cast("double"))
+      .withColumn("label", col("n_events").cast("double"))
+    val featCols = Array("n_events_y1", "clicks_y1", "purchases_y1",
+      "n_events_y2", "weekday")
+    val feat = new VectorAssembler().setInputCols(featCols)
+      .setOutputCol("features").transform(lagged).cache()
+    // KMeans tag + one GBT per cluster (M6/M7)
+    val (_, preds) = Clustering.clusterEnsemble(feat, gbtIters = gbtIters)
+    val trainMse = Regressors.mse(preds)
+    // autoregressive forecast from each user's last observed day (M12):
+    // y=(n_events), y_prev=(previous day), global model over all users
+    val lastDay = daily
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ds").desc)))
+      .filter(col("rk") === 1)
+    val head = LagFeatures.windowLag(daily, "user_id", "ds", 1,
+        Seq("n_events"), "_prev")
+      .join(lastDay.select(col("user_id"), col("ds")), Seq("user_id", "ds"), "left_semi")
+      .select(col("user_id").as("key"), col("ds"),
+        col("n_events").cast("double").as("y"),
+        col("n_events_prev").cast("double").as("y_prev"))
+    val arModel = {
+      val arFeat = new VectorAssembler().setInputCols(Array("y", "y_prev"))
+        .setOutputCol("features")
+        .transform(LagFeatures.windowLag(daily, "user_id", "ds", 1,
+            Seq("n_events"), "_prev")
+          .select(col("n_events").cast("double").as("label"),
+            coalesce(col("n_events"), lit(0)).cast("double").as("y"),
+            col("n_events_prev").cast("double").as("y_prev")))
+      Regressors.gbt(maxIter = gbtIters).setLabelCol("label").fit(arFeat)
+    }
+    val forecast = Forecast.autoregressive(arModel, head, forecastSteps)
+    Result(trainMse, forecast)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val steps = args.lift(1).map(_.toInt).getOrElse(7)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, steps)
+    println(f"[flagship] train MSE = ${r.trainMse}%.3f")
+    println(s"[flagship] forecast rows = ${r.forecast.count()}")
+    r.forecast.orderBy("key", "ds").show(20, false)
+    spark.stop()
+  }
+}

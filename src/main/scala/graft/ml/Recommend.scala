@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recommendation surface — SURVEY.md §2.9 M8–M11 + §2.7 U2.
+  *
+  * (a) ALS matrix factorization replica (ref 豆瓣图书推荐.md:60-64:
+  * rank 10, 20 iters, λ 0.01) with the join-based MSE eval and the
+  * top-N ∩ held-out hit-rate probe (ref 豆瓣图书推荐.md:66-99).
+  * (b) The KNN cosine recommender the reference describes in prose
+  * (ref 豆瓣图书推荐.md:8-21): activity-core densification, cosine
+  * neighbor top-K, similarity-weighted scoring, already-read exclusion.
+  */
+object Recommend {
+
+  /** M8 — ALS replica config; ratings = (user, item, rating). */
+  def als(seed: Long = 11L): ALS =
+    new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(10).setMaxIter(20).setRegParam(0.01).setSeed(seed)
+      .setColdStartStrategy("drop")
+
+  /** M9 — top-N per user, flattened to (user, item, score) rows. */
+  def topN(model: ALSModel, n: Int): DataFrame =
+    model.recommendForAllUsers(n)
+      .select(col("user"), explode(col("recommendations")).as("rec"))
+      .select(col("user"), col("rec.item").as("item"),
+        col("rec.rating").as("score"))
+
+  /** Hit-rate probe: |top-N ∩ held-out reads| per user
+    * (ref 豆瓣图书推荐.md:89-99 — U2 intersection as a join). */
+  def hitRate(recs: DataFrame, heldOut: DataFrame): DataFrame = {
+    val hits = recs.select(col("user"), col("item"))
+      .intersect(heldOut.select(col("user"), col("item")))
+    heldOut.groupBy(col("user")).agg(count(lit(1)).as("n_held"))
+      .join(hits.groupBy(col("user")).agg(count(lit(1)).as("n_hits")),
+        Seq("user"), "left_outer")
+      .na.fill(0, Seq("n_hits"))
+  }
+
+  /** Core-slice densification (ref 豆瓣图书推荐.md:9-11): keep the
+    * `maxUsers` most active users and `maxItems` most read items —
+    * rank-by-activity windows, the prose "sort by count, take the
+    * active slice".
+    */
+  def coreSlice(ratings: DataFrame, maxUsers: Int, maxItems: Int): DataFrame = {
+    val topUsers = ratings.groupBy(col("user")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user"))))
+      .filter(col("rk") <= maxUsers).select(col("user"))
+    val topItems = ratings.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rk") <= maxItems).select(col("item"))
+    ratings
+      .join(broadcast(topUsers), Seq("user"), "left_semi")
+      .join(broadcast(topItems), Seq("item"), "left_semi")
+  }
+
+  /** M11 — KNN cosine recommender, fully relational:
+    * user–user cosine via a self-join on shared items, top-K neighbors
+    * per user, candidate items scored by Σ(sim × neighbor rating),
+    * already-read items excluded with an anti-join, top-N by score.
+    * The shared-item self-join is the scale bottleneck — run it on a
+    * [[coreSlice]] (the reference's own myelination) or swap in the
+    * MinHash LSH candidate stage from graft.text.Dedup at 100 TB.
+    */
+  def knnRecommend(ratings: DataFrame, k: Int = 10, topNItems: Int = 5): DataFrame = {
+    val norms = ratings.groupBy(col("user"))
+      .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
+    val a = ratings.select(col("user").as("u"), col("item"), col("rating").as("r_u"))
+    val b = ratings.select(col("user").as("v"), col("item"), col("rating").as("r_v"))
+    val sims = a.join(b, Seq("item"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("r_u") * col("r_v")).as("dot"))
+      .join(norms.select(col("user").as("u"), col("norm").as("norm_u")), Seq("u"))
+      .join(norms.select(col("user").as("v"), col("norm").as("norm_v")), Seq("v"))
+      .withColumn("sim", col("dot") / (col("norm_u") * col("norm_v")))
+    val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v"))
+    val neighbors = sims.withColumn("rk", row_number().over(wNb))
+      .filter(col("rk") <= k)
+      .select(col("u"), col("v"), col("sim"))
+    val candidates = neighbors
+      .join(ratings.select(col("user").as("v"), col("item"), col("rating")), Seq("v"))
+      .groupBy(col("u"), col("item"))
+      .agg(sum(col("sim") * col("rating")).as("score"))
+    val unread = candidates.join(
+      ratings.select(col("user").as("u"), col("item")),
+      Seq("u", "item"), "left_anti")
+    val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("item"))
+    unread.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topNItems)
+      .select(col("u").as("user"), col("item"), round(col("score"), 4).as("score"),
+        col("rk"))
+  }
+}

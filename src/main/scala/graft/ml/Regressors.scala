@@ -1,0 +1,63 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression model surface — SURVEY.md §2.9 M3–M5, M10.
+  *
+  * Reference configs preserved as named constants; `maxIter` for GBT is
+  * capped by default because 330 boosting rounds (ref
+  * 流行音乐趋势预测.md:695) is a parity config, not a sane default
+  * (SURVEY.md §7.4.4). All models are `spark.ml` estimators: fitting is
+  * iterative distributed jobs, prediction is a DataFrame `transform`,
+  * so nothing here collects to the driver.
+  */
+object Regressors {
+
+  /** M3 — the reference's LinearRegressionWithSGD (10 000 iters, step
+    * 1e-9, ref 流行音乐趋势预测.md:186-221) — SGD is gone in Spark 3+;
+    * L-BFGS converges where SGD famously failed there.
+    */
+  def linear(featuresCol: String = "features", labelCol: String = "label"): LinearRegression =
+    new LinearRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setMaxIter(100).setRegParam(0.0)
+
+  /** M4 — RandomForest.trainRegressor replica: 50 trees, depth 10,
+    * bins 100, variance impurity (ref 流行音乐趋势预测.md:327-352). */
+  def randomForest(featuresCol: String = "features", labelCol: String = "label",
+                   seed: Long = 42L): RandomForestRegressor =
+    new RandomForestRegressor()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setNumTrees(50).setMaxDepth(10).setMaxBins(100)
+      .setImpurity("variance").setSeed(seed)
+
+  /** Reference GBT boosting rounds (parity only — slow by construction). */
+  val ReferenceGbtIters = 330
+
+  /** M5 — GradientBoostedTrees replica: depth 5; iters default-capped
+    * at 20 (ref config: 330, 流行音乐趋势预测.md:692-697). */
+  def gbt(maxIter: Int = 20, featuresCol: String = "features",
+          labelCol: String = "label", seed: Long = 42L): GBTRegressor =
+    new GBTRegressor()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(5).setSeed(seed)
+
+  /** M10 — MSE via the evaluator. */
+  def mse(predictions: DataFrame, labelCol: String = "label",
+          predictionCol: String = "prediction"): Double =
+    new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol(predictionCol)
+      .setMetricName("mse")
+      .evaluate(predictions)
+
+  /** M10 join-form twin (ref 豆瓣图书推荐.md:75-82 computes MSE through a
+    * pair-RDD join) — one aggregate, no collect. */
+  def mseFrame(predictions: DataFrame, labelCol: String = "label",
+               predictionCol: String = "prediction"): DataFrame =
+    predictions.agg(
+      avg(pow(col(labelCol) - col(predictionCol), 2)).as("mse"),
+      count(lit(1)).as("n"))
+}

@@ -57,30 +57,42 @@ object Similarity {
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 
-  /** Sign-random-projection bucket id: `planes` bits, bit p set iff
-    * dot(v, plane_p) > 0. Vectors in the same bucket are cosine-close
-    * with high probability.
+  /** Sign-random-projection bucket id for one hash table: `planes`
+    * bits, bit p set iff dot(v, plane_{table,p}) > 0. Vectors in the
+    * same bucket are cosine-close with high probability.
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column =
+  def lshBucket(vec: Column, dim: Int, planes: Int, table: Int): Column =
     (0 until planes).map { p =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(table * planes + p, j))): _*)
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** LSH-bucketed approximate top-k: bucket every vector, join queries
-    * to corpus within the same bucket only, then exact cosine + top-k
-    * inside the candidate set. Recall < 1 by construction; the spec
-    * asserts recall against [[cosineTopK]] on fixtures.
+  /** Multi-table LSH approximate top-k: `tables` independent
+    * sign-random-projection hash tables of `planes` bits each; a
+    * corpus vector is a candidate if it shares a bucket with the query
+    * in ANY table (the standard OR-amplification — a single table's
+    * recall decays as pᵖˡᵃⁿᵉˢ). Candidates are deduped, then exact
+    * cosine + top-k inside the candidate set. Recall/cost dial:
+    * more tables → recall, more planes → fewer candidates per bucket;
+    * at scale pick planes ≈ log2(n / wanted_bucket_size).
     */
-  def lshCosineTopK(emb: DataFrame, isQuery: Column, k: Int,
-                    dim: Int, planes: Int = 12): DataFrame = {
+  def lshCosineTopK(emb: DataFrame, isQuery: Column, k: Int, dim: Int,
+                    planes: Int = 4, tables: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, planes))
-    val q = e.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    q.join(e, Seq("bucket"))
+    val buckets = e.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col("v"), dim, planes, t).as("b"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.b"))
+    val q = buckets.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"), col("b"))
+    val cand = q.join(buckets, Seq("t", "b"))
       .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -1,0 +1,76 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Reference-quirk semantics locked in by SURVEY.md §5.2.2 / §7.3. */
+class EtlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hourBucket preserves reference boundaries incl. hour==8 quirk") {
+    // ref 流行音乐趋势预测.md:908-919: (8,12]→0, (12,18]→1, (18,23]→2, else 3
+    val got = Seq(0, 7, 8, 9, 12, 13, 18, 19, 23)
+      .toDF("h")
+      .select(col("h"), Pivot.hourBucket(col("h")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(0 -> 3, 7 -> 3, 8 -> 3, 9 -> 0, 12 -> 0,
+      13 -> 1, 18 -> 1, 19 -> 2, 23 -> 2))
+  }
+
+  test("dayofweek keeps the Calendar 1=Sunday convention") {
+    // ref 流行音乐趋势预测.md:624-631 (Calendar.DAY_OF_WEEK)
+    val got = Seq("2024-01-07", "2024-01-08", "2024-01-13")
+      .toDF("d").select(dayofweek(to_date(col("d")))).as[Int].collect()
+    assert(got.toSeq === Seq(1, 2, 7)) // Sun, Mon, Sat
+  }
+
+  private def daily = Seq(
+    // (key, ds, y) with a calendar gap at 2024-01-03 for key "a"
+    ("a", "2024-01-01", 10L), ("a", "2024-01-02", 20L), ("a", "2024-01-04", 40L),
+    ("b", "2024-01-01", 1L), ("b", "2024-01-02", 2L))
+    .toDF("key", "ds", "y").withColumn("ds", to_date(col("ds")))
+
+  test("shiftJoin is gap-exact and zero-fills (§1.3)") {
+    val out = LagFeatures.shiftJoin(daily, "key", "ds", 1, Seq("y"), "_lag")
+      .orderBy("key", "ds")
+      .select("key", "ds", "y", "y_lag").collect()
+    val m = out.map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    assert(m(("a", "2024-01-01")) === 0L) // no previous day → zero-fill
+    assert(m(("a", "2024-01-02")) === 10L)
+    // gap: 01-03 absent, so 01-04's calendar-yesterday is missing → 0
+    assert(m(("a", "2024-01-04")) === 0L)
+    assert(m(("b", "2024-01-02")) === 1L)
+  }
+
+  test("windowLag steps over gaps (documented divergence from shiftJoin)") {
+    val out = LagFeatures.windowLag(daily, "key", "ds", 1, Seq("y"), "_lag")
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    // window form: previous *present* row, not previous calendar day
+    assert(m(("a", "2024-01-04")) === 20L)
+  }
+
+  test("shiftJoin == windowLag on gap-free ranges (§5.2.3 property)") {
+    val dense = Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L), ("a", "2024-01-03", 3L))
+      .toDF("key", "ds", "y").withColumn("ds", to_date(col("ds")))
+    val a = LagFeatures.shiftJoin(dense, "key", "ds", 1, Seq("y"), "_l")
+      .select("key", "ds", "y", "y_l").collect().toSet
+    val b = LagFeatures.windowLag(dense, "key", "ds", 1, Seq("y"), "_l")
+      .select("key", "ds", "y", "y_l").collect().toSet
+    assert(a === b)
+  }
+
+  test("shiftJoin negative days attaches future labels (lead)") {
+    val out = LagFeatures.shiftJoin(daily, "key", "ds", -2, Seq("y"), "_ahead")
+      .select("key", "ds", "y", "y_ahead") // join puts key cols first
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(3)).toMap
+    assert(m(("a", "2024-01-02")) === 40L) // 01-04's value, 2 days ahead
+    assert(m(("a", "2024-01-04")) === 0L)  // no 01-06 → zero-fill
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.etl.Pivot
+import graft.model.Tables
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("normalizeExact divides by variance, not stddev (F11 quirk)") {
+    // values 0,2,4: mean=2, var_samp=4 → normalized = (x-2)/4
+    val out = Seq(0.0, 2.0, 4.0).toDF("x")
+    val got = FeaturePipe.normalizeExact(out, Seq("x"))
+      .orderBy("x").select("x_norm").as[Double].collect()
+    assert(got.toSeq === Seq(-0.5, 0.0, 0.5))
+  }
+
+  test("FeaturePipe fits assemble→standardize→PCA and keeps k dims") {
+    val df = Tables.lineitem(spark, SparkTestSession.Sf0001)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+    val model = FeaturePipe.fit(df, df.columns.toSeq, k = 2)
+    val vec = model.transform(df).select("features").head.getAs[Vector](0)
+    assert(vec.size === 2)
+  }
+
+  test("GBT learns a smooth synthetic relation (train MSE bound)") {
+    val train = (1 to 400).map { i =>
+      val x1 = i % 20; val x2 = (i * 7) % 13
+      (x1.toDouble, x2.toDouble, 3.0 * x1 - 2.0 * x2 + 5.0)
+    }.toDF("x1", "x2", "label")
+    val feat = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(train)
+    val model = Regressors.gbt(maxIter = 20).fit(feat)
+    val mse = Regressors.mse(model.transform(feat))
+    // label range ≈ [-19, 62]; depth-5/20-iter GBT lands ≈2 — the bound
+    // guards "actually learned", not perfection
+    assert(mse < 5.0, s"train MSE $mse too high for a learnable relation")
+    val mseF = Regressors.mseFrame(model.transform(feat)).head
+    assert(math.abs(mseF.getDouble(0) - mse) < 1e-9)
+  }
+
+  test("clusterEnsemble partitions the input exactly (M7 property)") {
+    val daily = Pivot.dailyUserCounters(
+      Tables.events(spark, SparkTestSession.Sf0001))
+      .withColumn("label", col("n_events").cast("double"))
+    val feat = new VectorAssembler()
+      .setInputCols(Array("clicks", "views", "purchases", "signups", "errors"))
+      .setOutputCol("features").transform(daily).cache()
+    val (models, preds) = Clustering.clusterEnsemble(feat, gbtIters = 5)
+    assert(models.nonEmpty)
+    assert(preds.count() === feat.count(), "per-cluster predictions must partition the input")
+    assert(preds.columns.contains("prediction"))
+  }
+
+  test("ALS + topN + hitRate replicate the book pipeline shape (M8-M10)") {
+    val ratings = Tables.events(spark, SparkTestSession.Sf0001)
+      .select(col("user_id").cast("int").as("user"),
+        (get_json_object(col("props"), "$.k").cast("int") % 50).as("item"),
+        (col("value") / 20.0).cast("float").as("rating"))
+      .filter(col("item").isNotNull)
+    val Array(train, test) = ratings.randomSplit(Array(0.6, 0.4), 11L)
+    val model = Recommend.als().setMaxIter(5).fit(train)
+    val preds = model.transform(test)
+    val mse = Regressors.mseFrame(preds, "rating").head.getDouble(0)
+    assert(!mse.isNaN && mse >= 0)
+    val recs = Recommend.topN(model, 10)
+    assert(recs.columns.toSeq === Seq("user", "item", "score"))
+    val hr = Recommend.hitRate(recs, test.select("user", "item"))
+    assert(hr.columns.toSeq === Seq("user", "n_held", "n_hits"))
+    assert(hr.agg(min(col("n_hits"))).head.getLong(0) >= 0)
+  }
+
+  test("knnRecommend scores by neighbor similarity and excludes read items") {
+    val ratings = Seq(
+      (1, 10, 5.0), (1, 11, 4.0),
+      (2, 10, 5.0), (2, 11, 4.0), (2, 12, 5.0), // 2 ≈ 1, has extra item 12
+      (3, 20, 5.0))                             // disjoint user
+      .toDF("user", "item", "rating")
+    val recs = Recommend.knnRecommend(ratings, k = 2, topNItems = 3)
+      .filter(col("user") === 1).collect()
+    assert(recs.map(_.getInt(1)).contains(12), "item 12 comes from the similar user")
+    assert(!recs.map(_.getInt(1)).exists(Set(10, 11)), "read items excluded")
+  }
+
+  test("coreSlice keeps only the most active users/items") {
+    val ratings = Seq(
+      (1, 10, 1.0), (1, 11, 1.0), (1, 12, 1.0),
+      (2, 10, 1.0), (2, 11, 1.0),
+      (3, 10, 1.0))
+      .toDF("user", "item", "rating")
+    val core = Recommend.coreSlice(ratings, maxUsers = 2, maxItems = 2)
+    val users = core.select("user").distinct().as[Int].collect().toSet
+    val items = core.select("item").distinct().as[Int].collect().toSet
+    assert(users === Set(1, 2))
+    assert(items === Set(10, 11))
+  }
+
+  test("autoregressive forecast replays a hand-computable trace (M12)") {
+    // teach LR the exact relation y_next = (y + y_prev) / 2
+    val train = (1 to 50).map { i =>
+      val y = i.toDouble; val yPrev = (i % 7).toDouble
+      (y, yPrev, (y + yPrev) / 2)
+    }.toDF("y", "y_prev", "label")
+    val feat = new VectorAssembler().setInputCols(Array("y", "y_prev"))
+      .setOutputCol("features").transform(train)
+    val lr = new LinearRegression().setLabelCol("label").fit(feat)
+    val head = Seq(("a", java.sql.Date.valueOf("2024-01-10"), 4.0, 2.0))
+      .toDF("key", "ds", "y", "y_prev")
+    val fc = Forecast.autoregressive(lr, head, steps = 3, checkpointEvery = 2)
+      .orderBy("ds").collect()
+    assert(fc.length === 3)
+    assert(fc.map(_.getDate(1).toString).toSeq ===
+      Seq("2024-01-11", "2024-01-12", "2024-01-13"))
+    val ys = fc.map(_.getDouble(2))
+    assert(math.abs(ys(0) - 3.0) < 1e-6)   // (4+2)/2
+    assert(math.abs(ys(1) - 3.5) < 1e-6)   // (3+4)/2
+    assert(math.abs(ys(2) - 3.25) < 1e-6)  // (3.5+3)/2
+  }
+
+  test("horizonEnsemble averages two horizons per (key, ds) (M13)") {
+    val p1 = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10.0)).toDF("key", "ds", "y")
+    val p2 = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 20.0)).toDF("key", "ds", "y")
+    val got = Forecast.horizonEnsemble(p1, p2).head.getDouble(2)
+    assert(got === 15.0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def media = Multimodal.syntheticMedia(
+    Tables.documents(spark, SparkTestSession.Sf0001).limit(60))
+
+  test("media schema carries an opaque binary payload + typed metadata") {
+    val m = media
+    assert(m.schema("payload").dataType === BinaryType)
+    assert(Seq("id", "kind", "payload", "width", "height", "sample_rate")
+      .forall(m.columns.contains))
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures runs per-partition, preserves partitioning, normalizes") {
+    val parted = media.repartition(3)
+    val feats = Multimodal.extractFeatures(spark, parted, dim = 8)
+    assert(feats.rdd.getNumPartitions === 3, "batch shape = input partitioning")
+    val rows = feats.collect()
+    assert(rows.length === 60)
+    rows.foreach { f =>
+      assert(f.features.length === 8)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram sums to 1")
+    }
+  }
+
+  test("extractFeatures is deterministic (stub contract)") {
+    val a = Multimodal.extractFeatures(spark, media, dim = 8)
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(spark, media, dim = 8)
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    assert(a === b)
+  }
+
+  test("sampleFrames cuts video payloads into ordered fixed-stride frames") {
+    val frames = Multimodal.sampleFrames(spark, media, stride = 50).collect()
+    val byId = frames.groupBy(_.id)
+    assert(byId.nonEmpty)
+    val videoSizes = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    byId.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      assert(fs.map(_.frame.length).sum === videoSizes(id))
+    }
+  }
+}

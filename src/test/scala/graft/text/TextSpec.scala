@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.RollingMinHash
+import graft.functions.RollingMinHash.rolling_min_hash
+import graft.model.Tables
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog today"), // = 1 normalized
+    (3L, "the quick brown fox jumps over the lazy cat today"),    // near-dup of 1
+    (4L, "completely different content about spark query engines here now"))
+    .toDF("doc_id", "text")
+
+  test("exactDupGroups groups case/whitespace-normalized duplicates") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length === 3)
+    val dup = groups.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // keeper = min doc_id
+  }
+
+  test("jaccardPairs finds planted near-dups and not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical after lowering
+    assert(pairs.contains((1L, 3L))) // one-token change
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashLshPairs ⊆ exact pairs with full recall on fixture docs") {
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+    val exact = Dedup.jaccardPairs(fixture, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(fixture, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not produce false positives after verification")
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
+  test("simHashPairs finds normalized-identical docs at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("rolling_min_hash matches an independent reimplementation") {
+    def reference(s: String, k: Int): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < k) b.foldLeft(0L)((h, x) => h * 31 + x)
+      else (0 to b.length - k).map { i =>
+        b.slice(i, i + k).foldLeft(0L)((h, x) => h * 31 + x)
+      }.min
+    }
+    val texts = Seq("hello world this is a document", "short", "",
+      "the quick brown fox jumps over the lazy dog")
+    val got = texts.toDF("t")
+      .select(rolling_min_hash(col("t"), 16)).as[Long].collect()
+    assert(got.toSeq === texts.map(reference(_, 16)))
+  }
+
+  test("rolling_min_hash collides for docs sharing long runs, not for different docs") {
+    val out = Seq(
+      (1L, "PREFIX added but the shared middle section stays exactly the same here"),
+      (2L, "but the shared middle section stays exactly the same here"),
+      (3L, "an entirely unrelated piece of text with nothing in common at all"))
+      .toDF("id", "t").select(col("id"), rolling_min_hash(col("t"), 16).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L)) // min window survives the prefix edit
+    assert(out(1L) !== out(3L))
+  }
+
+  test("langId + quality metrics are deterministic and bounded") {
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001).limit(50)
+    val rows = fixture.select(
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr")).collect()
+    assert(rows.forall(r => Set("en", "es", "de").contains(r.getString(0))))
+    assert(rows.forall { r =>
+      val q = r.getDouble(1); q >= 0.0 && q <= 1.0
+    })
+  }
+}
