@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic warmup so JVM/codegen/parquet-reader init isn't billed to
+    // whichever query happens to run first
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** Second catalog wave: window analytics, rollups, as-of-shaped joins,
+  * sessionization, distribution statistics, string surgery, and two
+  * skew/partitioning technique demos whose results are provably equal
+  * to their naive forms (so the oracle stays simple while the Spark
+  * plan shows the 100 TB-safe shape).
+  */
+object ExtraQueries {
+
+  def queries: Seq[GraftQuery] = Seq(
+    q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
+    q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
+    q41SaltedAgg, q42CopartitionJoin)
+
+  /** W4 — growth/delta features on the daily series
+    * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
+  val q33GrowthDeltas = GraftQuery(
+    "q33_growth_deltas",
+    "per-user day-over-day delta and growth rate (window lag)",
+    Some("""WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS ds, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT user_id, ds, n,
+          COALESCE(LAG(n) OVER (PARTITION BY user_id ORDER BY ds), 0) AS n_prev
+        FROM daily)
+      SELECT user_id, ds, n, n_prev,
+        n - n_prev AS delta,
+        ROUND((n - n_prev) * 1.0 / greatest(n_prev, 1), 4) AS growth
+      FROM lagged ORDER BY user_id, ds"""),
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("ds"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ds"))
+      daily
+        .withColumn("n_prev", coalesce(lag(col("n"), 1).over(w), lit(0L)))
+        .withColumn("delta", col("n") - col("n_prev"))
+        .withColumn("growth",
+          round(col("delta").cast("double") / greatest(col("n_prev"), lit(1L)), 4))
+        .orderBy(col("user_id"), col("ds"))
+    })
+
+  /** W5 — global activity ranking (ref 豆瓣图书推荐.md:9-11: "sort readers
+    * by count, take the most active slice"). rank/dense_rank share tie
+    * values, so no tiebreak is needed for determinism. */
+  val q34ActivityRank = GraftQuery(
+    "q34_activity_rank",
+    "users ranked by total events (rank + dense_rank)",
+    Some("""WITH t AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+      SELECT user_id, cnt,
+        CAST(RANK() OVER (ORDER BY cnt DESC) AS INTEGER) AS rnk,
+        CAST(DENSE_RANK() OVER (ORDER BY cnt DESC) AS INTEGER) AS drnk
+      FROM t ORDER BY cnt DESC, user_id"""),
+    (s, d) => {
+      val t = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc)
+      t.withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .orderBy(col("cnt").desc, col("user_id"))
+    })
+
+  /** Beyond-reference agg variety: ROLLUP subtotals (regional hierarchy).
+    * Fixture keys are never NULL, so coalesce marks subtotal rows
+    * unambiguously. */
+  val q35RollupRevenue = GraftQuery(
+    "q35_rollup_revenue",
+    "revenue by region/nation with ROLLUP subtotals",
+    Some("""SELECT COALESCE(r_name, '(all)') AS region,
+        COALESCE(n_name, '(all)') AS nation,
+        ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2"""),
+    (s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("revenue"), col("n"))
+      .orderBy(col("region"), col("nation")))
+
+  /** As-of-shaped join (SURVEY.md §2.3 note): equi key + range residual —
+    * for each order, the earliest line shipped more than 7 days after
+    * the order date. Spark plans the equi part as the join key and the
+    * range as a residual filter, so it shuffles once on orderkey. */
+  val q36AsofNextShip = GraftQuery(
+    "q36_asof_next_ship",
+    "first ship date > orderdate+7 per order (as-of forward join)",
+    Some("""SELECT o.o_orderkey,
+        MIN(CAST(l.l_shipdate AS DATE)) AS first_ship_after7,
+        COUNT(l.l_orderkey) AS n_late
+      FROM orders o
+      LEFT JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 7
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => orders(s, d)
+      .join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 7),
+        "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship_after7"),
+        count(col("l_orderkey")).as("n_late"))
+      .orderBy(col("o_orderkey")))
+
+  /** Sessionization — the canonical event-pipeline op: a >4 h gap starts
+    * a new session; session id = running sum of gap flags. All window
+    * functions over (user, time), one shuffle on user_id. */
+  val q37Sessionize = GraftQuery(
+    "q37_sessionize",
+    "gap-based sessionization (4h) with per-session rollup",
+    Some("""WITH ordered AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS tsec,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsec, sec,
+          CASE WHEN LAG(sec) OVER w IS NULL
+                 OR sec - LAG(sec) OVER w > 14400 THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      sessioned AS (
+        SELECT user_id, tsec,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(tsec) AS session_start, MAX(tsec) AS session_end
+      FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("tsec"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("is_new",
+          when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) > 14400, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsec")).as("session_start"),
+          max(col("tsec")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * quantile_cont). The 100 TB twin is approx_percentile (engine
+    * sketch, not oracle-comparable). */
+  val q38Percentiles = GraftQuery(
+    "q38_percentiles",
+    "exact p25/p50/p75 of extendedprice per returnflag",
+    Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+      FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("l_returnflag")))
+
+  /** Correlation / covariance / stddev — completes the A8 stats family. */
+  val q39CorrStats = GraftQuery(
+    "q39_corr_stats",
+    "corr/covar_samp/stddev_samp of quantity vs extendedprice",
+    Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+        ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+        ROUND(stddev_samp(l_quantity), 4) AS q_stddev,
+        COUNT(*) AS n
+      FROM lineitem"""),
+    (s, d) => lineitem(s, d)
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covar"),
+        round(stddev_samp(col("l_quantity")), 4).as("q_stddev"),
+        count(lit(1)).as("n")))
+
+  /** F12 — the reference's string surgery (substring/replace/trim/
+    * concat, ref 流行音乐趋势预测.md:108,299,1128) as codegen built-ins. */
+  val q40StringSurgery = GraftQuery(
+    "q40_string_surgery",
+    "substring-extract numeric id + concat tag from customer names",
+    Some("""SELECT CAST(substring(c_name, 10, 9) AS BIGINT) AS cust_num,
+        upper(substring(c_name, 1, 8)) || '-' || c_mktsegment AS tag,
+        replace(c_name, 'Customer#', 'C#') AS short_name
+      FROM customer ORDER BY cust_num"""),
+    (s, d) => customer(s, d)
+      .select(
+        substring(col("c_name"), 10, 9).cast("long").as("cust_num"),
+        concat(upper(substring(col("c_name"), 1, 8)), lit("-"),
+          col("c_mktsegment")).as("tag"),
+        regexp_replace(col("c_name"), "Customer#", "C#").as("short_name"))
+      .orderBy(col("cust_num")))
+
+  /** Skew technique demo: two-phase salted aggregation — identical
+    * result to the plain groupBy (the oracle), but the Spark plan
+    * splits each hot key across 8 salt buckets before combining, the
+    * standard fix when one user owns a disproportionate share of 100 TB.
+    * Salt derives from event_id (deterministic) — production would use
+    * rand(), determinism is for the oracle only. */
+  val q41SaltedAgg = GraftQuery(
+    "q41_salted_agg",
+    "salted two-phase aggregation (== plain groupBy result)",
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+        ROUND(SUM(value), 2) AS value_sum
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, d) => events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), round(sum(col("v")), 2).as("value_sum"))
+      .orderBy(col("user_id")))
+
+  /** Co-partitioning demo: both join sides repartitioned on the join
+    * key first — the explicit form of bucketed-table co-location; the
+    * join itself then needs no extra exchange. Result equals the plain
+    * join (the oracle). */
+  val q42CopartitionJoin = GraftQuery(
+    "q42_copartition_join",
+    "explicitly co-partitioned orders⋈lineitem rollup",
+    Some("""SELECT o.o_orderpriority, COUNT(*) AS n,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val o = orders(s, d).repartition(32, col("o_orderkey"))
+      val l = lineitem(s, d).repartition(32, col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    })
+}

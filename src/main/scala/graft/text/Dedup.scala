@@ -28,26 +28,42 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** (doc_id, shingles) — distinct word n-gram shingles per document.
-    * Docs shorter than n tokens drop out (no shingles → can't collide).
+  /** Exploded distinct word n-gram shingle table:
+    * (doc_id, n_sh, sh). Docs shorter than n tokens drop out (no full
+    * window → can't collide).
+    *
+    * Deliberately NOT the array-lambda form
+    * (`transform(sequence, i -> element_at(tokens, i+j))`): higher-order
+    * lambdas are interpreted (CodegenFallback) and projection collapse
+    * inlines the `split()` under every `element_at`, re-running the
+    * regex tokenizer per element — measured 184 s for 260 k shingles at
+    * sf0.1. The posexplode + window-lead plan tokenizes each doc once,
+    * stays in codegen, and costs one shuffle on doc_id.
     */
-  def tokenShingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val t = split(lower(trim(col("text"))), "\\s+")
-    docs
-      .select(col("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= n)
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, "shingle width must be >= 2")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"tok$j"))
+    val sh = toks
+      .select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"tok${n - 1}").isNotNull) // only full windows
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("t")) - n),
-          i => concat_ws(" ", (1 to n).map(j => element_at(col("t"), i + j)): _*)
-        )).as("shingles"))
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"tok$j")): _*)
+          .as("sh"))
+      .distinct()
+    sh.withColumn("n_sh", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
   }
 
-  /** Exploded shingle table: (doc_id, n_shingles, shingle). */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
-    tokenShingles(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-              explode(col("shingles")).as("sh"))
+  /** (doc_id, shingles) — per-doc distinct shingles gathered to an
+    * array (for pair-local verification via array_intersect). */
+  def tokenShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shingles"))
 
   /** Exact n-gram Jaccard near-dup pairs: self-join on shingle →
     * per-pair intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
