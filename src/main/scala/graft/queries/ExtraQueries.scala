@@ -16,7 +16,7 @@ object ExtraQueries {
   def queries: Seq[GraftQuery] = Seq(
     q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
-    q41SaltedAgg, q42CopartitionJoin)
+    q41SaltedAgg, q42CopartitionJoin, q43TimeConvert)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -230,6 +230,28 @@ object ExtraQueries {
       .groupBy(col("user_id"))
       .agg(sum(col("c")).as("n_events"), round(sum(col("v")), 2).as("value_sum"))
       .orderBy(col("user_id")))
+
+  /** F6/F7 — the reference's timestamp↔string conversions
+    * (ref 流行音乐趋势预测.md:884-897) through the Convert facade. */
+  val q43TimeConvert = GraftQuery(
+    "q43_time_convert",
+    "unix-seconds and yyyyMMdd round-trips (Convert F6/F7)",
+    Some("""SELECT event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+        strftime(date_trunc('second', ts), '%d/%m/%Y %H:%M:%S') AS wall,
+        CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT) * 1000
+          AS day_epoch_ms
+      FROM events ORDER BY event_id"""),
+    (s, d) => {
+      import graft.functions.Convert
+      events(s, d).select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          Convert.timeStamp2Date(unix_timestamp(col("ts"))).as("wall"),
+          Convert.date2TimeStamp(date_format(col("ts"), "yyyyMMdd"))
+            .as("day_epoch_ms"))
+        .orderBy(col("event_id"))
+    })
 
   /** Co-partitioning demo: both join sides repartitioned on the join
     * key first — the explicit form of bucketed-table co-location; the
