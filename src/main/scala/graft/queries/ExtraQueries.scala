@@ -16,7 +16,7 @@ object ExtraQueries {
   def queries: Seq[GraftQuery] = Seq(
     q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
-    q41SaltedAgg, q42CopartitionJoin, q43TimeConvert)
+    q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -251,6 +251,30 @@ object ExtraQueries {
           Convert.date2TimeStamp(date_format(col("ts"), "yyyyMMdd"))
             .as("day_epoch_ms"))
         .orderBy(col("event_id"))
+    })
+
+  /** O4 at scale — same result as q06's window form, but via the
+    * bounded-heap TypedImperativeAggregate (graft.functions.TopKByScore):
+    * map-side combine ships ≤k rows per group per partition instead of
+    * sorting every row through the shuffle. */
+  val q44TopKAggregate = GraftQuery(
+    "q44_topk_aggregate",
+    "top-3 orders per customer via bounded-heap aggregate (== q06 result)",
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3 ORDER BY o_custkey, rk"""),
+    (s, d) => {
+      import graft.functions.TopKByScore.top_k_by
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(top_k_by(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), col("t.payload").as("o_orderkey"),
+          col("t.score").as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
     })
 
   /** Co-partitioning demo: both join sides repartitioned on the join

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the index-based
+  * scale path next to brute force ([[Similarity.cosineTopK]]) and LSH
+  * ([[Similarity.lshCosineTopK]]), per SURVEY.md §7.6.
+  *
+  * Build: a KMeans coarse quantizer (fit once — at 100 TB, on a
+  * sample) assigns every corpus vector to its nearest of `nCells`
+  * centroid cells; the "index" is just a cell_id column, so it lives
+  * in the table layout (partition/bucket by cell_id) rather than a
+  * side structure. Query: probe the `nProbe` nearest cells and search
+  * only those — cost drops from O(n) to O(n · nProbe / nCells) per
+  * query at equal layout.
+  */
+object Ivf {
+
+  /** Corpus with a `cell` column from the fitted quantizer, plus the
+    * centroid table (nCells rows — broadcastable by construction). */
+  def buildIndex(emb: DataFrame, nCells: Int = 16, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    val withVec = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nCells).setMaxIter(20).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withVec)
+    val indexed = km.transform(withVec).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    (indexed, centroids.toSeq.toDF("cell", "centroid"))
+  }
+
+  /** Approximate top-k: each query probes its `nProbe` closest
+    * centroids (euclidean, matching the quantizer's metric), then runs
+    * exact cosine only inside those cells.
+    */
+  def ivfCosineTopK(emb: DataFrame, isQuery: Column, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    val (indexed, centroids) = buildIndex(emb, nCells, seed)
+    val queries = indexed.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // nCells rows × queries: rank cells per query, keep nProbe
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(indexed, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+}

@@ -11,4 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an imperative aggregate function as an aggregate Column. */
+  def aggColumn(a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    ExpressionUtils.column(a.toAggregateExpression())
+
+  /** Register a builder under `name` so `spark.sql("SELECT name(...)")`
+    * resolves it — session-scoped, the classic library registration
+    * path (the extensions-injection route needs builder-time access). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

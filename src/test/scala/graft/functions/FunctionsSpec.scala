@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.TopKByScore.top_k_by
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("top_k_by keeps the k best with deterministic tie-break") {
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 9.0, 3L), ("a", 7.0, 4L),
+      ("b", 1.0, 5L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy($"g").agg(top_k_by($"score", $"id", 2).as("top"))
+      .select($"g", $"top").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getDouble(0), t.getLong(1))))
+      .toMap
+    // ties (9.0 at ids 2,3) resolved toward the smaller id first
+    assert(got("a") === Seq((9.0, 2L), (9.0, 3L)))
+    assert(got("b") === Seq((1.0, 5L)))
+  }
+
+  test("top_k_by survives partial aggregation across many partitions") {
+    val df = spark.range(1000)
+      .select((col("id") % 7).as("g"), col("id").cast("double").as("score"),
+        col("id").as("pid"))
+      .repartition(13)
+    val got = df.groupBy($"g").agg(top_k_by($"score", $"pid", 3).as("top"))
+      .select($"g", $"top").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getLong(1))).toMap
+    // top-3 ids of group g are the 3 largest id ≡ g (mod 7) under 1000
+    (0L until 7L).foreach { g =>
+      val expect = (999L to 0L by -1L).filter(_ % 7 == g).take(3)
+      assert(got(g) === expect, s"group $g")
+    }
+  }
+
+  test("SQL registration exposes rolling_min_hash and top_k_by") {
+    Registry.registerAll(spark)
+    Seq((1L, "hello world rolling hash"), (2L, "another document"))
+      .toDF("id", "text").createOrReplaceTempView("reg_docs")
+    val viaSql = spark.sql(
+      "SELECT id, rolling_min_hash(text, 16) AS f FROM reg_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Seq((1L, "hello world rolling hash"), (2L, "another document"))
+      .toDF("id", "text")
+      .select($"id", RollingMinHash.rolling_min_hash($"text", 16).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaCol)
+    val topSql = spark.sql(
+      """SELECT top_k_by(CAST(id AS DOUBLE), id, 2) AS t
+         FROM reg_docs""").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topSql.map(_.getLong(1)) === Seq(2L, 1L))
+  }
+}

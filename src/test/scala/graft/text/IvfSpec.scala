@@ -1,0 +1,35 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("IVF index partitions the corpus into cells completely") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+    val (indexed, centroids) = Ivf.buildIndex(emb, nCells = 8)
+    assert(indexed.count() === emb.count())
+    assert(centroids.count() === 8)
+    val cells = indexed.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 8)
+  }
+
+  test("IVF top-k recall beats its probe fraction and full-probe is exact") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+    val isQ = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, isQ, 5))
+    val ivf = pairs(Ivf.ivfCosineTopK(emb, isQ, 5, nCells = 8, nProbe = 3))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for 3/8 probes")
+    // probing every cell must reproduce brute force exactly
+    val full = pairs(Ivf.ivfCosineTopK(emb, isQ, 5, nCells = 8, nProbe = 8))
+    assert(full === exact)
+  }
+}
