@@ -16,7 +16,8 @@ object ExtraQueries {
   def queries: Seq[GraftQuery] = Seq(
     q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
-    q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate)
+    q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
+    q45NativePivot)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -276,6 +277,27 @@ object ExtraQueries {
           col("t.score").as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
         .orderBy(col("o_custkey"), col("rk"))
     })
+
+  /** A3 in its native `pivot()` form (q02 is the sum-when form; both
+    * compile to one hash aggregate when the pivot values are given
+    * explicitly — never leave them implicit at scale, that costs an
+    * extra distinct pass over 100 TB). */
+  val q45NativePivot = GraftQuery(
+    "q45_native_pivot",
+    "groupBy().pivot(event_type) daily counts (== q02 counter columns)",
+    Some("""SELECT CAST(ts AS DATE) AS ds,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, d) => events(s, d)
+      .groupBy(to_date(col("ts")).as("ds"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0)
+      .orderBy(col("ds")))
 
   /** Co-partitioning demo: both join sides repartitioned on the join
     * key first — the explicit form of bucketed-table co-location; the
