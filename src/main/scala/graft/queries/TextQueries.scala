@@ -17,7 +17,7 @@ object TextQueries {
   def queries: Seq[GraftQuery] = Seq(
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
-    q31EmbeddingNorms, q32ApproxDistinct)
+    q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -176,6 +176,22 @@ object TextQueries {
         round(avg(Similarity.norm2(Similarity.toDouble(col("embedding")))), 4)
           .as("avg_norm"))
       .orderBy(col("label")))
+
+  /** Embedding-cosine near-dup dedup, exact form (native codegen'd
+    * dot/norm — graft.functions.VectorOps). The LSH-bucketed scale
+    * variant is Dedup.embeddingDupPairsLsh (spec-measured recall). */
+  val q46EmbeddingDups = GraftQuery(
+    "q46_embedding_dups",
+    "exact cosine near-dup pairs over embeddings (threshold 0.4)",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      ORDER BY 1, 2"""),
+    (s, d) => Dedup.embeddingDupPairs(embeddings(s, d), 0.4)
+      .orderBy(col("vec_a"), col("vec_b")))
 
   /** Rows-only: HLL sketch values are engine-specific — the 100 TB twin
     * of q08's exact distinct (SURVEY.md §2.4 note). */

@@ -131,6 +131,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Embedding-cosine near-dup pairs, exact: all (a<b) pairs with
+    * cosine ≥ threshold via the native vector ops. O(n²) by definition —
+    * the oracle-checkable ground truth; [[embeddingDupPairsLsh]] is the
+    * 100 TB path.
+    */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps.cosine_sim
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs via multi-table sign-LSH buckets:
+    * candidates only meet inside a shared (table, bucket), then the
+    * exact cosine filter runs per candidate — O(Σ bucket²) instead of
+    * O(n²). Recall < 1 by construction (spec measures it vs exact).
+    */
+  def embeddingDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
+                           planes: Int = 4, tables: Int = 8): DataFrame = {
+    import graft.functions.VectorOps.cosine_sim
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val buckets = e.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), Similarity.lshBucket(col("v"), dim, planes, t).as("b"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.b"))
+    buckets.as("x").join(buckets.as("y"), Seq("t", "b"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 vote,
     * sign → bit. Implemented as 64 generated sum-aggregates (no row
     * blowup: one hash-agg keyed on doc_id, all inside codegen).

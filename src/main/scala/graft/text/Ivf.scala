@@ -49,10 +49,12 @@ object Ivf {
     val (indexed, centroids) = buildIndex(emb, nCells, seed)
     val queries = indexed.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // nCells rows × queries: rank cells per query, keep nProbe
-    val dist2 = aggregate(
-      zip_with(col("qv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+    // nCells rows × queries: rank cells per query, keep nProbe.
+    // ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖² via the native vector ops (no lambdas)
+    import graft.functions.VectorOps.{dot_product, l2_norm}
+    val dist2 = pow(l2_norm(col("qv")), 2) -
+      lit(2.0) * dot_product(col("qv"), col("centroid")) +
+      pow(l2_norm(col("centroid")), 2)
     val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d2", dist2)

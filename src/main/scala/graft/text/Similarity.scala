@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Array[Float] → Array[Double] so all arithmetic is double-precision
-    * (bit-stable against the DuckDB oracle's DOUBLE[] cast). */
-  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+    * (bit-stable against the DuckDB oracle's DOUBLE[] cast). A native
+    * cast, not a lambda — stays in codegen. */
+  def toDouble(vec: Column): Column = vec.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd vector ops (graft.functions.VectorOps): the
+    * aggregate/zip_with lambda forms are interpreted and re-walk the
+    * array per lambda — same pathology as Dedup.shingleRows. Sequential
+    * summation order is unchanged, so oracle parity holds. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot_product(a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm2(a: Column): Column = graft.functions.VectorOps.l2_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 

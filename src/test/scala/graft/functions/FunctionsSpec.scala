@@ -41,6 +41,18 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native dot_product/l2_norm match the lambda forms bit-for-bit") {
+    import graft.functions.VectorOps.{dot_product, l2_norm}
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val native = df.select(dot_product($"a", $"b"), l2_norm($"a")).head
+    val lambda = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (s, x) => s + x),
+      sqrt(aggregate(transform($"a", x => x * x), lit(0.0), (s, x) => s + x))).head
+    assert(native.getDouble(0) === lambda.getDouble(0))
+    assert(native.getDouble(1) === lambda.getDouble(1))
+    assert(native.getDouble(0) === 32.0)
+  }
+
   test("SQL registration exposes rolling_min_hash and top_k_by") {
     Registry.registerAll(spark)
     Seq((1L, "hello world rolling hash"), (2L, "another document"))

@@ -79,6 +79,19 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) !== out(3L))
   }
 
+  test("embedding-cosine LSH dedup: no false positives, measured recall") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingDupPairs(emb, 0.4))
+    val lsh = pairs(Dedup.embeddingDupPairsLsh(emb, 0.4, dim = 64))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "cosine filter must kill bucket false positives")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("langId + quality metrics are deterministic and bounded") {
     val fixture = Tables.documents(spark, SparkTestSession.Sf0001).limit(50)
     val rows = fixture.select(
