@@ -311,8 +311,13 @@ object ExtraQueries {
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY 1 ORDER BY 1"""),
     (s, d) => {
-      val o = orders(s, d).repartition(32, col("o_orderkey"))
-      val l = lineitem(s, d).repartition(32, col("l_orderkey"))
+      // prune before the explicit repartition so the shuffle provably
+      // ships only the needed columns
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(32, col("o_orderkey"))
+      val l = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(32, col("l_orderkey"))
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),

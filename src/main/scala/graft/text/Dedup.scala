@@ -106,7 +106,15 @@ object Dedup {
                       k: Int = 32, bands: Int = 16, n: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minHashSignatures(docs, k, n)
+    // the shingle table feeds three subtrees (signatures + both sides of
+    // the verification join); Spark has no cross-subtree CSE, so
+    // materialize it once — the same checkpoint-for-reuse the reference
+    // applied between its pipeline stages (SURVEY.md §4.1)
+    val sh = shingleRows(docs, n).localCheckpoint(true)
+    val sig = sh
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_sh")).as("n_sh"),
+        (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))
@@ -121,12 +129,12 @@ object Dedup {
       .distinct()
     // verify candidates with exact Jaccard — pair-local array intersect,
     // so verification cost is proportional to |candidates|, not corpus²
-    val sh = tokenShingles(docs, n)
+    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(shArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
