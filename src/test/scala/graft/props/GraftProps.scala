@@ -1,0 +1,81 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestSession
+import graft.etl.{LagFeatures, Pivot}
+import graft.functions.TopKByScore.top_k_by
+
+/** ScalaCheck properties — SURVEY.md §5.2.3. Each evaluation runs real
+  * Spark jobs, so the success count is kept small; the generators bias
+  * toward collisions (few users/days/scores) to hit ties and gaps.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val genEvent: Gen[(Long, Int, String, Double)] = for {
+    user <- Gen.choose(1L, 3L)
+    day <- Gen.choose(1, 5)
+    tpe <- Gen.oneOf("click", "view", "purchase", "signup", "error")
+    v <- Gen.choose(0, 100)
+  } yield (user, day, tpe, v.toDouble)
+
+  private def toEventsDf(evs: List[(Long, Int, String, Double)]) =
+    evs.toDF("user_id", "day", "event_type", "value")
+      .select(col("user_id"),
+        to_timestamp(format_string("2024-01-%02d 12:00:00", col("day"))).as("ts"),
+        col("event_type"), col("value"))
+
+  // A3: the one-hot pivot counters partition the row count — each
+  // counter equals the filtered count and they sum to n_events
+  property("pivot counters partition the rows") =
+    forAll(Gen.listOfN(40, genEvent)) { evs =>
+      evs.isEmpty || {
+        val daily = Pivot.dailyUserCounters(toEventsDf(evs)).collect()
+        daily.forall { r =>
+          val counters = Seq("clicks", "views", "purchases", "signups", "errors")
+            .map(c => r.getLong(r.fieldIndex(c)))
+          counters.sum == r.getLong(r.fieldIndex("n_events")) &&
+            counters.forall(_ >= 0)
+        }
+      }
+    }
+
+  // J5 == W1 on gap-free ranges (SURVEY §5.2.3): generated values over
+  // a contiguous date range, every user present every day
+  property("shiftJoin equals windowLag when dates are dense") =
+    forAll(Gen.listOfN(12, Gen.choose(0L, 50L))) { vals =>
+      val rows = for {
+        (v, i) <- vals.zipWithIndex
+        user = (i % 3).toString
+        day = i / 3 + 1
+      } yield (user, f"2024-02-$day%02d", v)
+      val df = rows.toDF("key", "ds", "y").withColumn("ds", to_date(col("ds")))
+      val a = LagFeatures.shiftJoin(df, "key", "ds", 1, Seq("y"), "_l")
+        .select("key", "ds", "y", "y_l").collect().toSet
+      val b = LagFeatures.windowLag(df, "key", "ds", 1, Seq("y"), "_l")
+        .select("key", "ds", "y", "y_l").collect().toSet
+      a == b
+    }
+
+  // top_k_by == sort-and-take reference semantics, including ties
+  property("top_k_by matches sorted-take reference") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { raw =>
+      val data = raw.map { case (s, id) => (s.toDouble, id) }.distinct
+      data.isEmpty || {
+        val got = data.toDF("score", "id")
+          .agg(top_k_by(col("score"), col("id"), 4).as("top"))
+          .head.getSeq[org.apache.spark.sql.Row](0)
+          .map(t => (t.getDouble(0), t.getLong(1)))
+        val expect = data.sortBy { case (s, id) => (-s, id) }.take(4)
+        got.toList == expect
+      }
+    }
+}
