@@ -1,28 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Session config shared by Bench/Verify so the measured plan is the
+    * shipped plan:
+    *  - objectHashAggregate fallback threshold raised so TopKByScore (q44)
+    *    stays in hash mode instead of degrading to sort-based object
+    *    aggregation after 128 distinct groups per task;
+    *  - nanosAsLong set once at build time (events.parquet is
+    *    TIMESTAMP(NANOS)) instead of mutated per-query inside Tables.
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.ui.enabled", "false")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // generic warmup so JVM/codegen/parquet-reader init isn't billed to
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted name order (queries is a hash-ordered Map) + full storage
+    // reset between queries: localCheckpoint blocks created inside a
+    // query (e.g. the MinHash shingle table) must not occupy storage
+    // memory while later queries are timed.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,7 +6,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** SQL registration for graft's native expressions, so `spark.sql`
   * users get them too: `SELECT rolling_min_hash(text, 16)`,
-  * `SELECT top_k_by(price, id, 3)`. Session-scoped.
+  * `SELECT top_k_by(price, id, 3)`.
+  *
+  * Two delivery paths share the same builder table:
+  *  - [[registerAll]] — session-scoped temp functions (library call);
+  *  - [[graft.GraftExtensions]] — builder-time injection via
+  *    `spark.sql.extensions=graft.GraftExtensions`, the packaged path a
+  *    cluster admin configures once (reference's SQL-first entry,
+  *    music.md:45,83-86).
   */
 object Registry {
 
@@ -22,15 +29,25 @@ object Registry {
 
   private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
-  def registerAll(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "rolling_min_hash", exprs =>
-      RollingMinHash(exprs.head, litInt(exprs(1), "window size")))
-    GraftShims.registerFunction(spark, "top_k_by", exprs =>
+  /** name → expression builder, shared by both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_min_hash" -> (exprs =>
+      RollingMinHash(exprs.head, litInt(exprs(1), "window size"))),
+    "top_k_by" -> (exprs =>
       TopKByScore(exprs(0), exprs(1), litInt(exprs(2), "k"))
-        .toAggregateExpression())
-    GraftShims.registerFunction(spark, "dot_product", exprs =>
-      DotProduct(asVec(exprs(0)), asVec(exprs(1))))
-    GraftShims.registerFunction(spark, "l2_norm", exprs =>
-      L2Norm(asVec(exprs.head)))
-  }
+        .toAggregateExpression()),
+    "dot_product" -> (exprs =>
+      DotProduct(asVec(exprs(0)), asVec(exprs(1)))),
+    "l2_norm" -> (exprs =>
+      L2Norm(asVec(exprs.head))),
+    "simhash_agg" -> (exprs =>
+      SimHashAgg(exprs.head).toAggregateExpression()),
+    "sign_projection_bucket" -> (exprs =>
+      SignProjectionBucket(asVec(exprs(0)), litInt(exprs(3), "table"),
+        litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftShims.registerFunction(spark, name, b)
+    }
 }

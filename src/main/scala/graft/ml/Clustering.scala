@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.Transformer
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.regression.GBTRegressor
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -20,6 +20,20 @@ object Clustering {
              seed: Long = 42L): KMeans =
     new KMeans().setK(k).setMaxIter(50).setSeed(seed)
       .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+
+  /** `runs=20` equivalent (ref 流行音乐趋势预测.md:1098-1104): Spark 2+
+    * dropped KMeans `runs`, so sweep `runs` seeds — each fit its own
+    * distributed job over the (caller-cached) training set — and keep
+    * the lowest-cost model. Deterministic: seeds are baseSeed+i.
+    */
+  def kmeansBestOfSeeds(train: DataFrame, k: Int = 4, runs: Int = 20,
+                        maxIter: Int = 50, featuresCol: String = "features",
+                        baseSeed: Long = 42L): KMeansModel =
+    (0 until runs).map { i =>
+      new KMeans().setK(k).setMaxIter(maxIter).setSeed(baseSeed + i)
+        .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+        .fit(train)
+    }.minBy(_.summary.trainingCost)
 
   /** M7 — cluster-conditioned ensemble: tag rows with their cluster,
     * fit one GBT per cluster on the tagged training slice, and predict

@@ -68,12 +68,8 @@ object FlagshipPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val steps = args.lift(1).map(_.toInt).getOrElse(7)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Bench.configure(
+      SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir, steps)
     println(f"[flagship] train MSE = ${r.trainMse}%.3f")

@@ -1,6 +1,8 @@
 package graft.ml
 
+import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorIndexer
 import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -44,6 +46,30 @@ object Regressors {
     new GBTRegressor()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(5).setSeed(seed)
+
+  /** M5 categorical parity — the reference trains its GBDT with
+    * `categoricalFeaturesInfo = {0:4, 1:8}`
+    * (ref 流行音乐趋势预测.md:692-697,1016-1039), so splits on those
+    * features are SUBSET splits, not threshold splits. spark.ml's
+    * equivalent is a VectorIndexer stage: any feature with ≤
+    * maxCategories distinct values is tagged categorical in the vector
+    * metadata and the tree honors it. Plain [[gbt]] treats every
+    * feature as continuous — wrong split semantics on enum features
+    * (round-1 missing item #2).
+    */
+  def gbtWithCategoricals(maxCategories: Int = 8, maxIter: Int = 20,
+                          maxDepth: Int = 5,
+                          featuresCol: String = "features",
+                          labelCol: String = "label",
+                          seed: Long = 42L): Pipeline = {
+    val indexer = new VectorIndexer()
+      .setInputCol(featuresCol).setOutputCol("indexed_features")
+      .setMaxCategories(maxCategories).setHandleInvalid("keep")
+    val tree = new GBTRegressor()
+      .setFeaturesCol("indexed_features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    new Pipeline().setStages(Array(indexer, tree))
+  }
 
   /** M10 — MSE via the evaluator. */
   def mse(predictions: DataFrame, labelCol: String = "label",

@@ -26,15 +26,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and rebuild the
-    * timestamp at microsecond precision (integer `div` — no double
-    * round-trip). Date/hour-level semantics are unaffected.
+    * reader rejects; read it as a long and rebuild the timestamp at
+    * microsecond precision (integer `div` — no double round-trip).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build in [[graft.Bench.configure]] (shared by Bench, Verify,
+    * PlanAudit and the test session) — mutating session conf inside a
+    * query function would be a hidden global side-effect and racy under
+    * concurrent queries. Date/hour-level semantics are unaffected.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

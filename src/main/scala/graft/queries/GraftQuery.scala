@@ -18,5 +18,6 @@ final case class GraftQuery(
 object Catalog {
   /** Full registry; SparkEntry derives `queries` and `oracleSql` from it. */
   def all: Seq[GraftQuery] =
-    Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries
+    Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
+      SqlQueries.queries
 }

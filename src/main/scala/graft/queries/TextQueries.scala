@@ -17,7 +17,7 @@ object TextQueries {
   def queries: Seq[GraftQuery] = Seq(
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
-    q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups)
+    q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -192,6 +192,17 @@ object TextQueries {
       ORDER BY 1, 2"""),
     (s, d) => Dedup.embeddingDupPairs(embeddings(s, d), 0.4)
       .orderBy(col("vec_a"), col("vec_b")))
+
+  /** Rows-only (xxhash64-specific values): winnowing fingerprint set per
+    * document — completes the fingerprint family over q29's single
+    * rolling min-hash. TextSpec pins parity against an independent
+    * driver-side reimplementation. */
+  val q53Winnowing = GraftQuery(
+    "q53_winnowing",
+    "winnowing fingerprints (k=3-gram hashes, window 4) per document",
+    None,
+    (s, d) => Dedup.winnowFingerprints(documents(s, d), 3, 4)
+      .orderBy(col("doc_id"), col("pos")))
 
   /** Rows-only: HLL sketch values are engine-specific — the 100 TB twin
     * of q08's exact distinct (SURVEY.md §2.4 note). */

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Real bucketed-table storage (round-2 gap #3): `bucketBy + sortBy`
+  * writes whose co-location PERSISTS across queries — unlike q42's
+  * in-job `repartition(n, key)`, which re-shuffles every run. At 100 TB
+  * the fact tables are written once this way and every orderkey join
+  * afterwards skips both its exchanges AND both its sorts; this module
+  * is the local[32] materialization of that layout.
+  *
+  * Bucket metadata lives in the session catalog (in-memory catalog
+  * here; a metastore on a real cluster), so [[ensure]] registers the
+  * external tables on first use per session and reuses the files on
+  * disk across sessions.
+  */
+object BucketedTables {
+
+  val nBuckets = 8
+
+  private def root(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_bucketed/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  private def tableName(sfDir: String, base: String): String =
+    s"graft_${base}_bucketed_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Write `base` (pruned to `cols`) bucketed+sorted by `key` as an
+    * external table, unless this session already registered it. */
+  private def ensureTable(s: SparkSession, sfDir: String, base: String,
+                          key: String, cols: Seq[String]): String = {
+    val name = tableName(sfDir, base)
+    if (!s.catalog.tableExists(name)) {
+      // repartition on the bucket hash first so each task holds exactly
+      // one bucket → ONE file per bucket; Spark only elides the join-side
+      // Sort when every bucket is a single sorted file
+      Tables.load(s, sfDir, base)
+        .select(cols.map(col): _*)
+        .repartition(nBuckets, col(key))
+        .write
+        .mode("overwrite")
+        .option("path", s"${root(sfDir)}/$base")
+        .bucketBy(nBuckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Register (writing on first use) the bucketed orders + lineitem
+    * pair and return them as DataFrames. */
+  def ensure(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val o = ensureTable(s, sfDir, "orders", "o_orderkey",
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val l = ensureTable(s, sfDir, "lineitem", "l_orderkey",
+      Seq("l_orderkey", "l_extendedprice", "l_discount"))
+    (s.table(o), s.table(l))
+  }
+
+  /** orders ⋈ lineitem on the bucket key. The `merge` hint pins
+    * SortMergeJoin (a broadcast would hide the point of the demo); with
+    * both sides bucketed on the key, the join's plan has ZERO Exchange —
+    * asserted in BucketedTablesSpec, visible in explain(). A per-bucket
+    * Sort remains: since 3.0 Spark doesn't propagate bucket-file sort
+    * order to the scan (the legacy `bucketedTableScan.outputOrdering`
+    * conf trades planning safety for it); the shuffle — the part that
+    * moves 100 TB over the network — is what bucketing eliminates.
+    */
+  def bucketJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val (o, l) = ensure(s, sfDir)
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+  }
+}

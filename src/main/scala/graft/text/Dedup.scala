@@ -139,6 +139,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * per position, the xxhash64 of the k-token gram starting there; for
+    * every window of `w` consecutive gram hashes, select the minimum
+    * (rightmost on ties); the fingerprint set is the distinct selected
+    * (pos, hash) pairs. Guarantees every match of ≥ w+k-1 tokens shares
+    * a fingerprint, with expected density 2/(w+1) — the standard
+    * plagiarism/near-dup fingerprint family's completion over the
+    * single-value [[graft.functions.RollingMinHash]].
+    *
+    * Pure window plan: one shuffle on doc_id serves the gram leads, the
+    * per-window min, and the gram count. Docs with fewer than w grams
+    * degrade to a single whole-doc window (standard behavior).
+    * Returns (doc_id, pos, h).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val leads = (1 until k).map(j => lead(col("tok"), j).over(byDoc).as(s"tok$j"))
+    val grams = toks
+      .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(if (k > 1) col(s"tok${k - 1}").isNotNull else lit(true))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ",
+          col("tok") +: (1 until k).map(j => col(s"tok$j")): _*)).as("h"))
+    val winForward = byDoc.rowsBetween(0, w - 1)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // rightmost-min tie-break: min of struct(h, -pos) picks the largest
+    // pos among equal hashes (struct ordering is lexicographic)
+    grams
+      .withColumn("n_grams", count(lit(1)).over(whole))
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(winForward))
+      .filter(col("rn") <= greatest(col("n_grams") - w + 1, lit(1)))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup pairs, exact: all (a<b) pairs with
     * cosine ≥ threshold via the native vector ops. O(n²) by definition —
     * the oracle-checkable ground truth; [[embeddingDupPairsLsh]] is the
@@ -180,10 +220,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, per-bit ±1 vote,
-    * sign → bit. Implemented as 64 generated sum-aggregates (no row
-    * blowup: one hash-agg keyed on doc_id, all inside codegen).
+    * sign → bit. One hash-agg keyed on doc_id; the 64 votes live in a
+    * single [[graft.functions.SimHashAgg]] buffer updated in one tight
+    * loop per row (the round-1 form — 64 separate sum-when aggregates —
+    * was the bench's slowest query; see SimHashAgg's Scaladoc).
     */
   def simHash(docs: DataFrame): DataFrame = {
+    import graft.functions.SimHashAgg.simhash_agg
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    toks.groupBy(col("doc_id"))
+      .agg(simhash_agg(col("h")).as("simhash"))
+  }
+
+  /** Round-1 wide-aggregate SimHash (64 generated sum-aggregates) — kept
+    * as the parity reference for [[simHash]]; TextSpec pins
+    * simHash == simHashWide on fixtures.
+    */
+  private[graft] def simHashWide(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))

@@ -47,27 +47,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
-    * plane p derived from a splitmix-style integer mix of (p, j) —
-    * reproducible across sessions with no RNG state.
-    */
-  private def planeComponent(p: Int, j: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    // map to [-1, 1)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
-
   /** Sign-random-projection bucket id for one hash table: `planes`
     * bits, bit p set iff dot(v, plane_{table,p}) > 0. Vectors in the
     * same bucket are cosine-close with high probability.
+    *
+    * One native expression ([[graft.functions.SignProjectionBucket]])
+    * holding the whole plane matrix as a codegen constant — the earlier
+    * literal-array form generated dim×planes expression nodes per bucket
+    * column, which blows past the JVM 64 KB method limit at real
+    * embedding dims (768+) and falls back to interpreted eval.
     */
   def lshBucket(vec: Column, dim: Int, planes: Int, table: Int): Column =
+    graft.functions.SignProjectionBucket.sign_projection_bucket(vec, dim, planes, table)
+
+  /** Round-1 literal-tree bucket form — parity reference for
+    * [[lshBucket]] (SimilaritySpec pins bucket-id equality). */
+  private[graft] def lshBucketLiteral(vec: Column, dim: Int, planes: Int, table: Int): Column =
     (0 until planes).map { p =>
       val plane = array((0 until dim).map(j =>
-        lit(planeComponent(table * planes + p, j))): _*)
+        lit(graft.functions.SignProjectionBucket.planeComponent(table * planes + p, j))): _*)
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 

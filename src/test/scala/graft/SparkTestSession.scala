@@ -7,12 +7,8 @@ import org.apache.spark.sql.SparkSession
   * across suites is safe and much faster). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = Bench.configure(
+      SparkSession.builder().master("local[4]").appName("graft-test"), "4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -47,6 +47,54 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(mseF.getDouble(0) - mse) < 1e-9)
   }
 
+  test("gbtWithCategoricals (VectorIndexer stage) beats continuous splits on enum features") {
+    // 8 categories whose means are SCRAMBLED relative to the raw code
+    // order: threshold splits on the raw code can only cut contiguous
+    // ranges, subset splits isolate the true grouping. Shallow trees
+    // (depth 2) keep the continuous form from brute-forcing its way out.
+    val means = Array(50.0, -20.0, 35.0, 5.0, -45.0, 60.0, -10.0, 20.0)
+    val train = (0 until 400).map { i =>
+      val c = i % 8
+      (c.toDouble, (i % 5).toDouble, means(c))
+    }.toDF("cat", "x2", "label")
+    val feat = new VectorAssembler().setInputCols(Array("cat", "x2"))
+      .setOutputCol("features").transform(train).cache()
+    val indexed = Regressors.gbtWithCategoricals(
+      maxCategories = 8, maxIter = 3, maxDepth = 2).fit(feat)
+    val plain = Regressors.gbt(maxIter = 3).setMaxDepth(2).fit(feat)
+    val mseIndexed = Regressors.mse(indexed.transform(feat))
+    val msePlain = Regressors.mse(plain.transform(feat))
+    assert(mseIndexed < msePlain,
+      s"categorical-aware GBT ($mseIndexed) should beat continuous ($msePlain)")
+  }
+
+  test("kmeansBestOfSeeds cost is never above the single-seed cost") {
+    val daily = Pivot.dailyUserCounters(
+      Tables.events(spark, SparkTestSession.Sf0001))
+    val feat = new VectorAssembler()
+      .setInputCols(Array("clicks", "views", "purchases", "signups", "errors"))
+      .setOutputCol("features").transform(daily).cache()
+    val single = Clustering.kmeans(k = 4).setMaxIter(10).fit(feat)
+      .summary.trainingCost
+    val best = Clustering.kmeansBestOfSeeds(feat, k = 4, runs = 5, maxIter = 10)
+      .summary.trainingCost
+    assert(best <= single + 1e-9, s"best-of-seeds $best worse than single $single")
+  }
+
+  test("approx_percentile sketch tracks the exact percentile (q52 twin bound)") {
+    val li = Tables.lineitem(spark, SparkTestSession.Sf0001)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.02,
+        s"approx $a vs exact $e drifts > 2%")
+    }
+  }
+
   test("clusterEnsemble partitions the input exactly (M7 property)") {
     val daily = Pivot.dailyUserCounters(
       Tables.events(spark, SparkTestSession.Sf0001))

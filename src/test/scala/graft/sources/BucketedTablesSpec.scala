@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class BucketedTablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bucket join plan reads bucketed and has no Exchange") {
+    val joined = BucketedTables.bucketJoin(spark, SparkTestSession.Sf0001)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("bucket join result equals the plain join") {
+    val d = SparkTestSession.Sf0001
+    val bucketed = BucketedTables.bucketJoin(spark, d)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = graft.model.Tables.orders(spark, d)
+      .join(graft.model.Tables.lineitem(spark, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketed === plain)
+  }
+}

@@ -38,4 +38,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.subsetOf(pairs(Similarity.cosineTopK(emb, isQ, 500))),
       "approx neighbors must still be real corpus vectors")
   }
+
+  test("native lshBucket matches the literal-tree form on fixtures") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("v"), 64, 4, 3).as("native"),
+        Similarity.lshBucketLiteral(col("v"), 64, 4, 3).as("literal"))
+      .filter(col("native") =!= col("literal"))
+    assert(both.count() === 0)
+  }
+
+  test("lshBucket stays in codegen at dim=768 (no literal blowup)") {
+    // 768-dim vectors: the literal-tree form would generate 768×8 nodes
+    // per bucket column; the native expression is O(1) nodes with the
+    // matrix as a reference object. Assert the plan compiles into
+    // WholeStageCodegen and produces sane buckets. Round-trip through
+    // parquet: a local relation would be pre-evaluated by
+    // ConvertToLocalRelation and show no plan at all, and a transform()
+    // lambda in the plan would itself be CodegenFallback.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dim768_probe"
+    (0L until 200L).map { id =>
+      (id, Array.tabulate(768)(j => math.sin(id * 31.0 + j)))
+    }.toDF("vec_id", "v").write.mode("overwrite").parquet(dir)
+    val wide = spark.read.parquet(dir)
+    val bucketed = wide.select(col("vec_id"),
+      Similarity.lshBucket(col("v"), 768, 8, 0).as("b"))
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in treeString form
+    assert(plan.contains("*(1) Project"), s"projection not codegen'd in:\n$plan")
+    val n = bucketed.select(countDistinct(col("b"))).as[Long].head()
+    assert(n > 1, "buckets should spread across multiple ids")
+  }
 }

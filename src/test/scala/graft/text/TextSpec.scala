@@ -46,11 +46,51 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("simHash (single-aggregate) matches the wide 64-sum reference form") {
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+    val fast = Dedup.simHash(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Dedup.simHashWide(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === wide)
+  }
+
   test("simHashPairs finds normalized-identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((1L, 2L)).contains(0))
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("winnowFingerprints matches an independent driver-side winnowing") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx(s: String): Long =
+      XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+    def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val grams = (0 to toks.length - k)
+        .map(i => (i, xx(toks.slice(i, i + k).mkString(" "))))
+      if (grams.isEmpty) Set.empty
+      else {
+        val starts = if (grams.length < w) Seq(0) else 0 to (grams.length - w)
+        starts.map { st =>
+          grams.slice(st, st + w).minBy { case (p, h) => (h, -p) }
+        }.toSet
+      }
+    }
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+    val got = Dedup.winnowFingerprints(fixture, 3, 4).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    val texts = fixture.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val expect = winnowRef(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === expect, s"doc $id fingerprints differ")
+    }
   }
 
   test("rolling_min_hash matches an independent reimplementation") {
