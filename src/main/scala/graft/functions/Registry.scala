@@ -42,6 +42,8 @@ object Registry {
       L2Norm(asVec(exprs.head))),
     "simhash_agg" -> (exprs =>
       SimHashAgg(exprs.head).toAggregateExpression()),
+    "min_hash_agg" -> (exprs =>
+      MinHashAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression()),
     "sign_projection_bucket" -> (exprs =>
       SignProjectionBucket(asVec(exprs(0)), litInt(exprs(3), "table"),
         litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))))

@@ -17,7 +17,7 @@ object ExtraQueries {
     q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
-    q45NativePivot, q51BucketJoin, q52ApproxPercentiles)
+    q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -214,6 +214,34 @@ object ExtraQueries {
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag")))
+
+  /** Count-min-sketch heavy hitters — the frequency-sketch sibling of
+    * q32 (HLL) and q52 (quantile sketch). The sketch is ONE bounded-size
+    * aggregate over the full table (~110 KB at ε=1e-3 regardless of row
+    * count — that's the 100 TB point); the driver reads it back and
+    * annotates the exact top-20 (TakeOrdered, O(k) per partition) with
+    * sketch estimates. Rows-only: estimates are sketch-seed-specific.
+    * MlSpec pins the CMS guarantee (never under-counts, over-counts
+    * ≤ ε·N w.h.p.).
+    */
+  val q55HeavyHitters = GraftQuery(
+    "q55_heavy_hitters",
+    "count-min-sketch estimates next to exact counts for top-20 users",
+    None,
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id").cast("long").as("user_id"))
+      val bytes = ev
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val est = udf((u: Long) => cms.estimateCount(java.lang.Long.valueOf(u)))
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+        .limit(20)
+        .withColumn("cms_est", est(col("user_id")))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    })
 
   /** Correlation / covariance / stddev — completes the A8 stats family. */
   val q39CorrStats = GraftQuery(

@@ -17,7 +17,8 @@ object TextQueries {
   def queries: Seq[GraftQuery] = Seq(
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
-    q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing)
+    q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
+    q54JaccardPrefix)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -118,6 +119,17 @@ object TextQueries {
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
       ORDER BY doc_a, doc_b"""),
     (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4)
+      .orderBy(col("doc_a"), col("doc_b")))
+
+  /** PPJoin prefix-filtered exact Jaccard — same RESULT as q26 (the
+    * oracle SQL is identical), different plan: the self-join indexes
+    * only rarest-first prefixes, so the oracle proves the filter loses
+    * nothing while the plan carries the 100 TB shape. */
+  val q54JaccardPrefix = GraftQuery(
+    "q54_jaccard_prefix",
+    "prefix-filtered exact 3-gram Jaccard pairs (== q26 result, PPJoin plan)",
+    q26NgramJaccard.oracle,
+    (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.4)
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** Rows-only: minhash values are xxhash64-specific. The spec asserts

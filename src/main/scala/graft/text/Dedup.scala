@@ -85,16 +85,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64; signature_i = min over shingles. One hash-agg over
-    * the exploded shingles — k min-aggregates, no extra shuffle beyond
-    * the doc_id grouping.
+  /** PPJoin-style prefix-filtered EXACT Jaccard (Xiao et al., WWW'08;
+    * Chaudhuri et al., ICDE'06): identical result to [[jaccardPairs]]
+    * (q26's oracle covers both), but the self-join only indexes each
+    * document's first |d| − ⌈t·|d|⌉ + 1 shingles under a global
+    * rarest-first order. Soundness: J(a,b) ≥ t ⇒ overlap ≥ ⌈t·|a|⌉
+    * (denominator ≥ |a| since |b| ≥ overlap), and a pair sharing
+    * nothing in a's prefix overlaps at most ⌈t·|a|⌉ − 1 — so every
+    * qualifying pair collides inside both prefixes. At 100 TB this cuts
+    * the join's per-shingle fan-out from document frequency to
+    * prefix-restricted frequency — and the hottest (most common)
+    * shingles are the ones prefixes exclude, exactly where the df²
+    * blowup lives.
     */
-  def minHashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame =
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val W = org.apache.spark.sql.expressions.Window
+    // shingle table feeds rarity ranking + verification arrays
+    val sh = shingleRows(docs, n).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by one
+    * xxhash64 of the shingle + k splitmix lane mixes inside a single
+    * [[graft.functions.MinHashAgg]] buffer (the round-1 form re-hashed
+    * the full shingle text k times per row — see MinHashAgg scaladoc).
+    * One hash-agg over the exploded shingles, no extra shuffle beyond
+    * the doc_id grouping; output keeps the (doc_id, n_sh, h0..h{k-1})
+    * shape the LSH banding consumes.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
+    import graft.functions.MinHashAgg.min_hash_agg
     shingleRows(docs, n)
       .groupBy(col("doc_id"))
       .agg(min(col("n_sh")).as("n_sh"),
-        (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+        min_hash_agg(xxhash64(col("sh")), k).as("sig"))
+      .select(col("doc_id") +: col("n_sh") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
 
   /** MinHash + LSH banding: signatures → `bands` band hashes → bucket
     * join on (band_idx, band_hash) → candidate pairs → verified with
@@ -111,10 +157,14 @@ object Dedup {
     // materialize it once — the same checkpoint-for-reuse the reference
     // applied between its pipeline stages (SURVEY.md §4.1)
     val sh = shingleRows(docs, n).localCheckpoint(true)
-    val sig = sh
-      .groupBy(col("doc_id"))
-      .agg(min(col("n_sh")).as("n_sh"),
-        (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+    val sig = {
+      import graft.functions.MinHashAgg.min_hash_agg
+      sh.groupBy(col("doc_id"))
+        .agg(min(col("n_sh")).as("n_sh"),
+          min_hash_agg(xxhash64(col("sh")), k).as("sig"))
+        .select(col("doc_id") +: col("n_sh") +:
+          (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+    }
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))

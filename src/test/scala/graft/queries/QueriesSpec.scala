@@ -12,7 +12,7 @@ class QueriesSpec extends AnyFunSuite {
 
   // may legitimately return zero rows on the tiny fixture
   private val mayBeEmpty = Set("q18_except_anti", "q26_ngram_jaccard",
-    "q27_minhash_lsh_pairs", "q28_simhash_pairs")
+    "q27_minhash_lsh_pairs", "q28_simhash_pairs", "q54_jaccard_prefix")
 
   Catalog.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+/** Scale-technique demonstrations that need assertions beyond the
+  * oracle: AQE skew-join splitting and the count-min-sketch error
+  * guarantee (q55's twin bound).
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("AQE splits a skewed shuffle-join partition (skew=true in final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // thresholds low enough that the planted hot key (90% of rows on
+      // k=0) exceeds them on a fixture-sized shuffle
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.hint("merge").join(right, "k")
+      // execute THIS queryExecution (count() would spawn its own);
+      // AQE only finalizes the plan at runtime
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("count-min-sketch never under-counts and over-counts within eps*N (q55 bound)") {
+    val ev = Tables.events(spark, SparkTestSession.Sf0001)
+      .select(col("user_id").cast("long").as("user_id"))
+    val n = ev.count()
+    val rows = ExtraQueries.q55HeavyHitters
+      .run(spark, SparkTestSession.Sf0001).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS must never under-count ($est < $exact)")
+      assert(est - exact <= math.max(1L, (0.001 * n).toLong) * 10,
+        s"CMS overestimate $est vs $exact implausibly large for N=$n")
+    }
+  }
+}

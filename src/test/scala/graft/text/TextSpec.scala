@@ -62,6 +62,16 @@ class TextSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairsPrefix (PPJoin prefix filter) equals the plain exact join") {
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = asMap(Dedup.jaccardPairs(fixture, 0.4))
+    val prefixed = asMap(Dedup.jaccardPairsPrefix(fixture, 0.4))
+    assert(plain.nonEmpty, "fixture should contain near-dups")
+    assert(prefixed === plain, "prefix filter must lose nothing (exact method)")
+  }
+
   test("winnowFingerprints matches an independent driver-side winnowing") {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
