@@ -121,15 +121,33 @@ object TextQueries {
     (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4)
       .orderBy(col("doc_a"), col("doc_b")))
 
-  /** PPJoin prefix-filtered exact Jaccard — same RESULT as q26 (the
-    * oracle SQL is identical), different plan: the self-join indexes
-    * only rarest-first prefixes, so the oracle proves the filter loses
-    * nothing while the plan carries the 100 TB shape. */
+  /** PPJoin prefix-filtered exact Jaccard at the technique's native
+    * regime (t=0.8, near-identical duplicates): prefixes span only
+    * (1−t)·|d|+1 ≈ 20% of each doc, so the self-join fan-out collapses
+    * — the plan that replaces jaccardPairs' full shingle join at
+    * 100 TB. The oracle (q26's SQL at 0.8) proves the prefix filter
+    * loses nothing. */
   val q54JaccardPrefix = GraftQuery(
     "q54_jaccard_prefix",
-    "prefix-filtered exact 3-gram Jaccard pairs (== q26 result, PPJoin plan)",
-    q26NgramJaccard.oracle,
-    (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.4)
+    "prefix-filtered exact 3-gram Jaccard pairs at t=0.8 (PPJoin plan)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+      FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.8
+      ORDER BY doc_a, doc_b"""),
+    (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.8)
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** Rows-only: minhash values are xxhash64-specific. The spec asserts

@@ -97,6 +97,13 @@ object Dedup {
     * prefix-restricted frequency — and the hottest (most common)
     * shingles are the ones prefixes exclude, exactly where the df²
     * blowup lives.
+    *
+    * Use HIGH thresholds: the prefix length is (1−t)·|d|+1, so at
+    * t=0.4 the "prefix" still spans 60% of each document and prunes
+    * almost nothing (measured 522 k candidates → 415 s of verification
+    * at sf0.1), while at t=0.8 the same corpus yields 119 k candidates
+    * and an 8 s query. Below ~0.6, run [[jaccardPairs]] (count-based
+    * full join) or [[minHashLshPairs]] instead.
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
@@ -104,12 +111,15 @@ object Dedup {
     // shingle table feeds rarity ranking + verification arrays
     val sh = shingleRows(docs, n).localCheckpoint(true)
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // checkpointed: feeds both sides of the self-join (no cross-subtree
+    // CSE in Spark — same reason sh is checkpointed)
     val prefix = sh.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(
         W.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true)
     val cand = prefix.as("x").join(prefix.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
