@@ -65,6 +65,24 @@ object GraftProps extends Properties("graft") {
       a == b
     }
 
+  // The winnowing guarantee (Schleimer et al. §2): two documents
+  // sharing a token run of ≥ w+k-1 tokens contain an identical window
+  // of w consecutive k-gram hashes, and each selects that window's min
+  // — so their fingerprint HASH sets must intersect (positions differ).
+  property("winnowing guarantee: shared w+k-1 token run ⇒ shared fingerprint") = {
+    val word = Gen.choose(1, 20).map(i => s"w$i")
+    forAll(Gen.listOfN(6, word), Gen.listOfN(5, word),
+           Gen.listOfN(5, word), Gen.listOfN(5, word), Gen.listOfN(5, word)) {
+      (shared, p1, s1, p2, s2) =>
+        val df = Seq(
+          (1L, (p1 ++ shared ++ s1).mkString(" ")),
+          (2L, (p2 ++ shared ++ s2).mkString(" "))).toDF("doc_id", "text")
+        val fps = graft.text.Dedup.winnowFingerprints(df, 3, 4).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+        fps(1L).intersect(fps(2L)).nonEmpty
+    }
+  }
+
   // top_k_by == sort-and-take reference semantics, including ties
   property("top_k_by matches sorted-take reference") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { raw =>
