@@ -124,12 +124,24 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-    cand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+    // Count-based verification (NOT per-pair array_intersect, which is
+    // O(|a|·|b|) per candidate and amplifies under load): expand each
+    // candidate by doc_a's shingles, inner-join on (doc_b, sh) to keep
+    // only SHARED shingles, count per pair — every step a codegen'd
+    // hash join/aggregate. Pairs with zero shared shingles drop out of
+    // the inner join; they can't reach any positive threshold anyway.
+    val sizes = sh.groupBy(col("doc_id")).agg(min(col("n_sh")).as("n_sh"))
+    val interCnt = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val jac = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+    // no broadcast hint: `sizes` is one row per doc — tiny on fixtures
+    // (AQE broadcasts it), per-corpus at 100 TB (shuffle join is right)
+    interCnt
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
