@@ -83,6 +83,23 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  // The PPJoin prefix bound is exact at ANY threshold: the ⌈t·|d|⌉
+  // ceiling boundary (t·|d| integral vs not) is where an off-by-one
+  // would silently drop pairs, so thresholds and doc sizes both vary.
+  property("jaccardPairsPrefix == jaccardPairs across thresholds") = {
+    val word = Gen.choose(1, 8).map(i => s"t$i") // tiny vocab → collisions
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word))
+    forAll(Gen.listOfN(4, doc), Gen.oneOf(0.3, 0.5, 0.75, 0.8)) { (docs, t) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      pairs(graft.text.Dedup.jaccardPairsPrefix(df, t)) ==
+        pairs(graft.text.Dedup.jaccardPairs(df, t))
+    }
+  }
+
   // top_k_by == sort-and-take reference semantics, including ties
   property("top_k_by matches sorted-take reference") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)))) { raw =>
