@@ -7,7 +7,11 @@ import graft.model.Tables
 import graft.text.Dedup
 
 /** Builder-side stage profiler for jaccardPairsPrefix — not part of the
-  * driver contract. Usage: runMain graft.tools.PpjoinProfile [sfDir]
+  * driver contract. NOTE: the standalone "verify" stage here times the
+  * REJECTED per-pair array_intersect variant — kept as the measured
+  * evidence (522 k candidates → 415 s at sf0.1, t=0.4) for why the live
+  * Dedup.jaccardPairsPrefix verifies with a count-based join instead.
+  * Usage: runMain graft.tools.PpjoinProfile [sfDir] [threshold]
   */
 object PpjoinProfile {
   def main(args: Array[String]): Unit = {
