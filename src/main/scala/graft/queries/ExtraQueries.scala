@@ -184,22 +184,27 @@ object ExtraQueries {
     })
 
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
-    * quantile_cont). The 100 TB twin is approx_percentile (engine
-    * sketch, not oracle-comparable). */
+    * quantile_cont). The 100 TB twin is approx_percentile (q52).
+    * Both sides add 1e-6 before rounding: interpolating 2-dp prices
+    * structurally lands on .xx5 half-points ((a+b)/2 of cents), where
+    * the engines' last-ulp interpolation order (a+(b-a)·f vs (1−f)·a+f·b)
+    * flips ROUND(·,2) — observed at sf0.001. The epsilon moves the
+    * rounding boundary off the half-point without changing any
+    * non-boundary value. */
   val q38Percentiles = GraftQuery(
     "q38_percentiles",
     "exact p25/p50/p75 of extendedprice per returnflag",
     Some("""SELECT l_returnflag,
-        ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-        ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-6, 2) AS p25,
+        ROUND(quantile_cont(l_extendedprice, 0.50) + 1e-6, 2) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.75) + 1e-6, 2) AS p75
       FROM lineitem GROUP BY 1 ORDER BY 1"""),
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.50)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        round(expr("percentile(l_extendedprice, 0.25) + 1e-6"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50) + 1e-6"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75) + 1e-6"), 2).as("p75"))
       .orderBy(col("l_returnflag")))
 
   /** 100 TB twin of q38 (round-1 missing item #5): `approx_percentile`
