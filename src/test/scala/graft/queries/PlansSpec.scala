@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Plan-shape assertions codifying COVERAGE.md's scale-audit claims —
+  * the properties the 100 TB design rests on. Each reads the physical
+  * plan of the catalog query at fixture scale; none executes the query.
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    Catalog.all.find(_.name == name).get
+      .run(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q05 broadcast chain: three broadcast joins, zero shuffle joins") {
+    val p = plan("q05_multijoin_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q10 date-range predicate pushes to the parquet scan") {
+    val p = plan("q10_date_range")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("q01 scan prunes to the referenced lineitem columns") {
+    val p = plan("q01_lineitem_agg")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      s"unreferenced columns must not be read:\n$p")
+  }
+
+  test("q44 top-K aggregate stays on the object-hash path") {
+    val p = plan("q44_topk_aggregate")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      s"raised fallback threshold must keep hash aggregation:\n$p")
+  }
+
+  test("q34 rank map is window-free") {
+    val p = plan("q34_activity_rank")
+    assert(!p.contains("Window"), s"q34 must not use a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q36 as-of join keys on the equi column with the range as residual") {
+    val p = plan("q36_asof_next_ship")
+    // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
+    // 100 TB) — the invariant is an equi join carrying the date bound
+    // as a residual condition, never a cross join
+    assert(p.contains("HashJoin [o_orderkey") || p.contains("SortMergeJoin [o_orderkey"), p)
+    assert(p.contains("date_add"), s"range residual must ride the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range residual must ride the equi join, not a cross join:\n$p")
+  }
+}
