@@ -212,6 +212,10 @@ object ExtraQueries {
     * `percentile` materializes every group's values. Rows-only (sketch
     * results are engine-specific by nature); MlSpec bounds the
     * approx-vs-exact error on the same data.
+    *
+    * Scalar columns only: the r2 driver compare crashed sorting an
+    * `array<double>` result column (pandas can't hash ndarrays), so the
+    * sketch's three quantiles are projected out via element_at.
     */
   val q52ApproxPercentiles = GraftQuery(
     "q52_approx_percentiles",
@@ -221,9 +225,14 @@ object ExtraQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-          .as("approx_pcts"),
+          .as("ap"),
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("ap"), 1).as("approx_p25"),
+        element_at(col("ap"), 2).as("approx_p50"),
+        element_at(col("ap"), 3).as("approx_p75"),
+        col("exact_p50"), col("n"))
       .orderBy(col("l_returnflag")))
 
   /** Count-min-sketch heavy hitters — the frequency-sketch sibling of

@@ -19,5 +19,5 @@ object Catalog {
   /** Full registry; SparkEntry derives `queries` and `oracleSql` from it. */
   def all: Seq[GraftQuery] =
     Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
-      SqlQueries.queries
+      SqlQueries.queries ++ PipelineQueries.queries
 }

@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+import graft.text.Components
+
+/** Round-3 training-data-pipeline wave: dedup clustering (connected
+  * components), relevance scoring (TF-IDF / BM25), deterministic
+  * hash-based sampling and domain mixing, keeper selection, quantile
+  * bucketing, and per-group normalization — the operations that sit
+  * between raw-corpus ingest and training-set emission at 100 TB.
+  *
+  * Sampling determinism: every sampling op here keys on a hex prefix
+  * of md5(salt || id) compared as a STRING — uniform (md5), portable
+  * (identical hex in Spark and DuckDB, the q25 precedent), and
+  * reproducible across runs/engines, which is what a training-data
+  * pipeline needs from a sample (rerunning the pipeline must yield
+  * the same corpus). `rand()`-based sampling can't be oracle-checked
+  * and can't be reproduced after a retry reshuffles partitions.
+  */
+object PipelineQueries {
+
+  def queries: Seq[GraftQuery] = Seq(
+    q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
+    q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
+    q65ZscoreNorm)
+
+  /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
+    * 3-gram Jaccard pairs at the given threshold. */
+  private def pairsCtes(threshold: Double): String =
+    s"""toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dup AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter * 1.0 / (n_a + n_b - inter) >= $threshold)"""
+
+  /** Dedup clustering: near-dup pairs (q26's exact Jaccard ground
+    * truth) → connected components via alternating large-star/
+    * small-star ([[graft.text.Components]]) → every document labeled
+    * with its dedup-group id (= min doc_id of the component). The
+    * oracle computes the same transitive closure with a recursive CTE
+    * — feasible for DuckDB at sf0.01, which is exactly why the Spark
+    * side needs the O(log n)-round star algorithm instead.
+    */
+  val q56DedupComponents = GraftQuery(
+    "q56_dedup_components",
+    "near-dup pairs → connected components → per-doc dedup group id",
+    Some(s"""WITH RECURSIVE ${pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n)
+      SELECT n AS doc_id, MIN(r) AS component
+      FROM walk GROUP BY 1 ORDER BY 1"""),
+    (s, d) => Components.dedupComponents(documents(s, d), 0.4)
+      .orderBy(col("doc_id")))
+
+  /** TF-IDF term weighting (smooth idf, the sklearn formulation:
+    * idf = ln((N+1)/(df+1)) + 1). Single corpus scan: tf is one
+    * shuffle on (doc, term); df derives from tf (one row per
+    * (doc,term) → count per term IS document frequency) — no second
+    * scan, no countDistinct. N joins in as a broadcast 1-row
+    * aggregate, never a driver-side count. Output restricted to
+    * doc_id < 50 (the per-doc weight vectors of a probe slice); df/N
+    * still come from the FULL corpus, as idf must.
+    */
+  val q57Tfidf = GraftQuery(
+    "q57_tfidf",
+    "smooth TF-IDF per (doc, term) for doc_id < 50 (corpus-wide idf)",
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT t.doc_id, t.term, t.tf, d.df,
+        ROUND(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) + 1e-9, 4) AS tfidf
+      FROM tf t JOIN df d USING (term) CROSS JOIN n
+      WHERE t.doc_id < 50 ORDER BY t.doc_id, t.term"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      tf.filter(col("doc_id") < 50)
+        .join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0)
+            + 1e-9, 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    })
+
+  /** BM25 relevance (k1=1.2, b=0.75, Robertson idf) for a fixed term
+    * set — the scoring a retrieval-based quality filter runs over the
+    * corpus. Same single-scan tf→df derivation as q57; doc length and
+    * corpus avgdl ride the same aggregates; both scalars (N, avgdl)
+    * join as broadcast 1-row aggregates. Score emitted per matching
+    * document, ordered by doc_id — no global top-k sort.
+    */
+  val q58Bm25 = GraftQuery(
+    "q58_bm25",
+    "BM25 score per doc for query terms (spark, filter, stream)",
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term IN ('spark', 'filter', 'stream') GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n, AVG(x.dl * 1.0) AS avgdl FROM dl x)
+      SELECT t.doc_id,
+        ROUND(SUM(ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+          * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)))
+          + 1e-9, 4) AS bm25
+      FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN n
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("term").isin("spark", "filter", "stream"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      val tfNorm = col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(idf * tfNorm) + 1e-9, 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Deterministic Bernoulli sampling by hashed id: keep a document
+    * iff the first two hex chars of md5("s:" || doc_id) fall under
+    * the threshold — P = 0x29/256 ≈ 16%. Pure codegen'd scan filter
+    * (no shuffle at all); the standard reproducible-subsample
+    * technique for training corpora.
+    */
+  val q59HashSample = GraftQuery(
+    "q59_hash_sample",
+    "deterministic ~16% corpus sample by md5(doc_id) hex prefix",
+    Some("""SELECT doc_id, source
+      FROM documents
+      WHERE substring(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+      ORDER BY doc_id"""),
+    (s, d) => documents(s, d)
+      .filter(substring(
+        md5(concat(lit("s:"), col("doc_id").cast("string")).cast("binary")),
+        1, 2) <= "28")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")))
+
+  /** Domain mixing: per-source sampling rates (1, 1/2, 1/4, 1/8 by
+    * source index mod 4) applied with the same hashed-id coin — how a
+    * pipeline reweights domains (up-sample wiki, down-sample
+    * crawl) while staying reproducible. One aggregate over the scan;
+    * the kept-count per source is deterministic, so it oracles
+    * exactly.
+    */
+  val q60WeightedMix = GraftQuery(
+    "q60_weighted_mix",
+    "per-source weighted sampling (rates 1, .5, .25, .125) via hashed-id coin",
+    Some("""SELECT source, COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN substring(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE CAST(substring(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN 'ff' WHEN 1 THEN '7f' WHEN 2 THEN '3f'
+               ELSE '1f' END
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val hex2 = substring(
+        md5(concat(lit("m:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+      val tier = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+      val thresh = when(tier === 0, "ff").when(tier === 1, "7f")
+        .when(tier === 2, "3f").otherwise("1f")
+      documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(hex2 <= thresh, 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("source"))
+    })
+
+  /** Keeper selection: within each exact-dup group (q25's md5 content
+    * hash), keep the longest document (ties → min doc_id) — the pass
+    * that turns dedup groups into the surviving corpus. Window is
+    * partitioned by content hash: parallel over groups, no global
+    * sort.
+    */
+  val q61KeeperSelect = GraftQuery(
+    "q61_keeper_select",
+    "longest-doc keeper per exact-dup content-hash group",
+    Some("""WITH h AS (
+        SELECT doc_id, n_chars,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM documents),
+      r AS (
+        SELECT content_hash, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY content_hash
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY content_hash) AS n_docs
+        FROM h)
+      SELECT content_hash, doc_id AS keep_id, n_chars AS keep_chars, n_docs
+      FROM r WHERE rn = 1 ORDER BY content_hash"""),
+    (s, d) => {
+      val h = documents(s, d).select(col("doc_id"), col("n_chars"),
+        md5(graft.text.Dedup.normalized(col("text")).cast("binary"))
+          .as("content_hash"))
+      val byHash = Window.partitionBy(col("content_hash"))
+      h.withColumn("rn", row_number().over(
+          byHash.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(byHash))
+        .filter(col("rn") === 1)
+        .select(col("content_hash"), col("doc_id").as("keep_id"),
+          col("n_chars").as("keep_chars"), col("n_docs"))
+        .orderBy(col("content_hash"))
+    })
+
+  /** Quantile bucketing: assign every order its totalprice decile.
+    * Scale-safe form: the 9 cutoffs are ONE bounded-size percentile
+    * aggregate collected to the driver (9 doubles — a broadcast
+    * scalar, not a data collect) and compiled into a codegen'd
+    * comparison chain; no global sort, no single-partition ntile
+    * window (the naive NTILE(10) OVER (ORDER BY …) funnels 100 TB
+    * through one task — the q34 anti-pattern). The +1e-6 margin keeps
+    * last-ulp interpolation differences between engines from flipping
+    * a boundary row (q38 precedent).
+    */
+  val q62DecileBucket = GraftQuery(
+    "q62_decile_bucket",
+    "per-order totalprice decile via broadcast percentile cutoffs",
+    Some("""WITH c AS (
+        SELECT quantile_cont(o_totalprice,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM orders)
+      SELECT o_orderkey, o_totalprice,
+        CAST(1 + len(list_filter((SELECT cs FROM c),
+          x -> o_totalprice > x + 1e-6)) AS INTEGER) AS decile
+      FROM orders ORDER BY o_orderkey"""),
+    (s, d) => {
+      val o = orders(s, d)
+      val cuts = o.agg(expr(
+          "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+        .head.getSeq[Double](0)
+      val decile = cuts.map(c =>
+          when(col("o_totalprice") > c + 1e-6, 1).otherwise(0))
+        .reduce[org.apache.spark.sql.Column](_ + _) + 1
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          decile.cast("int").as("decile"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  /** 7-day moving average of daily per-type event volume — the
+    * smoothing the reference runs over its daily play counts
+    * (流行音乐趋势预测.md:997-1001 trend features). One shuffle on
+    * event_type for both the daily rollup and the frame window.
+    */
+  val q63MovingAvg = GraftQuery(
+    "q63_moving_avg",
+    "7-day moving average of daily event counts per event type",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, ds, n,
+        ROUND(AVG(n * 1.0) OVER (PARTITION BY event_type ORDER BY ds
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS ma7
+      FROM daily ORDER BY event_type, ds"""),
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ds"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("ma7",
+          round(avg(col("n").cast("double")).over(w) + 1e-9, 4))
+        .orderBy(col("event_type"), col("ds"))
+    })
+
+  /** Per-group uniform sample: the 3 documents per source with the
+    * smallest hashed ids — reservoir-sampling's deterministic,
+    * rerun-stable replacement (same hash-order trick as q59, ranked
+    * within each group; the window is partitioned, so no global
+    * funnel).
+    */
+  val q64GroupSample = GraftQuery(
+    "q64_group_sample",
+    "deterministic 3-per-source sample by hashed-id rank",
+    Some("""WITH r AS (
+        SELECT source, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5('g:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+      FROM r WHERE rk <= 3 ORDER BY source, rk"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(
+        md5(concat(lit("g:"), col("doc_id").cast("string")).cast("binary")),
+        col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    })
+
+  /** Per-group z-score normalization (feature standardization keyed by
+    * group — the per-domain form of the reference's global
+    * StandardScaler, 流行音乐趋势预测.md:177): group stats via one
+    * aggregate, broadcast back, codegen'd arithmetic on the scan. No
+    * window over the full table — the stats table is one row per
+    * source.
+    */
+  val q65ZscoreNorm = GraftQuery(
+    "q65_zscore_norm",
+    "per-source z-score of document length (agg + broadcast join)",
+    Some("""WITH s AS (
+        SELECT source, AVG(n_chars * 1.0) AS mu,
+          stddev_samp(n_chars * 1.0) AS sigma
+        FROM documents GROUP BY 1)
+      SELECT d.doc_id, d.source,
+        ROUND((d.n_chars - s.mu) / s.sigma + 1e-9, 4) AS z
+      FROM documents d JOIN s USING (source) ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val stats = docs.groupBy(col("source"))
+        .agg(avg(col("n_chars").cast("double")).as("mu"),
+          stddev_samp(col("n_chars").cast("double")).as("sigma"))
+      docs.join(broadcast(stats), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          round((col("n_chars") - col("mu")) / col("sigma") + 1e-9, 4).as("z"))
+        .orderBy(col("doc_id"))
+    })
+}

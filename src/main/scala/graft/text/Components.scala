@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a near-dup pair list — the
+  * step that turns pairwise dedup output ([[Dedup.jaccardPairs]],
+  * [[Dedup.minHashLshPairs]], [[Dedup.simHashPairs]]) into dedup
+  * GROUPS: every document labeled with the minimum doc_id reachable
+  * through dup edges, so one keeper per component survives.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Both
+  * steps are a single groupBy over the edge list — no driver-side
+  * graph, no vertex broadcast — and the edge set contracts toward a
+  * star forest in O(log n) rounds (vs O(diameter) for naive label
+  * propagation, which on a 100 TB corpus with chain-shaped dup
+  * clusters is the difference between 8 rounds and 10 000).
+  *
+  * Each round materializes the (small) edge frontier with
+  * localCheckpoint: the iteration would otherwise stack a
+  * groupBy-per-round lineage that Catalyst re-plans from scratch each
+  * time (the same checkpoint-per-stage pattern the reference applies
+  * between pipeline stages, 流行音乐趋势预测.md:329 caching interim
+  * RDDs). Bench/Verify unpersist between queries.
+  */
+object Components {
+
+  /** Large-star: for every node u, attach its strictly-larger
+    * neighbors to m = min(N(u) ∪ u). Keeps every component connected
+    * while halving long chains' height.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"),
+        collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), col("m"), explode(col("nbrs")).as("v"))
+      .filter(col("v") > col("src"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge high→low, then attach each node's
+    * smaller-or-equal neighbors (and itself) to the minimum among
+    * them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    oriented.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"),
+        collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), col("m"),
+        explode(concat(col("nbrs"), array(col("src")))).as("v"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Canonical fingerprint of an edge set for the convergence check:
+    * (row count, xor of row hashes) — order-independent, collision
+    * probability ~2⁻⁶⁴ per round. One tiny aggregate per round; the
+    * driver never sees an edge. */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .agg(count(lit(1)), coalesce(
+        // xor-fold via sum of hashes mod 2^64 is NOT order-independent
+        // under overflow of distinct multisets; use bit_xor aggregate
+        expr("bit_xor(xxhash64(src, dst))"), lit(0L)))
+      .head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** (node, component) for every node incident to an edge; component =
+    * min node id of the connected component. `edges` is an undirected
+    * pair list in any orientation with columns (src, dst).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      cur = next
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // At the fixpoint the edges form a star forest high→low: every
+    // non-root node has exactly one edge to its component root.
+    val members = cur.select(col("src").as("node"), col("dst").as("component"))
+    val roots = cur.select(col("dst").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+    members.union(roots).distinct()
+  }
+
+  /** Component id for EVERY document (singletons keep their own id):
+    * near-dup pairs at `threshold` → star-forest components →
+    * right-join back onto the corpus. The output is the dedup-group
+    * assignment a keeper-selection pass consumes.
+    */
+  def dedupComponents(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+}
