@@ -49,6 +49,30 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q62 decile assignment is window-free (broadcast cutoffs, no ntile)") {
+    val p = plan("q62_decile_bucket")
+    assert(!p.contains("Window"), s"q62 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q65 z-score joins broadcast stats instead of a whole-table window") {
+    val p = plan("q65_zscore_norm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"q65 must not window over the corpus:\n$p")
+  }
+
+  test("q63 moving-average window is partitioned, never global") {
+    val p = plan("q63_moving_avg")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"q63's frame must partition by event_type:\n$p")
+  }
+
+  test("q64 group-sample window is partitioned by source") {
+    val p = plan("q64_group_sample")
+    assert(p.contains("windowspecdefinition(source"),
+      s"q64's rank must partition by source:\n$p")
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
