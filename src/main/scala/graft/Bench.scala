@@ -49,7 +49,11 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val m2 = math.min(once(name, fn), once(name, fn))
+      // noise bursts can span both reps (observed: a query steady at
+      // 0.7 s measuring 26 s twice in a row); when the min still looks
+      // burst-sized, take a third sample
+      name -> (if (m2 > 2.0) math.min(m2, once(name, fn)) else m2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

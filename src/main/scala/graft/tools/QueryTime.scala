@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Builder-side profiler (like PlanAudit/MinHashAb): time named
+  * catalog queries for N reps each, printing every rep — separates
+  * real plan cost from co-tenant noise bursts. Usage:
+  *   runMain graft.tools.QueryTime <sfDir> <reps> <name> [<name>...]
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Bench.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => names(t._1)).foreach { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          dt
+        }
+        println(f"[qt] $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")
+      }
+    spark.stop()
+  }
+}
