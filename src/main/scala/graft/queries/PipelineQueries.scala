@@ -245,7 +245,10 @@ object PipelineQueries {
     * window (the naive NTILE(10) OVER (ORDER BY …) funnels 100 TB
     * through one task — the q34 anti-pattern). The +1e-6 margin keeps
     * last-ulp interpolation differences between engines from flipping
-    * a boundary row (q38 precedent).
+    * a boundary row (q38 precedent). At 100 TB the exact `percentile`
+    * cutoff aggregate swaps for `approx_percentile` (bounded-memory
+    * sketch, q52's pattern) — the assignment plan is unchanged; exact
+    * is used here because the oracle's quantile_cont must agree.
     */
   val q62DecileBucket = GraftQuery(
     "q62_decile_bucket",
