@@ -17,7 +17,8 @@ object ExtraQueries {
     q33GrowthDeltas, q34ActivityRank, q35RollupRevenue, q36AsofNextShip,
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
-    q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters)
+    q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
+    q66SaltedJoin)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -403,6 +404,44 @@ object ExtraQueries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy(col("o_orderpriority")))
+
+  /** Skew-JOIN technique (complements q41's salted aggregation and the
+    * AQE skew demo in ScaleSpec): salt-and-replicate. The fact side
+    * gets a deterministic per-row salt in 0..7; the dim side is
+    * replicated once per salt value; the join keys on (key, salt), so
+    * a hot orderkey's rows spread across 8 shuffle partitions instead
+    * of landing on one straggler task. Cost: dim side ×8 through the
+    * shuffle — the standard trade when the hot side is 1000× a task
+    * and AQE's post-hoc split isn't available (e.g. pre-3.0 clusters
+    * or non-SMJ plans). Fully plan-pure (no hot-key collect); the
+    * `merge` hint pins the shuffle join AQE would otherwise hide at
+    * fixture scale. Result is provably the plain join — the oracle.
+    */
+  val q66SaltedJoin = GraftQuery(
+    "q66_salted_join",
+    "salt-and-replicate skewed orders⋈lineitem rollup (== plain join)",
+    Some("""SELECT o.o_orderpriority, COUNT(*) AS n,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val nSalts = 8
+      val l = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts))
+            .cast("int").as("salt"))
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(array((0 until nSalts).map(lit): _*)).as("salt"))
+      l.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey") &&
+          l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    })
 
   /** Co-partitioning demo: both join sides repartitioned on the join
     * key first — the explicit form of bucketed-table co-location; the

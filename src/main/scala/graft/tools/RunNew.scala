@@ -3,11 +3,13 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object RunNew {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
     val spark = graft.Bench.configure(SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val names = graft.queries.PipelineQueries.queries.map(_.name).toSet + "q52_approx_percentiles"
+    val names: Set[String] =
+      if (args.length > 2) args.drop(2).toSet
+      else graft.queries.PipelineQueries.queries.map(_.name).toSet + "q52_approx_percentiles"
     graft.SparkEntry.queries.toSeq.sortBy(_._1).filter(t => names(t._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name") }

@@ -73,6 +73,14 @@ class PlansSpec extends AnyFunSuite {
       s"q64's rank must partition by source:\n$p")
   }
 
+  test("q66 salted join shuffles on (key, salt), spreading hot keys") {
+    val p = plan("q66_salted_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert("SortMergeJoin \\[[^\\]]*salt".r.findFirstIn(p).isDefined,
+      s"salt must be part of the join key:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at

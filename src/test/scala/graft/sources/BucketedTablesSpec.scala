@@ -16,6 +16,29 @@ class BucketedTablesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("legacy outputOrdering conf additionally elides both join sorts") {
+    // Spark 3+ does not propagate bucket-file sort order to the scan by
+    // default (planning-safety tradeoff; see BucketedTables scaladoc).
+    // With the legacy conf and one file per bucket, the sortBy order
+    // surfaces as scan output ordering and the SMJ needs no Sort at all
+    // — zero Exchange AND zero Sort, the full 100 TB promise of
+    // bucketed layout.
+    val k = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val saved = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, "true")
+      val plan = BucketedTables.bucketJoin(spark, SparkTestSession.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"must stay shuffle-free:\n$plan")
+      assert("Sort \\[".r.findFirstIn(plan).isEmpty,
+        s"sorted bucket files must elide the join sorts:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("bucket join result equals the plain join") {
     val d = SparkTestSession.Sf0001
     val bucketed = BucketedTables.bucketJoin(spark, d)
