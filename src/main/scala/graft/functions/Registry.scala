@@ -46,7 +46,9 @@ object Registry {
       MinHashAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression()),
     "sign_projection_bucket" -> (exprs =>
       SignProjectionBucket(asVec(exprs(0)), litInt(exprs(3), "table"),
-        litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))))
+        litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))),
+    "int8_round_trip" -> (exprs =>
+      Int8RoundTrip(asVec(exprs.head))))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

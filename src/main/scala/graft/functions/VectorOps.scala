@@ -87,6 +87,83 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Symmetric int8 scalar quantization round-trip: per-vector scale
+  * amax/127, values rounded (ties away from zero — matching SQL ROUND
+  * so the DuckDB oracle reproduces it bit-for-bit), clamped to
+  * ±127, dequantized back. Models the 4×-smaller ANN index layout
+  * (float32→int8) and lets the reconstruction/recall cost be measured
+  * in-engine; a zero vector round-trips unchanged. One codegen'd loop
+  * pair — the lambda equivalent (transform + list_max) is interpreted
+  * and walks the array once per lambda.
+  */
+case class Int8RoundTrip(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "int8_round_trip"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > amax) amax = v; i += 1 }
+    val scale = amax / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      out(i) = if (scale > 0.0) {
+        val r = v / scale
+        var q = (if (r >= 0) r + 0.5 else r - 0.5).toLong
+        if (q > 127L) q = 127L
+        if (q < -127L) q = -127L
+        q * scale
+      } else v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val amax = ctx.freshName("amax")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val r = ctx.freshName("r")
+      val q = ctx.freshName("q")
+      s"""
+        int $n = $a.numElements();
+        double $amax = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $v = java.lang.Math.abs($a.getDouble($i));
+          if ($v > $amax) $amax = $v;
+        }
+        double $scale = $amax / 127.0;
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          double $v = $a.getDouble($i);
+          if ($scale > 0.0) {
+            double $r = $v / $scale;
+            long $q = (long) ($r >= 0 ? $r + 0.5d : $r - 0.5d);
+            if ($q > 127L) $q = 127L;
+            if ($q < -127L) $q = -127L;
+            $out[$i] = $q * $scale;
+          } else {
+            $out[$i] = $v;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8RoundTrip =
+    copy(child = newChild)
+}
+
 object VectorOps {
   private def asDoubleArray(c: Column): Column = c.cast("array<double>")
 
@@ -99,4 +176,7 @@ object VectorOps {
 
   def cosine_sim(a: Column, b: Column): Column =
     dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+  def int8_round_trip(a: Column): Column =
+    GraftShims.column(Int8RoundTrip(GraftShims.expression(asDoubleArray(a))))
 }

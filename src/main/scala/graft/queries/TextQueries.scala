@@ -18,7 +18,7 @@ object TextQueries {
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
-    q54JaccardPrefix)
+    q54JaccardPrefix, q67Int8Quantize)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -222,6 +222,45 @@ object TextQueries {
       ORDER BY 1, 2"""),
     (s, d) => Dedup.embeddingDupPairs(embeddings(s, d), 0.4)
       .orderBy(col("vec_a"), col("vec_b")))
+
+  /** Int8 scalar-quantization round-trip error — the 4×-compression
+    * layout an ANN index stores at 100 TB, with its reconstruction
+    * cost measured in-engine. [[graft.functions.Int8RoundTrip]] is one
+    * codegen'd loop (ties rounded away from zero so the oracle's SQL
+    * ROUND reproduces it exactly); the error norm is assembled from
+    * native dot products only — err² = v·v + d·d − 2·v·d — with the
+    * same left-to-right summation as the oracle's list arithmetic.
+    */
+  val q67Int8Quantize = GraftQuery(
+    "q67_int8_quantize",
+    "int8 round-trip reconstruction error per embedding (vec_id < 100)",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 100),
+      s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      d AS (SELECT vec_id, v,
+        CASE WHEN scale > 0 THEN list_transform(v, x ->
+          greatest(least(round(x / scale), 127.0), -127.0) * scale)
+        ELSE v END AS deq FROM s)
+      SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+        ROUND(sqrt(list_sum(list_transform(v, x -> x * x))
+          + list_sum(list_transform(deq, x -> x * x))
+          - 2 * list_sum(list_transform(range(len(v)), i -> v[i+1] * deq[i+1])))
+          + 1e-9, 4) AS err
+      FROM d ORDER BY vec_id"""),
+    (s, d) => {
+      import graft.functions.VectorOps.{dot_product, int8_round_trip}
+      embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        .withColumn("deq", int8_round_trip(col("v")))
+        .select(col("vec_id"), size(col("v")).as("dim"),
+          round(sqrt(dot_product(col("v"), col("v"))
+            + dot_product(col("deq"), col("deq"))
+            - lit(2) * dot_product(col("v"), col("deq"))) + 1e-9, 4).as("err"))
+        .orderBy(col("vec_id"))
+    })
 
   /** Rows-only (xxhash64-specific values): winnowing fingerprint set per
     * document — completes the fingerprint family over q29's single

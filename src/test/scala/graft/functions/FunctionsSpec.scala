@@ -53,6 +53,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.getDouble(0) === 32.0)
   }
 
+  test("int8_round_trip quantizes within scale/2 and is idempotent") {
+    import graft.functions.VectorOps.int8_round_trip
+    val vecs = Seq(
+      (1L, Array(0.5, -1.0, 0.25, 0.999)),
+      (2L, Array(3.0, 0.0, -2.7, 1e-9)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id", $"v", int8_round_trip($"v").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    got.foreach { case (id, v, d) =>
+      assert(v.length === d.length)
+      val scale = v.map(math.abs).max / 127.0
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12,
+          s"vec $id: $x round-trips to $y beyond scale/2=$scale")
+      }
+    }
+    // zero vector unchanged
+    assert(got.find(_._1 == 3L).get._3 === Seq(0.0, 0.0, 0.0, 0.0))
+    // idempotent: re-quantizing a dequantized vector is a fixpoint
+    val twice = df.select($"id",
+      int8_round_trip(int8_round_trip($"v")).as("d2"),
+      int8_round_trip($"v").as("d1")).collect()
+      .map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    twice.foreach { case (d2, d1) => assert(d2 === d1) }
+  }
+
+  test("int8_round_trip stays in codegen through a parquet scan") {
+    import graft.functions.VectorOps.int8_round_trip
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_int8_probe"
+    Seq.tabulate(64)(i => (i.toLong, Array.tabulate(32)(j => math.sin(i * 7.0 + j))))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(int8_round_trip($"v").as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+  }
+
   test("SQL registration exposes rolling_min_hash and top_k_by") {
     Registry.registerAll(spark)
     Seq((1L, "hello world rolling hash"), (2L, "another document"))
