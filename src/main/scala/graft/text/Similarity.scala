@@ -69,6 +69,27 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** Brute-force top-k over int8-quantized vectors
+    * ([[graft.functions.Int8RoundTrip]]): the corpus side scans the
+    * 4×-smaller dequantized representation — the memory/IO layout an
+    * ANN index actually stores at 100 TB — while queries stay full
+    * precision. Same plan shape as [[cosineTopK]]; SimilaritySpec
+    * measures recall against the exact form (quantization shifts
+    * cosines ~1e-3, so only near-ties can reorder).
+    */
+  def quantizedCosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    import graft.functions.VectorOps.int8_round_trip
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.select(col("vec_id"), int8_round_trip(col("v")).as("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(corpus, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent
     * sign-random-projection hash tables of `planes` bits each; a
     * corpus vector is a candidate if it shares a bucket with the query

@@ -39,6 +39,20 @@ class SimilaritySpec extends AnyFunSuite {
       "approx neighbors must still be real corpus vectors")
   }
 
+  test("quantizedCosineTopK keeps high recall vs full precision") {
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+    val isQ = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, isQ, 5))
+    val quant = pairs(Similarity.quantizedCosineTopK(emb, isQ, 5))
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    // int8 shifts cosines by ~1e-3 — only near-ties can swap in/out of
+    // the top-5, so recall must stay near-perfect (far tighter than LSH)
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+
   test("native lshBucket matches the literal-tree form on fixtures") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
