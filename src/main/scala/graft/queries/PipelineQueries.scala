@@ -25,7 +25,7 @@ object PipelineQueries {
   def queries: Seq[GraftQuery] = Seq(
     q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
-    q65ZscoreNorm)
+    q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold. */
@@ -326,6 +326,105 @@ object PipelineQueries {
         .filter(col("rk") <= 3)
         .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
         .orderBy(col("source"), col("rk"))
+    })
+
+  /** End-to-end dedup: near-dup pairs → components (q56) → one keeper
+    * per component by the q61 rule (longest doc, ties → min id) — the
+    * full "raw corpus in, cleaned corpus out" pass, composed from the
+    * same operators the oracle re-derives with a recursive CTE.
+    * Because exact duplicates have Jaccard 1.0, one threshold handles
+    * exact AND near dups in a single component structure.
+    */
+  val q68DedupCorpus = GraftQuery(
+    "q68_dedup_corpus",
+    "surviving corpus after CC dedup + longest-doc keeper per component",
+    Some(s"""WITH RECURSIVE ${pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n),
+      comp AS (SELECT n AS doc_id, MIN(r) AS component FROM walk GROUP BY 1),
+      ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+          ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d USING (doc_id))
+      SELECT doc_id, component, n_members
+      FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val byComp = Window.partitionBy(col("component"))
+      Components.dedupComponents(docs, 0.4)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          byComp.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byComp))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("component"), col("n_members"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Document chunking with overlap (size 32 tokens, stride 24) — the
+    * context-window segmentation step before tokenization/training.
+    * One tokenize pass; chunk starts come from `sequence()` (codegen),
+    * slices from `slice()` — no per-token explode, so a document costs
+    * O(chunks), not O(tokens), through the shuffle-free plan.
+    */
+  val q69Chunking = GraftQuery(
+    "q69_chunking",
+    "overlapping token chunks (size 32, stride 24) per document",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start FROM toks)
+      SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
+        CAST(least(start + 32, len(t)) - start AS BIGINT) AS n_tokens,
+        array_to_string(t[start + 1 : least(start + 32, len(t))], ' ')
+          AS chunk_text
+      FROM starts ORDER BY doc_id, chunk_id"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(24))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("int").as("chunk_id"),
+          (least(col("start") + 32, size(col("t"))) - col("start"))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("t"), col("start") + 1,
+            least(lit(32), size(col("t")) - col("start"))), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    })
+
+  /** Deterministic train/val/test split (~80/10/10) by hashed doc id —
+    * the split a training pipeline must reproduce exactly on rerun
+    * (and that survives partition retries, unlike randomSplit's
+    * per-partition RNG). Same hex-prefix coin as q59/q60.
+    */
+  val q70HashSplit = GraftQuery(
+    "q70_hash_split",
+    "deterministic 80/10/10 train/val/test assignment by hashed doc id",
+    Some("""SELECT doc_id, source,
+        CASE WHEN substring(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+               THEN 'train'
+             WHEN substring(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""),
+    (s, d) => {
+      val hex2 = substring(
+        md5(concat(lit("sp:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(hex2 <= "cb", "train").when(hex2 <= "e5", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     })
 
   /** Per-group z-score normalization (feature standardization keyed by

@@ -56,6 +56,59 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(rows.length === docs.count())        // same groups as q25
   }
 
+  test("q68 dedup corpus: one keeper per component, no surviving near-dup pair") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q68_dedup_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one survivor per component
+    assert(rows.map(_._2).distinct.length === rows.length)
+    // members add back up to the corpus
+    assert(rows.map(_._3).sum === 500L)
+    // no near-dup pair survives: both ends of any >=0.4 pair can't be kept
+    val docs = graft.model.Tables.documents(spark, SparkTestSession.Sf0001)
+    val kept = rows.map(_._1).toSet
+    val pairs = graft.text.Dedup.jaccardPairs(docs, 0.4)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"near-dup pair ($a,$b) both survived")
+    }
+  }
+
+  test("q69 chunks cover every token with stride-24 starts") {
+    val rows = run("q69_chunking").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    import org.apache.spark.sql.functions._
+    val nTokens = graft.model.Tables.documents(spark, SparkTestSession.Sf0001)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0; starts at stride 24 cover [0, n)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+      assert(sorted.length === (n + 23) / 24)
+      // every chunk holds min(32, n - start) tokens; text agrees
+      sorted.foreach { case (_, id, len, text) =>
+        assert(len === math.min(32, n - id * 24))
+        assert(text.split(" ").length === len)
+      }
+    }
+  }
+
+  test("q70 split partitions the corpus at roughly 80/10/10") {
+    val rows = run("q70_hash_split").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.length === 500)
+    val by = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by.keySet === Set("train", "val", "test"))
+    assert(by("train") > 350 && by("train") < 450)
+    assert(by("val") > 20 && by("test") > 20)
+    // deterministic across runs
+    val again = run("q70_hash_split").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q58 bm25 scores are positive and only for docs containing a term") {
     val scored = run("q58_bm25").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scored.values.forall(_ > 0))
