@@ -25,7 +25,8 @@ object PipelineQueries {
   def queries: Seq[GraftQuery] = Seq(
     q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
-    q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit)
+    q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
+    q71UnigramLm, q72TokenEntropy)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold. */
@@ -424,6 +425,76 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           when(hex2 <= "cb", "train").when(hex2 <= "e5", "val")
             .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Unigram language-model scoring: mean token log-probability under
+    * the corpus's own unigram distribution — the classic
+    * perplexity-style quality filter (documents of improbable tokens
+    * score low). Token counts and the corpus total derive from ONE
+    * tokenize pass; the per-term probability table joins back on term
+    * (shuffle, or broadcast when the vocab fits). No smoothing needed:
+    * every scored token is in the vocabulary by construction.
+    */
+  val q71UnigramLm = GraftQuery(
+    "q71_unigram_lm",
+    "mean unigram log-probability per document (corpus-trained LM)",
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS t FROM toks)
+      SELECT k.doc_id, COUNT(*) AS n_tokens,
+        ROUND(SUM(ln(cnt.c * 1.0 / tot.t)) / COUNT(*) + 1e-9, 4)
+          AS avg_logprob
+      FROM toks k JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      toks.join(cnt, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(log(col("c") * 1.0 / col("t"))) / count(lit(1)) + 1e-9, 4)
+            .as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Token-distribution entropy per document (nats): low entropy =
+    * repetitive/boilerplate text, the other standard quality signal.
+    * One shuffle on (doc, term) for the counts, one on doc for the
+    * entropy sum.
+    */
+  val q72TokenEntropy = GraftQuery(
+    "q72_token_entropy",
+    "token-distribution entropy (nats) per document",
+    Some("""WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents) GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1)
+      SELECT tf.doc_id, n.n AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        ROUND(-SUM((tf.c * 1.0 / n.n) * ln(tf.c * 1.0 / n.n)) + 1e-9, 4)
+          AS entropy
+      FROM tf JOIN n USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1"""),
+    (s, d) => {
+      val tf = documents(s, d).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c") * 1.0 / col("n")
+      tf.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          round(-sum(p * log(p)) + 1e-9, 4).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          col("entropy"))
         .orderBy(col("doc_id"))
     })
 
