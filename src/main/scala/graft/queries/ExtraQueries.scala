@@ -18,7 +18,7 @@ object ExtraQueries {
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
     q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
-    q66SaltedJoin)
+    q66SaltedJoin, q73PartitionPrunedJoin)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -441,6 +441,48 @@ object ExtraQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy(col("o_orderpriority"))
+    })
+
+  /** Dynamic partition pruning over date-partitioned storage
+    * ([[graft.sources.PartitionedTables]]): the fact side is the
+    * partitionBy(ds) events copy; the dim side is the set of
+    * busier-than-average days (a filtered aggregate — selective, so
+    * Spark plants a `dynamicpruningexpression` subquery into the fact
+    * scan's PartitionFilters and reads ONLY the matching day
+    * directories). At 100 TB this is the difference between scanning
+    * the full history and scanning the joined days. Result equals the
+    * plain date join — the oracle; PlansSpec asserts the pruning
+    * expression is present.
+    */
+  val q73PartitionPrunedJoin = GraftQuery(
+    "q73_partition_pruned_join",
+    "date-partitioned events ⋈ busy-day dim via dynamic partition pruning",
+    Some("""WITH daily AS (
+        SELECT CAST(ts AS DATE) AS ds, COUNT(*) AS n FROM events GROUP BY 1),
+      a AS (SELECT AVG(n * 1.0) AS avg_n FROM daily),
+      dim AS (SELECT ds FROM daily CROSS JOIN a WHERE n > avg_n)
+      SELECT e.event_type, COUNT(*) AS n_events,
+        ROUND(SUM(e.value), 2) AS value_sum
+      FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.ds
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val ev = graft.sources.PartitionedTables.events(s, d)
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("ds")).agg(count(lit(1)).as("n"))
+      val avgN = daily.agg(avg(col("n").cast("double")).as("avg_n"))
+      // the `n > 0` conjunct is vacuous (counts are >= 1) but literal:
+      // PartitionPruning's isLikelySelective heuristic wants a literal
+      // comparison before it plants the pruning subquery
+      val dim = daily.crossJoin(broadcast(avgN))
+        .filter(col("n") > col("avg_n") && col("n") > 0).select(col("ds"))
+      // dim must be the BUILD side: DPP reuses the dim's broadcast as
+      // the scan's pruning subquery; at fixture scale AQE would
+      // otherwise broadcast the (tiny) fact side and prune nothing
+      ev.join(broadcast(dim), Seq("ds"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("event_type"))
     })
 
   /** Co-partitioning demo: both join sides repartitioned on the join

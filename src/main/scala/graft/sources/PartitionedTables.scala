@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Date-partitioned storage layout (the sibling of [[BucketedTables]]):
+  * `events` written once with `partitionBy(ds)` so every daily slice is
+  * its own directory. At 100 TB this is the layout that turns a
+  * date-constrained query from a full scan into a handful of directory
+  * reads — statically via pushed partition filters, and at runtime via
+  * dynamic partition pruning when the dates arrive from a joined dim
+  * (q73 demonstrates the latter; the plan grows a
+  * `dynamicpruningexpression` on the scan's PartitionFilters).
+  */
+object PartitionedTables {
+
+  private def root(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Write (first use per path) and read back the date-partitioned
+    * events copy; `ds` comes back as a DATE partition column. */
+  def events(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${root(sfDir)}/events"
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables.events(s, sfDir)
+        .withColumn("ds", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("ds").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+}

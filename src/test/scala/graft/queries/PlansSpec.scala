@@ -81,6 +81,16 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q73 scan carries a dynamic partition pruning filter") {
+    val q = Catalog.all.find(_.name == "q73_partition_pruned_join").get
+      .run(spark, SparkTestSession.Sf0001)
+    q.collect() // DPP subquery is planted at planning, visible pre-exec too
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must be runtime-pruned by the dim dates:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
