@@ -18,7 +18,8 @@ object ExtraQueries {
     q37Sessionize, q38Percentiles, q39CorrStats, q40StringSurgery,
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
     q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
-    q66SaltedJoin, q73PartitionPrunedJoin)
+    q66SaltedJoin, q73PartitionPrunedJoin, q74BloomJoinFilter,
+    q75BinnedRangeJoin)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -483,6 +484,90 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("value_sum"))
         .orderBy(col("event_type"))
+    })
+
+  /** Bloom-filter semi-join pre-filter
+    * ([[graft.functions.BloomMightContain]]): the selective dim's key
+    * set becomes a fixed-size sketch (distributed treeAggregate — only
+    * the sketch reaches the driver) probed inside the fact scan stage,
+    * so the shuffle ships ~selectivity × fact rows instead of all of
+    * them. The join then removes the sketch's false positives, making
+    * the result provably the plain selective join — the oracle. This is
+    * the scan-reduction regime between broadcast (dim fits as an exact
+    * hash relation) and nothing (dim unknown until the join): at 100 TB
+    * a 20%-selective dim whose keys no longer broadcast still yields a
+    * 5× shuffle cut for ~1 MB of sketch per million keys. The merge
+    * hint pins the shuffle join that regime implies — under default
+    * fixture-scale broadcasting the pre-filter would be redundant.
+    */
+  val q74BloomJoinFilter = GraftQuery(
+    "q74_bloom_join_filter",
+    "Bloom-sketch pre-filtered lineitem⋈urgent-orders (== plain join)",
+    Some("""SELECT l.l_returnflag, COUNT(*) AS n,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val probe = graft.functions.BloomMightContain
+        .keyFilter(dim, "o_orderkey", expectedKeys = 1000000L, fpp = 0.01)
+      lineitem(s, d)
+        .filter(probe(col("l_orderkey")))
+        .hint("merge")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  /** Binned range join: a band (interval) join is non-equi, which
+    * Spark can only execute as a nested-loop join — O(facts × bands)
+    * comparisons and, with a non-broadcastable band table, a
+    * single-partition BroadcastNestedLoopJoin at that. The scale form
+    * decomposes each band into the fixed-width bins it covers
+    * (`sequence` explode on the tiny dim side), bins the fact side
+    * with one `floor` (a scan-stage expression), and equi-joins on the
+    * bin with the exact band bounds as a residual — a hash join
+    * whose probe cost is O(1) per fact row at any band count. The
+    * oracle runs the naive non-equi form; results are provably equal
+    * because bins cover bands exactly and the residual re-applies the
+    * exact bounds.
+    */
+  val q75BinnedRangeJoin = GraftQuery(
+    "q75_binned_range_join",
+    "price-band range join via covering-bin equi join + residual",
+    Some("""SELECT b.band, COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
+      FROM lineitem l
+      JOIN (VALUES ('p000_001k', 0, 1000), ('p001_005k', 1000, 5000),
+                   ('p005_020k', 5000, 20000), ('p020_050k', 20000, 50000),
+                   ('p050_120k', 50000, 120000)) AS b(band, lo, hi)
+        ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import s.implicits._
+      val w = 1000L // bin width: gcd of the band bounds
+      val bands = Seq(
+        ("p000_001k", 0L, 1000L), ("p001_005k", 1000L, 5000L),
+        ("p005_020k", 5000L, 20000L), ("p020_050k", 20000L, 50000L),
+        ("p050_120k", 50000L, 120000L)).toDF("band", "lo", "hi")
+      // bands are disjoint multiples of w ⇒ band (lo, hi) covers bins
+      // lo/w .. hi/w-1 exactly; ~100 (band, bin) rows total
+      val binned = bands.withColumn("bin",
+        explode(sequence((col("lo") / w).cast("long"),
+          (col("hi") / w).cast("long") - 1)))
+      lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_quantity"),
+          floor(col("l_extendedprice") / w).as("lbin"))
+        .join(broadcast(binned), col("lbin") === col("bin") &&
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("band"))
     })
 
   /** Co-partitioning demo: both join sides repartitioned on the join

@@ -92,6 +92,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
   }
 
+  test("bloom key filter never drops a real key and stays in codegen") {
+    val keys = spark.range(0, 2000, 2).select($"id".as("k")) // even keys
+    val probe = BloomMightContain.keyFilter(keys, "k",
+      expectedKeys = 1000L, fpp = 0.03)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bloom_probe"
+    spark.range(2000).select($"id".as("k")).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(probe($"k"))
+    val got = df.collect().map(_.getLong(0)).toSet
+    // no false negatives: every inserted (even) key must survive
+    (0L until 2000L by 2L).foreach(k => assert(got.contains(k), s"lost $k"))
+    // false positives (odd keys passing) bounded well above fpp=3%
+    val fps = got.count(_ % 2 == 1)
+    assert(fps <= 100, s"$fps false positives out of 1000 odd keys")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
   test("SQL registration exposes rolling_min_hash and top_k_by") {
     Registry.registerAll(spark)
     Seq((1L, "hello world rolling hash"), (2L, "another document"))

@@ -91,6 +91,25 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("q74 probes the bloom sketch below the shuffle join") {
+    val p = plan("q74_bloom_join_filter")
+    assert(p.contains("bloom_might_contain"),
+      s"fact side must carry the sketch probe:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the demo regime is a non-broadcast join:\n$p")
+    // tree order: the probe Filter prints BELOW (after) the join and
+    // its exchanges — i.e. inside the scan stage, so the shuffle above
+    // it only ships survivors
+    assert(p.indexOf("bloom_might_contain") > p.indexOf("Exchange"), p)
+  }
+
+  test("q75 band join runs as an equi hash join, not a nested loop") {
+    val p = plan("q75_binned_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"binning must turn the range join into an equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
