@@ -19,5 +19,6 @@ object Catalog {
   /** Full registry; SparkEntry derives `queries` and `oracleSql` from it. */
   def all: Seq[GraftQuery] =
     Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
-      SqlQueries.queries ++ PipelineQueries.queries
+      SqlQueries.queries ++ PipelineQueries.queries ++
+      SurfaceQueries.queries ++ CorpusQueries.queries
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** SQL-surface completeness wave: the grouping/join/reshape forms a
+  * user porting reference notebooks would reach for next — CUBE
+  * rollups, full-outer reconciliation, ordered list aggregation,
+  * unpivot, and the distribution window functions. Each is a thin
+  * declarative plan (single hash aggregate or partitioned window), so
+  * the 100 TB story is Catalyst's, not ours; the catalog entries pin
+  * the semantics against DuckDB.
+  */
+object SurfaceQueries {
+
+  def queries: Seq[GraftQuery] = Seq(
+    q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
+    q84DistributionWindows)
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
+    * pass — Spark expands the sets inside a single hash aggregate
+    * (Expand + partial agg), not 4 scans. Group keys are coalesced to
+    * 'ALL' on both sides so the subtotal rows sort/hash identically
+    * (fixture columns are non-null, so the sentinel is unambiguous).
+    */
+  val q76CubeRevenue = GraftQuery(
+    "q76_cube_revenue",
+    "CUBE(returnflag, linestatus) subtotals in one aggregate pass",
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls,
+        COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY 1, 2"""),
+    (s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls")))
+
+  /** Full-outer reconciliation: which side of customer⋈orders has
+    * unmatched rows. Each side is pre-filtered (low nations / urgent
+    * orders) so all three classes actually occur in the fixtures —
+    * every fixture customer has orders, so the unfiltered join never
+    * exercises the outer legs. The join keys stay the shuffle keys;
+    * the CASE classification is a scan-stage expression.
+    */
+  val q77FullOuter = GraftQuery(
+    "q77_full_outer",
+    "filtered customer FULL OUTER JOIN orders, classified by side",
+    Some("""SELECT CASE WHEN o.o_orderkey IS NULL THEN 'customer_only'
+          WHEN c.c_custkey IS NULL THEN 'order_only' ELSE 'both' END AS side,
+        COUNT(*) AS n
+      FROM (SELECT * FROM customer WHERE c_nationkey < 13) c
+      FULL OUTER JOIN
+        (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => customer(s, d).filter(col("c_nationkey") < 13)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(when(col("o_orderkey").isNull, "customer_only")
+        .when(col("c_custkey").isNull, "order_only")
+        .otherwise("both").as("side"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("side")))
+
+  /** Ordered list aggregation: per-customer priorities gathered into
+    * ONE deterministic string. `collect_list` order is
+    * partition-dependent, so the list is `array_sort`ed before
+    * `concat_ws` — sorting by the value itself is the only
+    * shuffle-order-independent contract (DuckDB's `ORDER BY` inside
+    * string_agg states the same one). Arrays never reach the result
+    * schema (the r2 q52 lesson: the driver compare can't sort array
+    * cells).
+    */
+  val q78OrderedListAgg = GraftQuery(
+    "q78_ordered_list_agg",
+    "per-customer sorted priority list via collect_list→array_sort",
+    Some("""SELECT o_custkey, COUNT(*) AS n,
+        string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+    (s, d) => orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list(col("o_orderpriority"))))
+          .as("prios"))
+      .orderBy(col("o_custkey")))
+
+  /** Unpivot (wide measures → long rows) via `stack` — a Generate over
+    * the aggregated 6-row frame, so the reshape costs nothing after
+    * the aggregate. The oracle is the portable UNION ALL form.
+    */
+  val q79Unpivot = GraftQuery(
+    "q79_unpivot",
+    "unpivot per-flag measure columns to (metric, value) rows",
+    Some("""WITH a AS (
+        SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS qty,
+          ROUND(SUM(l_extendedprice), 2) AS price,
+          ROUND(SUM(l_discount), 2) AS disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'disc' AS metric, disc AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'price' AS metric, price AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+      ORDER BY 1, 2"""),
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"),
+        round(sum(col("l_discount")), 2).as("disc"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)")
+      .orderBy(col("l_returnflag"), col("metric")))
+
+  /** Distribution window functions (percent_rank / cume_dist) over
+    * per-customer order counts WITHIN nation — the window is
+    * partitioned by nation (25 groups), never global, so no
+    * single-partition exchange exists at any scale. Ties broken by
+    * custkey on both sides for a deterministic hash.
+    */
+  val q84DistributionWindows = GraftQuery(
+    "q84_distribution_windows",
+    "percent_rank + cume_dist of order counts within nation",
+    Some("""WITH oc AS (
+        SELECT c.c_nationkey, c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2)
+      SELECT c_nationkey, c_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+        ROUND(percent_rank() OVER
+          (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey), 6) AS pr,
+        ROUND(cume_dist() OVER
+          (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey), 6) AS cd
+      FROM oc ORDER BY 1, 2"""),
+    (s, d) => {
+      val oc = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("n_orders"), col("c_custkey"))
+      oc.select(col("c_nationkey"), col("c_custkey"), col("n_orders"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    })
+}

@@ -110,6 +110,20 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q76 cube runs as one Expand + aggregate, not one scan per grouping set") {
+    val p = plan("q76_cube_revenue")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"CUBE must not multiply scans:\n$p")
+  }
+
+  test("q84 distribution windows are nation-partitioned, never global") {
+    val p = plan("q84_distribution_windows")
+    assert(p.contains("percent_rank"), p)
+    assert(!p.contains("SinglePartition"),
+      s"no global-window exchange allowed:\n$p")
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
