@@ -144,7 +144,7 @@ object CorpusQueries {
     None,
     (s, d) => graft.text.Ivf
       .ivfCosineTopK(embeddings(s, d), isQuery = lit(true), k = 1,
-        nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 4, maxIter = 8)
       .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
       .orderBy(col("q_id")))
 }

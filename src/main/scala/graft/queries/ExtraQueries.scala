@@ -19,7 +19,7 @@ object ExtraQueries {
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
     q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
     q66SaltedJoin, q73PartitionPrunedJoin, q74BloomJoinFilter,
-    q75BinnedRangeJoin)
+    q75BinnedRangeJoin, q88ZOrderLayout)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -568,6 +568,42 @@ object ExtraQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("band"))
+    })
+
+  /** Multi-dimensional clustering ([[graft.sources.ZOrderedTables]],
+    * [[graft.functions.ZOrderKey]]): lineitem rewritten range-sorted by
+    * the Morton interleave of (partkey, suppkey), then queried with a
+    * box predicate on BOTH columns. The oracle runs the same box over
+    * the original table — the layout rewrite must be invisible to
+    * results; what it changes is data placement (matching rows
+    * concentrate in O(√files) files, measured by ZOrderSpec), which at
+    * 100 TB is the difference between scanning the table and skipping
+    * ~90% of it via parquet footer stats on either filter column.
+    * Box bounds derive from a broadcast max row (relative bounds keep
+    * the query meaningful at every sf).
+    */
+  val q88ZOrderLayout = GraftQuery(
+    "q88_zorder_layout",
+    "box query over the z-order-clustered lineitem copy (== plain scan)",
+    Some("""WITH b AS (
+        SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+      FROM lineitem, b
+      WHERE l_partkey >= mp * 3 // 10 AND l_partkey < mp * 5 // 10
+        AND l_suppkey >= ms * 2 // 10 AND l_suppkey < ms * 4 // 10
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val bounds = lineitem(s, d).agg(
+        max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+      graft.sources.ZOrderedTables.zordered(s, d)
+        .crossJoin(broadcast(bounds))
+        .filter(col("l_partkey") >= expr("mp * 3 div 10") &&
+          col("l_partkey") < expr("mp * 5 div 10") &&
+          col("l_suppkey") >= expr("ms * 2 div 10") &&
+          col("l_suppkey") < expr("ms * 4 div 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
     })
 
   /** Co-partitioning demo: both join sides repartitioned on the join

@@ -20,5 +20,6 @@ object Catalog {
   def all: Seq[GraftQuery] =
     Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
       SqlQueries.queries ++ PipelineQueries.queries ++
-      SurfaceQueries.queries ++ CorpusQueries.queries
+      SurfaceQueries.queries ++ CorpusQueries.queries ++
+      AnalyticsQueries.queries
 }

@@ -22,12 +22,13 @@ object Ivf {
 
   /** Corpus with a `cell` column from the fitted quantizer, plus the
     * centroid table (nCells rows — broadcastable by construction). */
-  def buildIndex(emb: DataFrame, nCells: Int = 16, seed: Long = 42L)
+  def buildIndex(emb: DataFrame, nCells: Int = 16, seed: Long = 42L,
+                 maxIter: Int = 20)
       : (DataFrame, DataFrame) = {
     val withVec = emb.select(col("vec_id"),
       Similarity.toDouble(col("embedding")).as("v"),
       array_to_vector(col("embedding")).as("features"))
-    val km = new KMeans().setK(nCells).setMaxIter(20).setSeed(seed)
+    val km = new KMeans().setK(nCells).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
     val indexed = km.transform(withVec).select(col("vec_id"), col("v"), col("cell"))
@@ -45,8 +46,8 @@ object Ivf {
     */
   def ivfCosineTopK(emb: DataFrame, isQuery: Column, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,
-                    seed: Long = 42L): DataFrame = {
-    val (indexed, centroids) = buildIndex(emb, nCells, seed)
+                    seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    val (indexed, centroids) = buildIndex(emb, nCells, seed, maxIter)
     val queries = indexed.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     // nCells rows × queries: rank cells per query, keep nProbe.
