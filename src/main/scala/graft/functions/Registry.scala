@@ -48,7 +48,10 @@ object Registry {
       SignProjectionBucket(asVec(exprs(0)), litInt(exprs(3), "table"),
         litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))),
     "int8_round_trip" -> (exprs =>
-      Int8RoundTrip(asVec(exprs.head))))
+      Int8RoundTrip(asVec(exprs.head))),
+    "z_order_key" -> (exprs =>
+      ZOrderKey(Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        Cast(exprs(1), org.apache.spark.sql.types.LongType))))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

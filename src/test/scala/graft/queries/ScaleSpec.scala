@@ -44,6 +44,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark's own runtime bloom-filter injection fires on a selective shuffle join") {
+    // the engine-native sibling of q74's hand-built sketch: with the
+    // thresholds admitting fixture-sized tables, InjectRuntimeFilter
+    // plants a bloom probe on the fact side of a selective dim join
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = SparkTestSession.Sf0001
+      val dim = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, d)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected InjectRuntimeFilter to add a bloom probe:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("count-min-sketch never under-counts and over-counts within eps*N (q55 bound)") {
     val ev = Tables.events(spark, SparkTestSession.Sf0001)
       .select(col("user_id").cast("long").as("user_id"))
