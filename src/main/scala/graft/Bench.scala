@@ -48,12 +48,21 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val m2 = math.min(once(name, fn), once(name, fn))
-      // noise bursts can span both reps (observed: a query steady at
-      // 0.7 s measuring 26 s twice in a row); when the min still looks
-      // burst-sized, take a third sample
-      name -> (if (m2 > 2.0) math.min(m2, once(name, fn)) else m2)
+    // Reps are taken as two FULL PASSES over the suite, not
+    // back-to-back: observed co-tenant bursts last minutes and
+    // swallow 3 consecutive reps of the same query (r3: q38/q39/q40,
+    // steady at 0.2-0.7 s, measured 9-10 s across all immediate
+    // retries). Two sweeps put a query's samples ~minutes apart, so a
+    // burst has to span the whole run to poison a min. Queries whose
+    // min still looks burst-sized get one more targeted rep at the
+    // very end.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> once(name, fn) }
+    val mins = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results = mins.map { case (name, m2) =>
+      name -> (if (m2 > 2.0)
+        math.min(m2, once(name, SparkEntry.queries(name))) else m2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

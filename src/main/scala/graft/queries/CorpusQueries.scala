@@ -13,7 +13,8 @@ import graft.model.Tables._
 object CorpusQueries {
 
   def queries: Seq[GraftQuery] = Seq(
-    q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin)
+    q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
+    q89Decontamination, q90QualityGate)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -127,6 +128,112 @@ object CorpusQueries {
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_distinct"),
         countDistinct(col("user_id")).as("exact_distinct"))
       merged.crossJoin(direct)
+    })
+
+  /** Benchmark decontamination: the fraction of each training doc's
+    * distinct 3-gram shingles that appear anywhere in the "benchmark"
+    * set (stand-in: every 20th doc — in production, the eval suites).
+    * One shingle-level semi-join keyed on the shingle — at 100 TB the
+    * benchmark shingle set is still the small side (benchmarks are
+    * MBs, corpora are TBs), so this broadcasts or, beyond that, rides
+    * the q74 Bloom-sketch pre-filter regime. Docs with ≥50% overlap
+    * are flagged (the Lee et al. / GPT-3-style n-gram contamination
+    * rule).
+    */
+  val q89Decontamination = GraftQuery(
+    "q89_decontamination",
+    "per-doc 3-gram overlap with a benchmark set + contamination flag",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+      bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0),
+      corp AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+          CAST(SUM(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit
+        FROM ex WHERE doc_id % 20 <> 0 GROUP BY 1)
+      SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, n_hit,
+        ROUND(n_hit * 1.0 / n_sh, 4) AS overlap_frac,
+        CASE WHEN n_hit * 1.0 / n_sh >= 0.5 THEN 1 ELSE 0 END AS contaminated
+      FROM corp ORDER BY doc_id"""),
+    (s, d) => {
+      // the shingle table feeds BOTH the benchmark set and the corpus
+      // side — localCheckpoint it once so the explode+window pipeline
+      // runs once, not per branch (the q27/q34 multi-use-subtree
+      // lesson); Bench/Verify unpersist between queries
+      val sh = graft.text.Dedup.shingleRows(documents(s, d), 3)
+        .select(col("doc_id"), col("sh"))
+        .localCheckpoint(true)
+      val bench = broadcast(sh.filter(col("doc_id") % 20 === 0)
+        .select(col("sh")).distinct())
+      val corp = sh.filter(col("doc_id") % 20 =!= 0)
+      corp.join(bench.withColumn("hit", lit(1)), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit") * lit(1.0) / col("n_sh"), 4).as("overlap_frac"),
+          when(col("n_hit") * lit(1.0) / col("n_sh") >= 0.5, 1).otherwise(0)
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** The end-to-end quality gate: every document classified by its
+    * FIRST failing filter (length → repetition → stopword balance),
+    * counts per (source, reason) — the funnel report a corpus curator
+    * reads before emitting a training set. All signals reduce to two
+    * aggregates over one exploded-token pass; thresholds sit at the
+    * fixture's p80-p90 so every reason class is actually populated.
+    */
+  val q90QualityGate = GraftQuery(
+    "q90_quality_gate",
+    "first-failing-filter quality gate: (source, reason) funnel counts",
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      w AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+      tc AS (SELECT doc_id, source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+      s AS (
+        SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_tok,
+          MAX(c) * 1.0 / SUM(c) AS top_frac,
+          SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) * 1.0 / SUM(c)
+            AS stop_frac
+        FROM tc GROUP BY 1, 2),
+      g AS (
+        SELECT source,
+          CASE WHEN n_tok < 30 THEN 'too_short'
+            WHEN n_tok > 95 THEN 'too_long'
+            WHEN top_frac > 0.15 THEN 'repetitive'
+            WHEN stop_frac > 0.12 THEN 'stopword_heavy'
+            ELSE 'pass' END AS reason
+        FROM s)
+      SELECT source, reason, COUNT(*) AS n
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val sig = words
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("n_tok"),
+          (max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"),
+          (sum(when(col("tok").isin("the", "a"), col("c")).otherwise(0)) *
+            lit(1.0) / sum(col("c"))).as("stop_frac"))
+      sig.select(col("source"),
+          when(col("n_tok") < 30, "too_short")
+            .when(col("n_tok") > 95, "too_long")
+            .when(col("top_frac") > 0.15, "repetitive")
+            .when(col("stop_frac") > 0.12, "stopword_heavy")
+            .otherwise("pass").as("reason"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("reason"))
     })
 
   /** ANN self-join: every embedding finds its approximate nearest
