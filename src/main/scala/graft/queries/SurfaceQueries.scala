@@ -17,7 +17,7 @@ object SurfaceQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
-    q84DistributionWindows)
+    q84DistributionWindows, q91VariantJson, q92SessionWindow)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
     * pass — Spark expands the sets inside a single hash aggregate
@@ -117,6 +117,71 @@ object SurfaceQueries {
       .selectExpr("l_returnflag",
         "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)")
       .orderBy(col("l_returnflag"), col("metric")))
+
+  /** Semi-structured props via VariantType (Spark 4): `parse_json`
+    * once into a variant, then typed `variant_get` paths — the
+    * open-schema sibling of q21's `get_json_object`. Variant stores a
+    * parsed binary form, so repeated path extraction doesn't re-parse
+    * the JSON text per path (get_json_object does) — the difference
+    * between 1 and k parses per row when k paths are read at 100 TB.
+    */
+  val q91VariantJson = GraftQuery(
+    "q91_variant_json",
+    "typed variant_get over parse_json'd props (q21's variant twin)",
+    Some("""SELECT event_type,
+        CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        MAX(CAST(props ->> 'k' AS BIGINT)) AS k_max,
+        ROUND(AVG(CAST(props ->> 'k' AS BIGINT)), 4) AS k_avg,
+        COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, d) => events(s, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+        round(avg(col("k")), 4).as("k_avg"), count(lit(1)).as("n"))
+      .orderBy(col("event_type")))
+
+  /** Native session windows: `session_window(ts, gap)` merges events
+    * closer than the gap into one window inside a single aggregate —
+    * no lag/islands window pass (q37's form), and the SAME expression
+    * works under `readStream` + watermark, where the islands trick
+    * cannot (it needs the whole history sorted). Session identity:
+    * an event extends a session iff it lands strictly inside
+    * [start, last+gap) — the oracle's islands CTE uses `>= gap` for a
+    * new session to match. Timestamps compare as epoch-µs (the
+    * TIMESTAMP(NANOS) fixture rule).
+    */
+  val q92SessionWindow = GraftQuery(
+    "q92_session_window",
+    "per-user session rollup via native session_window(ts, 4h)",
+    Some("""WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events),
+      flagged AS (
+        SELECT user_id, us,
+          CASE WHEN LAG(us) OVER w IS NULL
+            OR us - LAG(us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS is_new
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (
+        SELECT user_id, us,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, CAST(sid AS INTEGER) AS sid, COUNT(*) AS n_events,
+        MIN(us) AS first_us, MAX(us) AS last_us
+      FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      val sessions = events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("first_us"))
+      sessions
+        .select(col("user_id"), row_number().over(w).as("sid"),
+          col("n_events"), col("first_us"), col("last_us"))
+        .orderBy(col("user_id"), col("sid"))
+    })
 
   /** Distribution window functions (percent_rank / cume_dist) over
     * per-customer order counts WITHIN nation — the window is
