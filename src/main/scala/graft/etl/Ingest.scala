@@ -43,4 +43,27 @@ object Ingest {
   /** S5 — text/CSV sink (ref `saveAsTextFile`, 流行音乐趋势预测.md:98,295). */
   def writeCsv(df: DataFrame, path: String, numFiles: Int = 1): Unit =
     df.coalesce(numFiles).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Training-shard emission: the corpus written as `nShards`
+    * equal-ish parquet shards with a DETERMINISTIC row→shard map
+    * (`xxhash64(key) mod n`, same coin as the q59/q70 sampling family)
+    * — a rerun, a straggler retry, or a different cluster produces
+    * byte-identical shard membership, which `repartition(n)` (round-
+    * robin on partition layout) cannot promise. Rows land in
+    * `shard=K/` directories; `maxRecordsPerFile` bounds file size so
+    * a hot shard splits files instead of producing a 100 GB parquet.
+    * Trainers read `dir/shard=K` per worker — no shuffle at read time.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, keyCol: String,
+                          nShards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("shard",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col(keyCol)),
+          org.apache.spark.sql.functions.lit(nShards.toLong)))
+      .repartition(nShards, org.apache.spark.sql.functions.col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
 }

@@ -18,7 +18,7 @@ object TextQueries {
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
-    q54JaccardPrefix, q67Int8Quantize)
+    q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -34,6 +34,36 @@ object TextQueries {
         TA.tokenCount(col("text")).cast("long").as("n_tokens"),
         col("n_chars"))
       .orderBy(col("doc_id")))
+
+  /** Token-budget estimation: whitespace tokens vs BPE-ish pre-tokens
+    * ([[TA.BpeishPattern]] — letter/digit/punct runs, the GPT-2
+    * pre-tokenizer shape minus lookahead so DuckDB's RE2 runs the
+    * same pattern) plus chars-per-token "fertility". Both counts are
+    * scan-stage regex expressions; the rollup is a tiny per-lang
+    * aggregate.
+    */
+  val q93BpeishTokens = GraftQuery(
+    "q93_bpeish_tokens",
+    "whitespace vs BPE-ish pre-token counts + fertility per lang",
+    Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(lower(trim(text)),
+          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS bpeish_tokens,
+        ROUND(SUM(n_chars) * 1.0 / SUM(len(regexp_extract_all(lower(trim(text)),
+          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))), 4) AS chars_per_token
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    (s, d) => documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        TA.tokenCount(col("text")).cast("long").as("ws"),
+        TA.bpeishTokenCount(col("text")).cast("long").as("bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bp")).as("bpeish_tokens"),
+        round(sum(col("n_chars")) * lit(1.0) / sum(col("bp")), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang")))
 
   val q23DocQuality = GraftQuery(
     "q23_doc_quality",

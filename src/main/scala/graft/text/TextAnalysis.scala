@@ -19,6 +19,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 shape, RE2-safe subset —
+    * no lookahead, so the same pattern runs in Java regex and DuckDB):
+    * a token is an optional-space-prefixed letter run, digit run, or
+    * punctuation run. Splitting letters/digits/punctuation apart is
+    * what makes the count track subword-tokenizer budgets far better
+    * than whitespace splitting does. */
+  val BpeishPattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** BPE-ish pre-token count — the token-budget estimator. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(trim(text)), lit(BpeishPattern))
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)

@@ -75,4 +75,39 @@ class IngestSpec extends AnyFunSuite {
     val Array(a2, _) = df.randomSplit(Array(0.6, 0.4), 11L)
     assert(a.exceptAll(a2).isEmpty)
   }
+
+  test("writeTrainingShards: deterministic membership, full coverage, bounded files") {
+    val docs = Tables.documents(spark, SparkTestSession.Sf0001)
+      .select(col("doc_id"), col("source"))
+    val dir1 = Files.createTempDirectory("graft_shards1").toString
+    val dir2 = Files.createTempDirectory("graft_shards2").toString
+    Ingest.writeTrainingShards(docs, dir1, "doc_id", nShards = 8,
+      maxRecordsPerFile = 25)
+    Ingest.writeTrainingShards(docs, dir2, "doc_id", nShards = 8,
+      maxRecordsPerFile = 25)
+    val r1 = spark.read.parquet(dir1)
+    val r2 = spark.read.parquet(dir2)
+    // full coverage: shards partition the corpus exactly
+    assert(r1.count() === docs.count())
+    assert(r1.select("doc_id").except(docs.select("doc_id")).count() === 0)
+    // deterministic: a rerun yields identical (doc, shard) membership
+    val m1 = r1.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = r2.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 === m2)
+    // all shards populated and no empty-directory shard
+    val sizes = r1.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (0 until 8).toSet)
+    // hash balance: no shard more than 3x the ideal share
+    assert(sizes.values.max <= 3L * (docs.count() / 8 + 1), sizes.toString)
+    // maxRecordsPerFile splits hot shards into multiple files
+    val filesPerShard = r1
+      .select(col("shard"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().groupBy("shard").count().collect()
+      .map(r => r.getLong(1))
+    assert(filesPerShard.exists(_ > 1),
+      s"expected >1 file for shards above 25 rows: ${filesPerShard.toSeq}")
+  }
 }
