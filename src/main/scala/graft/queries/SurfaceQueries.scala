@@ -17,7 +17,8 @@ object SurfaceQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
-    q84DistributionWindows, q91VariantJson, q92SessionWindow)
+    q84DistributionWindows, q91VariantJson, q92SessionWindow,
+    q94UpsertApply)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
     * pass — Spark expands the sets inside a single hash aggregate
@@ -181,6 +182,66 @@ object SurfaceQueries {
         .select(col("user_id"), row_number().over(w).as("sid"),
           col("n_events"), col("first_us"), col("last_us"))
         .orderBy(col("user_id"), col("sid"))
+    })
+
+  /** MERGE/upsert semantics without a table format: a CDC change set
+    * (upserts + deletes) applied to a base table through ONE full-outer
+    * join on the key — unmatched base rows pass through, matched
+    * non-delete rows take the change's values, deletes drop, unmatched
+    * changes insert. This is the Delta/Iceberg MERGE INTO contract
+    * expressed as a plain shuffle join (copy-on-write style), so it
+    * runs at any scale Spark joins run. The change set here is derived
+    * deterministically from the base (updates for key%10==0, deletes
+    * for key%17==0, inserts above max key) so the oracle can derive
+    * the identical set.
+    */
+  val q94UpsertApply = GraftQuery(
+    "q94_upsert_apply",
+    "CDC upsert+delete change set applied via full-outer merge join",
+    Some("""WITH changes AS (
+        SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+          c_acctbal + 100 AS new_bal
+        FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 17 = 0
+        UNION ALL
+        SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + n AS k, 'I' AS op,
+          1000.0 + n AS new_bal
+        FROM (SELECT unnest(range(5)) AS n)),
+      merged AS (
+        SELECT COALESCE(c.c_custkey, ch.k) AS k,
+          CASE WHEN ch.k IS NULL THEN c.c_acctbal ELSE ch.new_bal END AS bal,
+          CASE WHEN ch.k IS NULL THEN 'keep'
+            WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN ch.op = 'D' THEN 'delete' ELSE 'update' END AS action
+        FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k)
+      SELECT action, COUNT(*) AS n, ROUND(SUM(bal), 2) AS bal_sum
+      FROM merged WHERE action <> 'delete'
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val updates = base
+        .filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 17 === 0, "D").otherwise("U").as("op"),
+          (col("c_acctbal") + 100).as("new_bal"))
+      val maxKey = base.agg(max(col("c_custkey")).as("mk"))
+      val inserts = maxKey
+        .select(explode(sequence(lit(0), lit(4))).as("n"), col("mk"))
+        .select((col("mk") + 1 + col("n")).as("k"), lit("I").as("op"),
+          (lit(1000.0) + col("n")).as("new_bal"))
+      val changes = updates.unionByName(inserts)
+      base.join(changes, col("c_custkey") === col("k"), "full_outer")
+        .select(
+          when(col("k").isNull, col("c_acctbal")).otherwise(col("new_bal"))
+            .as("bal"),
+          when(col("k").isNull, "keep")
+            .when(col("c_custkey").isNull, "insert")
+            .when(col("op") === "D", "delete").otherwise("update")
+            .as("action"))
+        .filter(col("action") =!= "delete")
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("bal_sum"))
+        .orderBy(col("action"))
     })
 
   /** Distribution window functions (percent_rank / cume_dist) over

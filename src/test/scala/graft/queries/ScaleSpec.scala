@@ -76,6 +76,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("Observation collects pipeline counters without a second pass") {
+    // the pipeline-metrics contract at 100 TB: row counts / null rates /
+    // sum checks ride the SAME job as the real output — no extra scan.
+    // (A separate .count() per metric would re-read the table per metric.)
+    val obs = new org.apache.spark.sql.Observation("gate_metrics")
+    val docs = Tables.documents(spark, SparkTestSession.Sf0001)
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("n_chars") >= 200, 1).otherwise(0)).as("rows_kept"),
+        max(col("n_chars")).as("max_chars"))
+      .filter(col("n_chars") >= 200)
+    val kept = docs.count()
+    val m = obs.get
+    assert(m("rows_in") === 500L)
+    assert(m("rows_kept") === kept)
+    assert(m("max_chars").asInstanceOf[Long] >= 200L)
+  }
+
   test("count-min-sketch never under-counts and over-counts within eps*N (q55 bound)") {
     val ev = Tables.events(spark, SparkTestSession.Sf0001)
       .select(col("user_id").cast("long").as("user_id"))
