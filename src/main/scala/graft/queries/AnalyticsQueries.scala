@@ -90,8 +90,12 @@ object AnalyticsQueries {
         CAST(SUM(CASE WHEN t_view > t_signup AND t_purchase > t_view
           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       FROM s"""),
-    (s, d) => events(s, d)
-      .groupBy(col("user_id"))
+    (s, d) => funnel(events(s, d)))
+
+  /** The funnel aggregate over any (user_id, event_type, ts) frame —
+    * reused by GraftProps for the monotonicity property. */
+  def funnel(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "signup", unix_micros(col("ts"))))
           .as("t_signup"),
@@ -105,7 +109,7 @@ object AnalyticsQueries {
           .as("n_signup_view"),
         sum(when(col("t_view") > col("t_signup") &&
           col("t_purchase") > col("t_view"), 1).otherwise(0))
-          .as("n_full_funnel")))
+          .as("n_full_funnel"))
 
   /** Cohort retention: users cohorted by first-seen day, checked for
     * activity at day offsets 0/7/14/21. The offset list is a 4-row

@@ -113,4 +113,34 @@ object GraftProps extends Properties("graft") {
         got.toList == expect
       }
     }
+
+  // Z-order locality: the Morton key preserves the box-membership
+  // contract — decoding the interleave recovers both coordinates, so
+  // filtering on zk-derived coords == filtering on the originals
+  property("z_order_key round-trips both coordinates") =
+    forAll(Gen.choose(0L, 0x7FFFFFFFL), Gen.choose(0L, 0x7FFFFFFFL)) { (a, b) =>
+      val z = graft.functions.ZOrderKey.interleave2(a, b)
+      def deinterleave(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+        x = (x | (x >> 16)) & 0x00000000FFFFFFFFL
+        x
+      }
+      deinterleave(z) == a && deinterleave(z >> 1) == b
+    }
+
+  // funnel monotonicity: each stage's count can only shrink
+  property("funnel stages are monotonically non-increasing") =
+    forAll(Gen.listOfN(60, genEvent)) { evs =>
+      evs.isEmpty || {
+        val df = toEventsDf(evs)
+        val row = graft.queries.AnalyticsQueries.funnel(df).collect().head
+        val (su, sv, fu) = (row.getAs[Long]("n_signup"),
+          row.getAs[Long]("n_signup_view"), row.getAs[Long]("n_full_funnel"))
+        su >= sv && sv >= fu && fu >= 0
+      }
+    }
 }
