@@ -124,6 +124,26 @@ class PlansSpec extends AnyFunSuite {
       s"no global-window exchange allowed:\n$p")
   }
 
+  test("q85 gap-fill window is user-partitioned, never global") {
+    val p = plan("q85_gap_fill")
+    // the only SinglePartition allowed is the 1-row bounds aggregate;
+    // the forward-fill window itself must carry the user partition spec
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"forward-fill must partition by user:\n$p")
+    assert(!p.contains("windowspecdefinition(day"), p)
+  }
+
+  test("q92 runs a native session-window aggregate") {
+    val p = plan("q92_session_window")
+    assert(p.contains("session_window"), p)
+  }
+
+  test("q94 applies the change set through one full-outer join") {
+    val p = plan("q94_upsert_apply")
+    assert(p.contains("FullOuter"), p)
+    assert("Join".r.findAllIn(p).length >= 1, p)
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
