@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Running per-user totals as input rows arrive. */
 case class UserTotals(user_id: Long, n: Long, total: Double)
@@ -37,7 +37,70 @@ class RunningTotalsProcessor
   }
 }
 
+/** A closed idle session: emitted ONLY when the event-time timer
+  * fires, i.e. the watermark has passed last_event + gap. */
+case class ClosedSession(user_id: Long, n: Long, first_us: Long, last_us: Long)
+
+/** Event-time-timer sessionization on the transformWithState API: each
+  * user's open session lives in a `ValueState`; every batch re-arms a
+  * timer at `last_event + gap`, and [[handleExpiredTimer]] — driven by
+  * the WATERMARK, not by data arrival — emits the closed session and
+  * clears the state. This is the piece `mapGroupsWithState`
+  * sessionization (SessionStream) approximates with timeouts; timers
+  * make the close deterministic in event time, and state stays O(1)
+  * per in-flight user with RocksDB holding it off-heap.
+  */
+class IdleSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp), ClosedSession] {
+
+  @transient private var open: ValueState[ClosedSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[ClosedSession](
+      "open_session", Encoders.product[ClosedSession], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val prev = Option(open.get()).getOrElse(
+      ClosedSession(key, 0L, Long.MaxValue, Long.MinValue))
+    val updated = rows.foldLeft(prev) { case (acc, (_, t)) =>
+      val us = t.getTime * 1000L
+      ClosedSession(key, acc.n + 1,
+        math.min(acc.first_us, us), math.max(acc.last_us, us))
+    }
+    open.update(updated)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(updated.last_us / 1000L + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    val out = Option(open.get()).toList
+    open.clear()
+    out.iterator
+  }
+}
+
 object StateStream {
+
+  /** (user_id, ts) stream with a watermark → closed-session summaries,
+    * emitted only when the watermark passes last_event + gap. */
+  def idleSessions(events: DataFrame, gap: String = "10 minutes",
+                   watermark: String = "0 seconds"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = iv.days * 86400000L + iv.microseconds / 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleSessionProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** (user_id, value) stream → running per-user totals, one updated
     * row per key per micro-batch. Works identically over a batch frame

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 case class ValEv(user_id: Long, value: Double)
+case class TsEv(user_id: Long, ts: java.sql.Timestamp)
 
 /** transformWithState running totals: cross-batch state accumulation
   * must equal the batch groupBy over the full input. */
@@ -41,6 +42,49 @@ class StateStreamSpec extends AnyFunSuite {
         .map { case (u, evs) => u -> (evs.size.toLong, evs.map(_.value).sum) }
       assert(streamed === expected)
       assert(expected(1L) === ((3L, 10.0)))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
+  }
+
+  test("idle sessions close when the WATERMARK passes last event + gap") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[TsEv]
+    val q = StateStream.idleSessions(stream.toDF(), gap = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("idle_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user 1: two events 5 min apart (one session)
+      stream.addData(Seq(TsEv(1L, ts("2024-01-01 09:00:00")),
+        TsEv(1L, ts("2024-01-01 09:05:00"))))
+      q.processAllAvailable()
+      // nothing closed yet: watermark has not passed 09:15
+      assert(spark.table("idle_out").count() === 0)
+      // a much-later event (user 2) advances the watermark past the gap
+      stream.addData(Seq(TsEv(2L, ts("2024-01-01 12:00:00"))))
+      q.processAllAvailable()
+      // one more batch so the new watermark drives timer expiry
+      stream.addData(Seq(TsEv(2L, ts("2024-01-01 12:00:01"))))
+      q.processAllAvailable()
+      val closed = spark.table("idle_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq.contains(
+        (1L, 2L,
+          ts("2024-01-01 09:00:00").getTime * 1000L,
+          ts("2024-01-01 09:05:00").getTime * 1000L)),
+        s"user 1 session must close: ${closed.toSeq}")
+      // user 2's session is still open (watermark has not passed 12:10)
+      assert(!closed.exists(_._1 == 2L))
     } finally {
       q.stop()
       saved match {
