@@ -70,6 +70,41 @@ object Multimodal {
       })
   }
 
+  /** Resize stub: a real impl decodes, scales to (w, h) and re-encodes;
+    * the fake deterministically re-samples the payload bytes to the
+    * target pixel count (nearest-neighbor over byte positions) so the
+    * OUTPUT CONTRACT — payload sized to the new dims, metadata columns
+    * updated in the same row — is real and assertable. Runs inside the
+    * same partition batch as decode would.
+    */
+  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(w * h, 1)
+    val out = new Array[Byte](n)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        out(i) = payload(((i.toLong * payload.length) / n).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  case class Resized(id: Long, kind: String, payload: Array[Byte],
+                     width: Int, height: Int)
+
+  /** Image resize over partition batches — payload AND metadata change
+    * together, rows stay 1:1, partitioning preserved. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int)
+      : Dataset[Resized] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("id"), col("kind"), col("payload")).as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        Resized(id, kind, resizeStub(payload, w, h), w, h)
+      })
+  }
+
   /** Frame sampling stub: every `stride` bytes becomes one "frame"
     * (a real impl would cut on container keyframes). Row-generating
     * (flatMap) — the output is (id, frame_idx, frame) with frames

@@ -53,4 +53,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.map(_.frame.length).sum === videoSizes(id))
     }
   }
+
+  test("resizeImages rewrites payload and metadata together, 1:1 rows") {
+    val resized = Multimodal.resizeImages(spark, media, w = 32, h = 16).collect()
+    val nImages = media
+      .filter(org.apache.spark.sql.functions.col("kind") === "image").count()
+    assert(resized.length.toLong === nImages)
+    resized.foreach { r =>
+      assert(r.payload.length === 32 * 16, "payload sized to the new dims")
+      assert(r.width === 32 && r.height === 16)
+    }
+    // deterministic stub: a rerun produces identical bytes
+    val again = Multimodal.resizeImages(spark, media, w = 32, h = 16)
+      .collect().map(r => r.id -> r.payload.toSeq).toMap
+    assert(resized.map(r => r.id -> r.payload.toSeq).toMap === again)
+  }
+
+  test("extracted features feed the similarity stack (multimodal -> ANN)") {
+    import org.apache.spark.sql.functions._
+    // the composition contract: feature vectors from the media pipeline
+    // are a drop-in corpus for the embedding similarity operators
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+      .toDF().select(col("id").as("vec_id"), col("features").as("embedding"))
+    val topk = graft.text.Similarity
+      .cosineTopK(feats, isQuery = col("vec_id") < 3, k = 2)
+    val rows = topk.collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.keySet === Set(0L, 1L, 2L))
+    perQuery.values.foreach(g => assert(g.length === 2))
+  }
 }
