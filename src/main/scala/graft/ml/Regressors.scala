@@ -71,6 +71,31 @@ object Regressors {
     new Pipeline().setStages(Array(indexer, tree))
   }
 
+  /** Hyperparameter search — the spark.ml expression of the
+    * reference's manual attempt-1..5 loop (each "attempt" hand-tunes
+    * params and re-trains, ref 流行音乐趋势预测.md throughout):
+    * `CrossValidator` folds × grid fits run as independent distributed
+    * jobs (`parallelism` fits concurrently), the avg metric picks the
+    * winner, and the best model is refit on the full set — the same
+    * search, but measured instead of eyeballed, and embarrassingly
+    * parallel at cluster scale.
+    */
+  def tunedLinear(regParams: Seq[Double] = Seq(0.0, 0.1, 1.0),
+                  folds: Int = 3, seed: Long = 42L,
+                  featuresCol: String = "features", labelCol: String = "label")
+      : org.apache.spark.ml.tuning.CrossValidator = {
+    val lr = linear(featuresCol, labelCol)
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(lr.regParam, regParams.toArray)
+      .build()
+    new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(lr)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol(labelCol).setMetricName("mse"))
+      .setNumFolds(folds).setParallelism(2).setSeed(seed)
+  }
+
   /** M10 — MSE via the evaluator. */
   def mse(predictions: DataFrame, labelCol: String = "label",
           predictionCol: String = "prediction"): Double =

@@ -126,5 +126,7 @@ class FunctionsSpec extends AnyFunSuite {
       """SELECT top_k_by(CAST(id AS DOUBLE), id, 2) AS t
          FROM reg_docs""").head.getSeq[org.apache.spark.sql.Row](0)
     assert(topSql.map(_.getLong(1)) === Seq(2L, 1L))
+    val zk = spark.sql("SELECT z_order_key(3, 5)").head.getLong(0)
+    assert(zk === ZOrderKey.interleave2(3L, 5L))
   }
 }

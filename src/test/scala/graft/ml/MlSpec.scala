@@ -179,4 +179,26 @@ class MlSpec extends AnyFunSuite {
     val got = Forecast.horizonEnsemble(p1, p2).head.getDouble(2)
     assert(got === 15.0)
   }
+
+  test("tunedLinear CV picks the unregularized model on clean linear data") {
+    // y is exactly linear in x — any regularization only hurts, so the
+    // grid's best avg-MSE must come from regParam=0 and the refit model
+    // must recover the relation
+    val train = (1 to 200).map { i =>
+      val x = (i % 23).toDouble
+      (x, 4.0 * x + 1.0)
+    }.toDF("x", "label")
+    val feat = new VectorAssembler().setInputCols(Array("x"))
+      .setOutputCol("features").transform(train).cache()
+    val cv = Regressors.tunedLinear(regParams = Seq(0.0, 10.0), folds = 2)
+    val model = cv.fit(feat)
+    val best = model.bestModel
+      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    assert(best.getRegParam === 0.0,
+      s"CV must pick the unregularized fit, got ${best.getRegParam}")
+    assert(Regressors.mse(model.transform(feat)) < 1e-6)
+    // avg metrics align with the pick: regParam=0 strictly better
+    val metrics = model.avgMetrics
+    assert(metrics(0) < metrics(1), metrics.toSeq.toString)
+  }
 }
