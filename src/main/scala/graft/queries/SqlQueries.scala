@@ -18,7 +18,8 @@ import graft.model.Tables
 object SqlQueries {
 
   def queries: Seq[GraftQuery] = Seq(
-    q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK)
+    q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK,
+    q95SqlCorrelated, q96ArgMax)
 
   /** Register every fixture table as a temp view named after itself.
     * Idempotent (createOrReplace) and session-scoped; `events` goes
@@ -112,4 +113,50 @@ object SqlQueries {
             FROM orders GROUP BY o_custkey)
       LATERAL VIEW posexplode(top) AS pos, t
       ORDER BY o_custkey, rk""")
+
+  /** Correlated subquery forms through SQL text: a correlated scalar
+    * subquery (per-nation average) + EXISTS (urgent order) — Catalyst
+    * de-correlates both into joins (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery), so the executed plan is ordinary
+    * aggregate+join shuffles, not a per-row re-execution. The porting
+    * surface a SQL-first user hits right after plain aggregates.
+    */
+  val q95SqlCorrelated: GraftQuery = sqlQuery(
+    "q95_sql_correlated",
+    "correlated scalar + EXISTS subqueries (decorrelated to joins)",
+    oracle = """SELECT c.c_nationkey, COUNT(*) AS n_above
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        AND EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY 1""",
+    sparkSql = """SELECT c.c_nationkey, COUNT(*) AS n_above
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        AND EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY 1""")
+
+  /** max_by/min_by (argmax) — "the attribute of the extreme row" in
+    * ONE aggregate, no self-join back to the max row and no window
+    * sort. Keyed on the unique orderkey so ties cannot occur and both
+    * engines agree deterministically.
+    */
+  val q96ArgMax: GraftQuery = sqlQuery(
+    "q96_argmax",
+    "per-customer priority of highest/lowest order via max_by/min_by",
+    oracle = """SELECT o_custkey,
+        arg_max(o_orderpriority, o_orderkey) AS last_prio,
+        arg_min(o_orderpriority, o_orderkey) AS first_prio,
+        COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    sparkSql = """SELECT o_custkey,
+        max_by(o_orderpriority, o_orderkey) AS last_prio,
+        min_by(o_orderpriority, o_orderkey) AS first_prio,
+        COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""")
 }

@@ -144,6 +144,14 @@ class PlansSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(p).length >= 1, p)
   }
 
+  test("q95 subqueries are decorrelated into joins, not re-executed per row") {
+    val p = plan("q95_sql_correlated")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must rewrite to a semi join:\n$p")
+    // the correlated scalar subquery becomes an aggregate joined back
+    assert(p.contains("avg("), p)
+  }
+
   test("q36 as-of join keys on the equi column with the range as residual") {
     val p = plan("q36_asof_next_ship")
     // join TYPE is size-dependent (broadcast at fixture scale, SMJ at
