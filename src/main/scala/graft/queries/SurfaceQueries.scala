@@ -18,7 +18,7 @@ object SurfaceQueries {
   def queries: Seq[GraftQuery] = Seq(
     q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
     q84DistributionWindows, q91VariantJson, q92SessionWindow,
-    q94UpsertApply)
+    q94UpsertApply, q97NullSafeJoin, q98EditDistance)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
     * pass — Spark expands the sets inside a single hash aggregate
@@ -242,6 +242,74 @@ object SurfaceQueries {
         .groupBy(col("action"))
         .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("bal_sum"))
         .orderBy(col("action"))
+    })
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): ordinary
+    * `=` drops null-keyed rows from BOTH sides silently — the classic
+    * silent-data-loss bug when a dirty key column enters a join.
+    * Nulls are planted deterministically (nullif on a modulo), the
+    * null-safe join keeps the null⋈null matches, and the count
+    * difference vs the plain join is exactly the null-pair block.
+    * `<=>` keys still hash-partition (null is one key), so the join
+    * stays a plain shuffle join at scale.
+    */
+  val q97NullSafeJoin = GraftQuery(
+    "q97_null_safe_join",
+    "null-safe vs plain equality join over a planted-null key",
+    Some("""WITH a AS (SELECT nullif(c_custkey % 50, 0) AS k FROM customer),
+      b AS (SELECT nullif(o_custkey % 50, 0) AS k FROM orders
+            WHERE o_orderkey % 100 = 0)
+      SELECT
+        (SELECT COUNT(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+          AS nullsafe_pairs,
+        (SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS plain_pairs,
+        (SELECT COUNT(*) FROM a WHERE k IS NULL) *
+          (SELECT COUNT(*) FROM b WHERE k IS NULL) AS null_block"""),
+    (s, d) => {
+      val a = customer(s, d)
+        .select(nullif(col("c_custkey") % 50, lit(0)).as("k"))
+      val b = orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        .select(nullif(col("o_custkey") % 50, lit(0)).as("ko"))
+      val nullsafe = a.join(b, col("k") <=> col("ko")).count()
+      val plain = a.join(b, col("k") === col("ko")).count()
+      val nullBlock = a.filter(col("k").isNull).count() *
+        b.filter(col("ko").isNull).count()
+      import s.implicits._
+      Seq((nullsafe, plain, nullBlock))
+        .toDF("nullsafe_pairs", "plain_pairs", "null_block")
+    })
+
+  /** Edit-distance near-dup (levenshtein) between each document and
+    * its source-neighbor (next doc_id in the same source) — the
+    * short-string fuzzy-match primitive (titles, names) next to the
+    * token-level Jaccard family. Neighbor pairing via one lead window
+    * keeps it O(n) pairs; all-pairs edit distance at scale is the
+    * LSH/prefix regime, not this one, and the 40-char cap bounds the
+    * DP cost per pair.
+    */
+  val q98EditDistance = GraftQuery(
+    "q98_edit_distance",
+    "levenshtein to the next same-source doc over 40-char prefixes",
+    Some("""WITH t AS (
+        SELECT source, doc_id, substr(lower(trim(text)), 1, 40) AS p,
+          LEAD(substr(lower(trim(text)), 1, 40)) OVER
+            (PARTITION BY source ORDER BY doc_id) AS np,
+          LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nid
+        FROM documents)
+      SELECT source, doc_id, nid AS next_doc,
+        CAST(levenshtein(p, np) AS BIGINT) AS dist
+      FROM t WHERE np IS NOT NULL ORDER BY source, doc_id"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          substring(lower(trim(col("text"))), 1, 40).as("p"))
+        .withColumn("np", lead(col("p"), 1).over(w))
+        .withColumn("next_doc", lead(col("doc_id"), 1).over(w))
+        .filter(col("np").isNotNull)
+        .select(col("source"), col("doc_id"), col("next_doc"),
+          levenshtein(col("p"), col("np")).cast("long").as("dist"))
+        .orderBy(col("source"), col("doc_id"))
     })
 
   /** Distribution window functions (percent_rank / cume_dist) over
