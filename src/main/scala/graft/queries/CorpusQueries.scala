@@ -14,7 +14,8 @@ object CorpusQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
-    q89Decontamination, q90QualityGate)
+    q89Decontamination, q90QualityGate, q99SampledEstimate,
+    q100HoppingWindows)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -235,6 +236,66 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("reason"))
     })
+
+  /** Approximate query processing from the deterministic hash sample
+    * (q59's coin at 10%): the scaled sample estimate next to the exact
+    * aggregate, with the realized relative error. The 100 TB story:
+    * the sample scan costs 1/10th of the exact one and the hash coin
+    * makes the estimate reproducible — rerun, retry, or another engine
+    * lands on the SAME sample, which rand()-sampling cannot promise.
+    * Oracle-checkable for exactly that reason.
+    */
+  val q99SampledEstimate = GraftQuery(
+    "q99_sampled_estimate",
+    "hash-sample (10%) scaled estimate vs exact aggregate + rel. error",
+    Some("""WITH s AS (
+        SELECT l_extendedprice FROM lineitem
+        WHERE substr(md5('aqp' || CAST(l_orderkey AS VARCHAR) || '_' ||
+          CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')),
+      est AS (SELECT COUNT(*) * 8 AS n_est,
+        ROUND(SUM(l_extendedprice) * 8, 2) AS sum_est FROM s),
+      ex AS (SELECT COUNT(*) AS n_exact,
+        ROUND(SUM(l_extendedprice), 2) AS sum_exact FROM lineitem)
+      SELECT n_est, sum_est, n_exact, sum_exact,
+        ROUND(ABS(sum_est - sum_exact) / sum_exact, 4) AS rel_err
+      FROM est, ex"""),
+    (s, d) => {
+      val li = lineitem(s, d)
+      // 2-of-16 hex prefixes = a 1/8 Bernoulli coin on the row key
+      val coin = substring(md5(concat(lit("aqp"),
+        col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"))), 1, 1)
+      val est = li.filter(coin.isin("0", "1"))
+        .agg((count(lit(1)) * 8).as("n_est"),
+          round(sum(col("l_extendedprice")) * 8, 2).as("sum_est"))
+      val exact = li.agg(count(lit(1)).as("n_exact"),
+        round(sum(col("l_extendedprice")), 2).as("sum_exact"))
+      est.crossJoin(exact)
+        .withColumn("rel_err",
+          round(abs(col("sum_est") - col("sum_exact")) / col("sum_exact"), 4))
+    })
+
+  /** Hopping (sliding) windows: `window(ts, '1 day', '6 hours')` puts
+    * every event in its 4 overlapping day-windows inside one
+    * aggregate — the batch form of the streaming sliding-window
+    * rollup, no self-join against a window table. Oracle replicates
+    * Spark's epoch-aligned starts: the k-th start is
+    * floor(epoch/slide)·slide − k·slide.
+    */
+  val q100HoppingWindows = GraftQuery(
+    "q100_hopping_windows",
+    "1-day windows hopping every 6h via window(ts, dur, slide)",
+    Some("""WITH w AS (
+        SELECT CAST(floor(epoch(ts) / 21600) * 21600 - k * 21600 AS BIGINT)
+            AS win_start, value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+      SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+      FROM w GROUP BY 1 ORDER BY 1"""),
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"), col("v"))
+      .orderBy(col("win_start")))
 
   /** ANN self-join: every embedding finds its approximate nearest
     * neighbor through the IVF cell index ([[graft.text.Ivf]]) — the
