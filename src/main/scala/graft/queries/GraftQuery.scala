@@ -21,5 +21,5 @@ object Catalog {
     Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
       SqlQueries.queries ++ PipelineQueries.queries ++
       SurfaceQueries.queries ++ CorpusQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ MixtureQueries.queries
 }

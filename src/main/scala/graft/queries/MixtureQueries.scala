@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+import graft.text.{TextAnalysis => TA}
+
+/** Training-data curation wave two: deterministic mixture sampling and
+  * sequence packing — the two ops that sit between a deduplicated corpus
+  * (q68) and the training-shard writer (`etl.Ingest.writeTrainingShards`).
+  *
+  * Both are built from the same scale discipline as the rest of the
+  * catalog: the sampler is a pure map-side filter (zero shuffles before
+  * the output sort — rerun-identical on any cluster size), and packing is
+  * shard-parallel (one window per shard, never a global cumulative sum).
+  */
+object MixtureQueries {
+
+  def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking)
+
+  /** Deterministic stratified mixture sampling (data mixing): each
+    * source keeps a target fraction of its documents, membership
+    * decided by an md5 prefix of the doc id — no RNG state, so the
+    * draw is rerun-identical, join-free, and embarrassingly parallel.
+    * The cutoff is a 4-hex-digit string: `bucket < cutoff` keeps
+    * exactly `cutoff/0x10000` of a uniform hash space ('g' sorts
+    * after every hex digit, i.e. keep-all). Mixture weights cycle
+    * 1 / 0.5 / 0.25 / 0.125 by source index — the "upsample wiki,
+    * downsample crawl" shape of LLM data mixing.
+    *
+    * At 100 TB this is the only sound way to draw a mixture: a
+    * `rand()`-based sample is neither rerun-stable nor resumable,
+    * while a hash draw re-derives the identical subset on any
+    * executor count, and composes with [[graft.etl.Ingest.hashSplit]]
+    * (train/test) because the two use independent hash functions.
+    */
+  val q101MixtureSample = GraftQuery(
+    "q101_mixture_sample",
+    "deterministic md5-bucket stratified sampling to mixture weights",
+    Some("""WITH s AS (
+        SELECT doc_id, source,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+          CASE CAST(substr(source, 4) AS INT) % 4
+            WHEN 0 THEN 'g' WHEN 1 THEN '8000'
+            WHEN 2 THEN '4000' ELSE '2000' END AS cutoff
+        FROM documents)
+      SELECT doc_id, source, bucket FROM s
+      WHERE bucket < cutoff ORDER BY doc_id"""),
+    (s, d) => {
+      val idx = substring(col("source"), 4, 10).cast("int") % 4
+      val cutoff = when(idx === 0, lit("g"))
+        .when(idx === 1, lit("8000"))
+        .when(idx === 2, lit("4000"))
+        .otherwise(lit("2000"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, 4).as("bucket"),
+          cutoff.as("cutoff"))
+        .where(col("bucket") < col("cutoff"))
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Token budget per packed sequence (tokens, not bytes). */
+  val PackBudget = 2048L
+  /** Shard count for the packing demo — at cluster scale this is
+    * O(executors), not 8; the property is shard-independence. */
+  val PackShards = 8L
+
+  /** Sequence packing: concatenate documents into fixed token-budget
+    * training sequences. True first-fit bin packing is inherently
+    * sequential, so the distributable form is start-offset packing
+    * within hash shards: docs are laid end-to-end in deterministic
+    * doc_id order per shard, and a doc belongs to the bin where its
+    * first token lands (`floor(preceding_tokens / budget)`). One
+    * window per shard — the shards are the parallelism, so 100 TB
+    * packs as N independent linear scans with a single shuffle on
+    * the shard key, and a rerun (or a re-pack after upstream dedup)
+    * reproduces byte-identical sequence boundaries.
+    */
+  val q102SeqPacking = GraftQuery(
+    "q102_seq_packing",
+    "shard-parallel start-offset sequence packing to a 2048-token budget",
+    Some(s"""WITH t AS (
+        SELECT doc_id, doc_id % $PackShards AS shard,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS tok
+        FROM documents),
+      c AS (
+        SELECT shard, doc_id, tok,
+          COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t)
+      SELECT shard, CAST(FLOOR(cum / $PackBudget) AS BIGINT) AS bin,
+        COUNT(*) AS n_docs, SUM(tok) AS tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => packedBins(documents(s, d)))
+
+  /** The packing plan over any (doc_id, text) frame — reused by
+    * MixtureSpec for the budget/contiguity properties. */
+  def packedBins(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      (col("doc_id") % PackShards).as("shard"),
+      TA.tokenCount(col("text")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .groupBy(col("shard"), floor(col("cum") / PackBudget).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+}

@@ -19,7 +19,8 @@ object SqlQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK,
-    q95SqlCorrelated, q96ArgMax)
+    q95SqlCorrelated, q96ArgMax, q103RecursiveChain, q104RangeWindow,
+    q105LateralTopK)
 
   /** Register every fixture table as a temp view named after itself.
     * Idempotent (createOrReplace) and session-scoped; `events` goes
@@ -146,6 +147,113 @@ object SqlQueries {
     * sort. Keyed on the unique orderkey so ties cannot occur and both
     * engines agree deterministically.
     */
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`) following each near-dup
+    * document's min-successor chain to its end — the SQL-text twin of
+    * `text.Components`' iterative min-label propagation. The edge set
+    * (one out-edge per doc: its smallest greater near-dup from q26's
+    * exact-Jaccard pairs) makes the recursion a functional-graph walk:
+    * out-degree ≤ 1 means no path explosion, and `doc_a < doc_b` means
+    * strictly increasing ids, so the fixpoint terminates without a
+    * depth cap. Each recursive step executes as one distributed join —
+    * iterations scale with the longest chain (cluster diameter), not
+    * data volume, which is exactly how the DataFrame-side components
+    * operator behaves at 100 TB.
+    */
+  val q103RecursiveChain: GraftQuery = GraftQuery(
+    "q103_recursive_chain",
+    "WITH RECURSIVE min-successor chain closure over near-dup pairs",
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+        FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT doc_a, MIN(doc_b) AS nxt FROM pairs
+        WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4 GROUP BY 1),
+      chain(start, cur, depth) AS (
+        SELECT doc_a, nxt, 1 FROM edges
+        UNION ALL
+        SELECT c.start, e.nxt, c.depth + 1
+        FROM chain c JOIN edges e ON c.cur = e.doc_a)
+      SELECT start AS doc_id, arg_max(cur, depth) AS root,
+        CAST(MAX(depth) AS INT) AS chain_len
+      FROM chain GROUP BY start ORDER BY doc_id"""),
+    (s, d) => {
+      graft.text.Dedup.jaccardPairs(Tables.documents(s, d), 0.4)
+        .createOrReplaceTempView("dup_pairs")
+      s.sql("""WITH RECURSIVE edges AS (
+          SELECT doc_a, MIN(doc_b) AS nxt FROM dup_pairs GROUP BY doc_a),
+        chain(start, cur, depth) AS (
+          SELECT doc_a, nxt, 1 FROM edges
+          UNION ALL
+          SELECT c.start, e.nxt, c.depth + 1
+          FROM chain c JOIN edges e ON c.cur = e.doc_a)
+        SELECT start AS doc_id, max_by(cur, depth) AS root,
+          CAST(MAX(depth) AS INT) AS chain_len
+        FROM chain GROUP BY start ORDER BY doc_id""")
+    })
+
+  /** Time-interval RANGE window frame: per event, the trailing-7-day
+    * event count and value sum for its user. A RANGE frame aggregates
+    * tie peers together, so the result is deterministic even when one
+    * user has several events at the same timestamp (where a ROWS frame
+    * would depend on shuffle order). Spark evaluates the interval
+    * frame over the µs-precision ts; the oracle runs the identical
+    * frame as epoch-µs arithmetic (7 days = 604 800 000 000 µs) — same
+    * membership, engine-neutral types. One shuffle on user_id.
+    */
+  val q104RangeWindow: GraftQuery = sqlQuery(
+    "q104_range_window",
+    "trailing-7-day per-user RANGE BETWEEN INTERVAL window",
+    oracle = """WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+      SELECT event_id, user_id,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        ROUND(SUM(value) OVER w, 2) AS sum_7d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+    sparkSql = """SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_7d,
+        ROUND(SUM(value) OVER w, 2) AS sum_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the "top-N of
+    * my group" idiom a SQL-first user writes before discovering window
+    * functions. Catalyst rewrites the correlated limit into a
+    * partitioned rank filter (DomainJoin → window), so the executed
+    * plan is the same shuffle shape as q06, not a per-outer-row
+    * re-execution; nation is broadcast-sized.
+    */
+  val q105LateralTopK: GraftQuery = sqlQuery(
+    "q105_lateral_topk",
+    "per-nation top-2 customers via correlated LATERAL (ORDER BY+LIMIT)",
+    oracle = """SELECT n.n_name, l.c_custkey, l.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+      ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""",
+    sparkSql = """SELECT n.n_name, l.c_custkey, l.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+      ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""")
+
   val q96ArgMax: GraftQuery = sqlQuery(
     "q96_argmax",
     "per-customer priority of highest/lowest order via max_by/min_by",
