@@ -15,7 +15,7 @@ object CorpusQueries {
   def queries: Seq[GraftQuery] = Seq(
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
-    q100HoppingWindows)
+    q100HoppingWindows, q106PqAnn)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -315,4 +315,19 @@ object CorpusQueries {
         nCells = 16, nProbe = 4, maxIter = 8)
       .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
       .orderBy(col("q_id")))
+
+  /** Product-quantization ANN, shortlist + re-rank form (rows-only:
+    * codebooks come from seeded KMeans, so values are engine-specific;
+    * PqSpec pins the ADC-distance identity and measures recall against
+    * exact L2). dim=64 fixtures → m=8 subspaces of 16 codes: the
+    * compressed scan reads 8 bytes/vector instead of 256, shortlists
+    * 50 candidates/query, and re-ranks only those at full precision. */
+  val q106PqAnn = GraftQuery(
+    "q106_pq_ann",
+    "product-quantization ANN: 8-byte ADC scan + exact re-rank top-5",
+    None,
+    (s, d) => graft.text.Pq
+      .adcRerankTopK(embeddings(s, d), isQuery = col("vec_id") < 20,
+        k = 5, m = 8)
+      .orderBy(col("q_id"), col("rk")))
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+/** Exact independent recomputations of the curation-wave-two queries:
+  * the mixture draw (q101), start-offset packing (q102) and the
+  * recursive chain closure (q103) are all deterministic, so the spec
+  * re-derives each result with plain Scala and compares sets exactly —
+  * stronger than the row-count smoke the driver does for rows-only
+  * entries, and DuckDB-free.
+  */
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  private def run(name: String) =
+    Catalog.all.find(_.name == name).get.run(spark, sf)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q101 keeps exactly the docs the md5 mixture rule admits") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter { case (id, src) =>
+      val cutoff = src.drop(3).toInt % 4 match {
+        case 0 => "g"; case 1 => "8000"; case 2 => "4000"; case _ => "2000"
+      }
+      md5hex(id.toString).take(4) < cutoff
+    }.map(_._1).toSet
+    val got = run("q101_mixture_sample").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length)
+    // full-rate sources (idx % 4 == 0) must survive completely
+    val full = docs.filter(_._2.drop(3).toInt % 4 == 0).map(_._1).toSet
+    assert(full.subsetOf(got))
+  }
+
+  test("q102 bins equal a sequential per-shard start-offset repack") {
+    val toks = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .sortBy(_._1)
+    val expected = toks.toSeq.groupBy(_._1 % MixtureQueries.PackShards)
+      .toSeq.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (_, tok) =>
+          val bin = cum / MixtureQueries.PackBudget
+          cum += tok
+          ((shard, bin), tok)
+        }
+      }.groupBy(_._1).map { case ((shard, bin), rows) =>
+        (shard, bin, rows.size.toLong, rows.map(_._2).sum)
+      }.toSet
+    val got = run("q102_seq_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // every doc lands in exactly one bin
+    assert(got.toSeq.map(_._3).sum === toks.length.toLong)
+  }
+
+  test("q103 chains equal a driver-side walk of the min-successor graph") {
+    val edges = graft.text.Dedup
+      .jaccardPairs(Tables.documents(spark, sf), 0.4)
+      .groupBy(col("doc_a")).agg(min(col("doc_b")).as("nxt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = edges.keys.map { start =>
+      var cur = edges(start); var depth = 1
+      while (edges.contains(cur)) { cur = edges(cur); depth += 1 }
+      (start, cur, depth)
+    }.toSet
+    val got = run("q103_recursive_chain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // chain ends are sinks: no root may itself have an out-edge
+    assert(got.forall { case (_, root, _) => !edges.contains(root) })
+  }
+}

@@ -162,4 +162,38 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range residual must ride the equi join, not a cross join:\n$p")
   }
+
+  test("q101 mixture draw is a pure scan-side filter — no join, no aggregate") {
+    val p = plan("q101_mixture_sample")
+    assert(!p.contains("Join"), s"hash sampling must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"hash sampling must not aggregate:\n$p")
+    // only the presentation sort may shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"the only exchange allowed is the output range sort:\n$p")
+  }
+
+  test("q102 packing windows per shard, never a global cumulative sum") {
+    val p = plan("q102_seq_packing")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"the running offset must partition by shard:\n$p")
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no stage may collapse to one partition:\n$p")
+  }
+
+  test("q104 interval range frame is user-partitioned with a RANGE spec") {
+    val p = plan("q104_range_window")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the trailing window must partition by user:\n$p")
+    assert(p.contains("RangeFrame") && p.contains("INTERVAL '-7' DAY"),
+      s"frame must be an interval RANGE, not ROWS:\n$p")
+  }
+
+  test("q105 correlated LATERAL limit rewrites to a partitioned rank") {
+    val p = plan("q105_lateral_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"LATERAL must decorrelate, not nest-loop per outer row:\n$p")
+    assert(p.contains("windowspecdefinition(c_nationkey") ||
+      p.contains("Limit"),
+      s"per-group limit must execute as rank-or-limit, found:\n$p")
+  }
 }
