@@ -15,7 +15,7 @@ object CorpusQueries {
   def queries: Seq[GraftQuery] = Seq(
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
-    q100HoppingWindows, q106PqAnn)
+    q100HoppingWindows, q106PqAnn, q107DupSpans)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -330,4 +330,51 @@ object CorpusQueries {
       .adcRerankTopK(embeddings(s, d), isQuery = col("vec_id") < 20,
         k = 5, m = 8)
       .orderBy(col("q_id"), col("rk")))
+
+  /** Exact duplicated-SPAN detection over near-dup pairs (the
+    * substring view of dedup): longest shared 3-gram run per pair via
+    * diagonal islands — see [[graft.text.Dedup.sharedSpanPairs]]. The
+    * oracle replays the identical diagonal/island derivation in SQL. */
+  val q107DupSpans = GraftQuery(
+    "q107_dup_spans",
+    "longest shared token span per near-dup pair (diagonal islands)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      dsh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+        FROM dsh),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sel AS (SELECT doc_a, doc_b FROM cand
+        WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4),
+      possh AS (
+        SELECT doc_id, i AS pos,
+          t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+        FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+      m AS (
+        SELECT DISTINCT s.doc_a, s.doc_b, a.pos - b.pos AS diag,
+          a.pos AS pa
+        FROM sel s
+        JOIN possh a ON a.doc_id = s.doc_a
+        JOIN possh b ON b.doc_id = s.doc_b AND b.sh = a.sh),
+      isl AS (
+        SELECT doc_a, doc_b, diag,
+          pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+            ORDER BY pa) AS grp
+        FROM m),
+      runs AS (SELECT doc_a, doc_b, COUNT(*) AS run
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, MAX(run) + 2 AS longest_span_tokens,
+        COUNT(*) AS n_runs
+      FROM runs GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => graft.text.Dedup.sharedSpanPairs(documents(s, d), 0.4)
+      .orderBy(col("doc_a"), col("doc_b")))
 }

@@ -20,7 +20,8 @@ object SqlQueries {
   def queries: Seq[GraftQuery] = Seq(
     q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK,
     q95SqlCorrelated, q96ArgMax, q103RecursiveChain, q104RangeWindow,
-    q105LateralTopK)
+    q105LateralTopK, q108TryArith, q109GroupingSets, q110PercentileDisc,
+    q111ApproxTopK)
 
   /** Register every fixture table as a temp view named after itself.
     * Idempotent (createOrReplace) and session-scoped; `events` goes
@@ -253,6 +254,103 @@ object SqlQueries {
         WHERE c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
       ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey""")
+
+  /** ANSI-mode-safe arithmetic: Spark 4 runs with ANSI SQL semantics
+    * ON, so a division by zero or a bad cast in dirty data ABORTS the
+    * job unless routed through the `try_` family. The divisor here is
+    * derived so ~1/7 of rows hit zero: `try_divide` nulls those out
+    * instead of killing a 100 TB scan 6 hours in, and `try_cast`
+    * proves the string→int failure path. The oracle expresses the
+    * identical null-on-error semantics with guarded CASE arithmetic.
+    */
+  val q108TryArith: GraftQuery = sqlQuery(
+    "q108_try_arith",
+    "try_divide/try_cast null-on-error over a divisor that hits zero",
+    oracle = """WITH e AS (
+        SELECT event_type, value,
+          CAST(props ->> 'k' AS INT) % 7 - 3 AS d,
+          TRY_CAST(event_type AS INT) AS bad_cast
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(COUNT(CASE WHEN d = 0 THEN NULL ELSE 1 END) AS BIGINT)
+          AS n_divisible,
+        ROUND(SUM(CASE WHEN d = 0 THEN NULL ELSE value / d END), 2)
+          AS sum_ratio,
+        CAST(COUNT(bad_cast) AS BIGINT) AS n_bad_casts
+      FROM e GROUP BY 1 ORDER BY 1""",
+    sparkSql = """WITH e AS (
+        SELECT event_type, value,
+          CAST(get_json_object(props, '$.k') AS INT) % 7 - 3 AS d,
+          TRY_CAST(event_type AS INT) AS bad_cast
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        COUNT(try_divide(value, CASE WHEN d = 0 THEN NULL ELSE d END))
+          AS n_divisible,
+        ROUND(SUM(try_divide(value, nullif(d, 0))), 2) AS sum_ratio,
+        COUNT(bad_cast) AS n_bad_casts
+      FROM e GROUP BY 1 ORDER BY 1""")
+
+  /** Explicit GROUPING SETS with grouping() flags — the general form
+    * behind ROLLUP (q35) and CUBE (q76); the middle set here
+    * ((l_linestatus) without l_returnflag) is NOT a rollup prefix, so
+    * only GROUPING SETS can express it. One Expand + one aggregate,
+    * same single-shuffle plan as the cube. */
+  val q109GroupingSets: GraftQuery = sqlQuery(
+    "q109_grouping_sets",
+    "non-hierarchical GROUPING SETS with grouping() flags",
+    oracle = """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        COALESCE(l_linestatus, '(all)') AS ls,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        ROUND(SUM(l_quantity), 2) AS qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_linestatus), ())
+      ORDER BY 1, 2""",
+    sparkSql = """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        COALESCE(l_linestatus, '(all)') AS ls,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        ROUND(SUM(l_quantity), 2) AS qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_linestatus), ())
+      ORDER BY 1, 2""")
+
+  /** percentile_disc WITHIN GROUP — the ordered-set aggregate that
+    * returns an ACTUAL data value (vs q38's interpolating
+    * percentile_cont), so results are bit-identical across engines
+    * with no rounding escape hatch needed. */
+  val q110PercentileDisc: GraftQuery = sqlQuery(
+    "q110_percentile_disc",
+    "discrete percentiles (WITHIN GROUP ordered-set syntax)",
+    oracle = """SELECT event_type,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+        COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
+    sparkSql = """SELECT event_type,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+        COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")
+
+  /** approx_top_k — Spark 4's native heavy-hitter sketch (the built-in
+    * twin of q55's hand-rolled count-min). At fixture cardinality
+    * (3 event types, well under the sketch's tracked-item budget) the
+    * sketch is EXACT, so the oracle is plain exact counts — same
+    * rows-only-vs-exact pattern as q32/q52. */
+  val q111ApproxTopK: GraftQuery = sqlQuery(
+    "q111_approx_top_k",
+    "native approx_top_k heavy hitters, exact at fixture cardinality",
+    oracle = """SELECT event_type, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3""",
+    sparkSql = """SELECT t.item AS event_type, t.count AS n
+      FROM (SELECT approx_top_k(event_type, 3) AS tk FROM events)
+      LATERAL VIEW explode(tk) AS t
+      ORDER BY n DESC, event_type""")
 
   val q96ArgMax: GraftQuery = sqlQuery(
     "q96_argmax",

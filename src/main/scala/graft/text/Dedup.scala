@@ -105,6 +105,43 @@ object Dedup {
     * and an 8 s query. Below ~0.6, run [[jaccardPairs]] (count-based
     * full join) or [[minHashLshPairs]] instead.
     */
+  /** Longest shared n-gram RUN per near-dup pair — the exact-substring
+    * duplication measure (the span view of dedup: Lee et al.'s
+    * "Deduplicating Training Data" removes repeated spans, not whole
+    * docs). Matched shingle positions of a truly shared substring fall
+    * on one diagonal (pa − pb = const) at consecutive pa — so the
+    * longest shared span is the largest island of consecutive
+    * positions within a (pair, diagonal) group (gaps-and-islands via
+    * the pa − row_number trick), and a run of r shingles spans
+    * r + n − 1 tokens. The position join only touches docs already
+    * paired by [[jaccardPairs]] at `threshold`, so its cost is
+    * O(pairs × positions), not corpus-quadratic; at 100 TB the pair
+    * source would be [[minHashLshPairs]] — same downstream plan.
+    */
+  def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold, n).select("doc_a", "doc_b")
+    val posSh = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))"))
+        .as(Seq("pos", "sh")))
+    val a = posSh.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("sh"))
+    val b = posSh.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    pairs.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("pa"))
+      .distinct()
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + lit(n - 1)).as("longest_span_tokens"),
+        count(lit(1)).as("n_runs"))
+  }
+
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     val W = org.apache.spark.sql.expressions.Window
