@@ -19,7 +19,8 @@ object ExtraQueries {
     q41SaltedAgg, q42CopartitionJoin, q43TimeConvert, q44TopKAggregate,
     q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
     q66SaltedJoin, q73PartitionPrunedJoin, q74BloomJoinFilter,
-    q75BinnedRangeJoin, q88ZOrderLayout)
+    q75BinnedRangeJoin, q88ZOrderLayout, q112ShippingPriority,
+    q113ReturnedItems)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -632,4 +633,77 @@ object ExtraQueries {
             .as("revenue"))
         .orderBy(col("o_orderpriority"))
     })
+
+  /** TPC-H Q3 analog (shipping priority): revenue of still-shipping
+    * orders for one market segment. The selective filters sit on THREE
+    * different tables — the plan proof that predicate pushdown works
+    * through a join chain: each reaches its own parquet scan, customer
+    * broadcasts, and only surviving orders shuffle. Top-10 via
+    * TakeOrdered, never a global sort. */
+  val q112ShippingPriority = GraftQuery(
+    "q112_shipping_priority",
+    "TPC-H Q3 analog: top-10 open-order revenue for one segment",
+    Some("""SELECT l.l_orderkey,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        CAST(o.o_orderdate AS DATE) AS odate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < DATE '1998-01-01'
+        AND l.l_shipdate > DATE '1998-01-01'
+      GROUP BY 1, 3, 4
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    (s, d) => lineitem(s, d)
+      .where(col("l_shipdate") > lit(java.sql.Date.valueOf("1998-01-01")))
+      .join(orders(s, d)
+        .where(col("o_orderdate") < lit(java.sql.Date.valueOf("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("odate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10))
+
+  /** TPC-H Q10 analog (returned-item reporting): which customers
+    * returned the most revenue in a quarter. Classic
+    * fact⋈fact⋈dim⋈dim star shape: the date filter prunes orders at
+    * the scan, returnflag prunes lineitem at the scan, customer and
+    * nation broadcast — one shuffle joins the two pruned facts, the
+    * top-20 ships as TakeOrdered partials. */
+  val q113ReturnedItems = GraftQuery(
+    "q113_returned_items",
+    "TPC-H Q10 analog: top-20 customers by returned revenue",
+    Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        COUNT(*) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= DATE '1997-01-01'
+        AND o.o_orderdate < DATE '1997-07-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (s, d) => lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .join(orders(s, d)
+        .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("o_orderdate") < lit(java.sql.Date.valueOf("1997-07-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20))
 }

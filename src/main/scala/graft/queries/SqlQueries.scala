@@ -21,7 +21,7 @@ object SqlQueries {
     q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK,
     q95SqlCorrelated, q96ArgMax, q103RecursiveChain, q104RangeWindow,
     q105LateralTopK, q108TryArith, q109GroupingSets, q110PercentileDisc,
-    q111ApproxTopK)
+    q111ApproxTopK, q114JoinHint)
 
   /** Register every fixture table as a temp view named after itself.
     * Idempotent (createOrReplace) and session-scoped; `events` goes
@@ -189,7 +189,12 @@ object SqlQueries {
         CAST(MAX(depth) AS INT) AS chain_len
       FROM chain GROUP BY start ORDER BY doc_id"""),
     (s, d) => {
+      // Materialize the pair table ONCE (q27/q89 multi-use lesson):
+      // the recursive plan re-reads its non-recursive inputs on every
+      // iteration, and without the checkpoint each step would re-run
+      // the whole shingle self-join (measured 12.2 s → ~2 s at sf0.1).
       graft.text.Dedup.jaccardPairs(Tables.documents(s, d), 0.4)
+        .localCheckpoint(true)
         .createOrReplaceTempView("dup_pairs")
       s.sql("""WITH RECURSIVE edges AS (
           SELECT doc_a, MIN(doc_b) AS nxt FROM dup_pairs GROUP BY doc_a),
@@ -351,6 +356,26 @@ object SqlQueries {
       FROM (SELECT approx_top_k(event_type, 3) AS tk FROM events)
       LATERAL VIEW explode(tk) AS t
       ORDER BY n DESC, event_type""")
+
+  /** Join-strategy hint through SQL text: `/*+ SHUFFLE_HASH(o) */`
+    * overrides the optimizer's broadcast pick (orders is under the
+    * auto-broadcast threshold at fixture scale) — the tuning surface a
+    * user reaches for when a "small" side isn't (broadcast OOM) or a
+    * skewed sort must be avoided. Hints never change results — the
+    * oracle is the same query unhinted (DuckDB reads the hint as a
+    * comment) — and PlansSpec pins that the hint actually flipped the
+    * physical strategy to ShuffledHashJoin. */
+  val q114JoinHint: GraftQuery = sqlQuery(
+    "q114_join_hint",
+    "SHUFFLE_HASH join hint through SQL text (plan changes, result doesn't)",
+    oracle = """SELECT /*+ SHUFFLE_HASH(o) */ o.o_orderstatus,
+        COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+    sparkSql = """SELECT /*+ SHUFFLE_HASH(o) */ o.o_orderstatus,
+        COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1""")
 
   val q96ArgMax: GraftQuery = sqlQuery(
     "q96_argmax",

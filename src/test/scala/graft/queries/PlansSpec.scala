@@ -163,6 +163,31 @@ class PlansSpec extends AnyFunSuite {
       s"range residual must ride the equi join, not a cross join:\n$p")
   }
 
+  test("q112 pushes all three filters to their scans and takes, not sorts") {
+    val p = plan("q112_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered partials, not a global sort:\n$p")
+  }
+
+  test("q113 star shape: dims broadcast, facts pruned, top-20 taken") {
+    val p = plan("q113_returned_items")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q114 SHUFFLE_HASH hint flips the strategy without changing results") {
+    val p = plan("q114_join_hint")
+    assert(p.contains("ShuffledHashJoin"),
+      s"hint must force a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q101 mixture draw is a pure scan-side filter — no join, no aggregate") {
     val p = plan("q101_mixture_sample")
     assert(!p.contains("Join"), s"hash sampling must not join:\n$p")
