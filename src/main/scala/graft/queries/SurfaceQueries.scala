@@ -18,7 +18,8 @@ object SurfaceQueries {
   def queries: Seq[GraftQuery] = Seq(
     q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
     q84DistributionWindows, q91VariantJson, q92SessionWindow,
-    q94UpsertApply, q97NullSafeJoin, q98EditDistance)
+    q94UpsertApply, q97NullSafeJoin, q98EditDistance, q115BagSetOps,
+    q116NthValue)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
     * pass — Spark expands the sets inside a single hash aggregate
@@ -342,5 +343,76 @@ object SurfaceQueries {
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
+    })
+
+  /** Bag-semantics set operations — `exceptAll`/`intersectAll` keep
+    * DUPLICATE CARDINALITY (q17/q18 are the distinct forms): a key
+    * appearing 5× returned and 3× finalized survives EXCEPT ALL twice.
+    * Spark plans both as a single aggregate computing per-key
+    * multiplicity deltas — one shuffle, no pairwise matching. */
+  val q115BagSetOps = GraftQuery(
+    "q115_bag_set_ops",
+    "EXCEPT ALL / INTERSECT ALL multiplicity semantics on orderkeys",
+    Some("""WITH r AS (SELECT l_orderkey FROM lineitem
+          WHERE l_returnflag = 'R'),
+        f AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'),
+        ea AS (SELECT l_orderkey FROM r EXCEPT ALL SELECT l_orderkey FROM f),
+        ia AS (SELECT l_orderkey FROM r INTERSECT ALL
+          SELECT l_orderkey FROM f)
+      SELECT (SELECT COUNT(*) FROM ea) AS except_all_n,
+        (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM ea)
+          AS except_all_keys,
+        (SELECT COUNT(*) FROM ia) AS intersect_all_n,
+        (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM ia)
+          AS intersect_all_keys"""),
+    (s, d) => {
+      val r = lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      val f = lineitem(s, d).where(col("l_linestatus") === "F")
+        .select(col("l_orderkey"))
+      val ea = r.exceptAll(f).agg(count(lit(1)).as("except_all_n"),
+        countDistinct(col("l_orderkey")).as("except_all_keys"))
+      val ia = r.intersectAll(f).agg(count(lit(1)).as("intersect_all_n"),
+        countDistinct(col("l_orderkey")).as("intersect_all_keys"))
+      ea.crossJoin(ia)
+    })
+
+  /** first_value / nth_value / last_value over an unbounded frame —
+    * "the k-th event of each user" without a self-join. The ordering
+    * key is (ts, event_id): event_id breaks timestamp ties so both
+    * engines agree row-for-row, and the oracle orders by epoch-µs
+    * (events.parquet is ns precision; Spark reads µs). Values are
+    * returned verbatim (no arithmetic), so the compare is exact. */
+  val q116NthValue = GraftQuery(
+    "q116_nth_value",
+    "per-user first/second/last event value via nth_value windows",
+    Some("""WITH w AS (
+        SELECT user_id,
+          first_value(value) OVER win AS first_v,
+          nth_value(value, 2) OVER win AS second_v,
+          last_value(value) OVER win AS last_v,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+        WINDOW win AS (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT user_id, first_v, second_v, last_v
+      FROM w WHERE rn = 1 ORDER BY user_id"""),
+    (s, d) => {
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"),
+          first(col("value")).over(win).as("first_v"),
+          nth_value(col("value"), 2).over(win).as("second_v"),
+          last(col("value")).over(win).as("last_v"),
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("first_v"), col("second_v"),
+          col("last_v"))
+        .orderBy(col("user_id"))
     })
 }

@@ -48,4 +48,43 @@ class JoinStreamSpec extends AnyFunSuite {
       assert(batch === Set((1L, 1200L), (3L, 2400L)))
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits unmatched imps only after watermark") {
+    implicit val sql = spark.sqlContext
+    val impStream = MemoryStream[Imp]
+    val clkStream = MemoryStream[Clk]
+    val q = JoinStream.clickAttributionOuter(impStream.toDF(), clkStream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+    try {
+      impStream.addData(imps)
+      clkStream.addData(clks)
+      q.processAllAvailable()
+      // the JOIN watermark is min(imp wm 10:00−2h, click wm 11:00−2h)
+      // = 08:00: imp 2's no-match verdict (needs 09:30+1h+2h = 12:30)
+      // is not final, so nothing unmatched may emit yet
+      val early = spark.table("attr_outer").collect()
+        .filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+      assert(early === Set.empty[Long])
+      // advance BOTH watermarks past every horizon (min policy), then
+      // run one more batch: watermarks computed at batch end apply to
+      // the NEXT batch, which performs the eviction-driven null emit
+      impStream.addData(Imp(98L, ts("2024-01-01 23:00:00")))
+      clkStream.addData(Clk(99L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      impStream.addData(Imp(97L, ts("2024-01-01 23:30:00")))
+      clkStream.addData(Clk(96L, ts("2024-01-01 23:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer").collect()
+      val unmatched = rows.filter(_.isNullAt(2)).map(_.getLong(0)).toList
+      assert(unmatched === List(2L))
+      val matched = rows.filterNot(_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(matched === Set((1L, 1200L), (3L, 2400L)))
+      // batch twin: plain left outer agrees on both partitions of rows
+      val batch = JoinStream.clickAttributionOuter(imps.toDF(), clks.toDF())
+      assert(batch.collect().filter(_.isNullAt(2)).map(_.getLong(0)).toList
+        === List(2L))
+    } finally q.stop()
+  }
 }
