@@ -13,7 +13,8 @@ import graft.model.Tables._
   */
 object AnalyticsQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention)
+  def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
+    q117Scd2Build, q118PitJoin)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -148,5 +149,123 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_cohort"),
           count(col("a_user")).as("n_retained"))
         .orderBy(col("cohort"), col("off"))
+    })
+
+  /** SCD Type-2 dimension build: the per-user event-type history
+    * compressed into validity intervals — segment boundaries where the
+    * status CHANGES (lag comparison), segment ids by running sum of
+    * boundaries (gaps-and-islands), then [valid_from, valid_to) with
+    * `lead` and an open last interval. Two windows over the same
+    * user partition → ONE shuffle on user_id; timestamps compared as
+    * epoch-µs on both engines (events.parquet is ns; Spark reads µs).
+    * This is the standard warehouse "dimension history" op — at 100 TB
+    * the only cost is the user shuffle the rest of the wave already
+    * pays. */
+  val q117Scd2Build = GraftQuery(
+    "q117_scd2_build",
+    "SCD Type-2 validity intervals from the per-user status stream",
+    Some("""WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        FROM events),
+      b AS (
+        SELECT user_id, event_type, tus, event_id,
+          CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+            THEN 1 ELSE 0 END AS boundary
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      seg AS (
+        SELECT user_id, event_type, tus,
+          SUM(boundary) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+        FROM b),
+      iv AS (
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+          MIN(event_type) AS status, MIN(tus) AS valid_from,
+          COUNT(*) AS n_events
+        FROM seg GROUP BY user_id, seg_id)
+      SELECT user_id, seg_id, status, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+          AS valid_to,
+        n_events
+      FROM iv ORDER BY user_id, seg_id"""),
+    (s, d) => scd2(events(s, d))
+      .orderBy(col("user_id"), col("seg_id")))
+
+  /** The SCD2 build over any (user_id, event_type, ts, event_id)
+    * frame — shared by q117 and q118's dimension side. */
+  def scd2(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wRow = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val e = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("event_id"))
+    val seg = e
+      .withColumn("boundary",
+        when(lag(col("event_type"), 1).over(wRow) === col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("seg_id", sum(col("boundary"))
+        .over(wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seg
+      .groupBy(col("user_id"), col("seg_id"))
+      .agg(min(col("event_type")).as("status"),
+        min(col("tus")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("seg_id"))))
+      .select(col("user_id"), col("seg_id"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
+  /** Point-in-time (as-of) join against the SCD2 dimension: each
+    * purchase matched to the BROWSING-status interval that was valid
+    * at purchase time (the dimension is built from non-purchase events
+    * only, so the lookup is a genuine cross-activity join, not
+    * self-identification). Spark plans the equi key (user_id) as the
+    * join with the interval bounds as residual — the q36 as-of shape:
+    * one shuffle, no cross join, works at 100 TB where the dimension
+    * history and the fact stream are both huge. */
+  val q118PitJoin = GraftQuery(
+    "q118_pit_join",
+    "point-in-time join: purchases against SCD2 validity intervals",
+    Some("""WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        FROM events WHERE event_type <> 'purchase'),
+      b AS (
+        SELECT user_id, event_type, tus, event_id,
+          CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+            THEN 1 ELSE 0 END AS boundary
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      seg AS (
+        SELECT user_id, event_type, tus,
+          SUM(boundary) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+        FROM b),
+      iv AS (
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+          MIN(event_type) AS status, MIN(tus) AS valid_from
+        FROM seg GROUP BY user_id, seg_id),
+      dim AS (
+        SELECT user_id, seg_id, status, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+            AS valid_to
+        FROM iv),
+      p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.tus, d.status, d.valid_from
+      FROM p JOIN dim d ON p.user_id = d.user_id
+        AND d.valid_from <= p.tus
+        AND (d.valid_to IS NULL OR p.tus < d.valid_to)
+      ORDER BY p.event_id"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val dim = scd2(ev.where(col("event_type") =!= "purchase"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("tus"))
+      p.join(dim, col("p_user") === col("user_id") &&
+          col("valid_from") <= col("tus") &&
+          (col("valid_to").isNull || col("tus") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("status"), col("valid_from"))
+        .orderBy(col("event_id"))
     })
 }

@@ -163,6 +163,14 @@ class PlansSpec extends AnyFunSuite {
       s"range residual must ride the equi join, not a cross join:\n$p")
   }
 
+  test("q118 point-in-time join keys on user with interval residual") {
+    val p = plan("q118_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"validity-interval lookup must ride the user_id equi join:\n$p")
+    assert(p.contains("Join") && p.contains("valid_from"),
+      s"interval bounds must be a join residual:\n$p")
+  }
+
   test("q112 pushes all three filters to their scans and takes, not sorts") {
     val p = plan("q112_shipping_priority")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
