@@ -14,7 +14,7 @@ import graft.model.Tables._
 object AnalyticsQueries {
 
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
-    q117Scd2Build, q118PitJoin)
+    q117Scd2Build, q118PitJoin, q119PageRank)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -267,5 +267,72 @@ object AnalyticsQueries {
         .select(col("event_id"), col("user_id"), col("tus"),
           col("status"), col("valid_from"))
         .orderBy(col("event_id"))
+    })
+
+  /** PageRank (3 unrolled iterations, damping 0.85) over the bipartite
+    * supplier↔part graph from lineitem — iterative graph analytics as
+    * pure dataflow, the [[graft.text.Components]] pattern with weighted
+    * propagation: each iteration is one shuffle join (edges ⋈ ranks)
+    * plus one aggregate, never a collect. Edges and degrees are
+    * localCheckpointed ONCE (they appear in every iteration's subtree —
+    * the q27/q103 multi-use lesson); the node count rides along as a
+    * broadcast 1-row aggregate, not a driver action. Output ordering
+    * uses the ROUNDED rank (8 dp) with node-id tie-break: structurally
+    * identical nodes have mathematically equal ranks whose float noise
+    * (~1e-15) would otherwise order differently per engine. At 100 TB
+    * iterations scale with diameter only; each is a standard keyed
+    * shuffle that AQE sizes like any other join.
+    */
+  val q119PageRank = GraftQuery(
+    "q119_pagerank",
+    "PageRank over the supplier-part bipartite graph (3 unrolled rounds)",
+    Some("""WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey FROM lineitem),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      n AS (SELECT COUNT(*) AS cnt FROM nodes),
+      pr0 AS (SELECT node, 1.0 / cnt AS pr FROM nodes, n),
+      it1 AS (
+        SELECT e.dst AS node, 0.15 / MIN(n.cnt) + 0.85 * SUM(p.pr / d.outdeg) AS pr
+        FROM edges e JOIN pr0 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, n GROUP BY e.dst),
+      it2 AS (
+        SELECT e.dst AS node, 0.15 / MIN(n.cnt) + 0.85 * SUM(p.pr / d.outdeg) AS pr
+        FROM edges e JOIN it1 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, n GROUP BY e.dst),
+      it3 AS (
+        SELECT e.dst AS node, 0.15 / MIN(n.cnt) + 0.85 * SUM(p.pr / d.outdeg) AS pr
+        FROM edges e JOIN it2 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, n GROUP BY e.dst)
+      SELECT node, ROUND(pr, 8) AS pr FROM it3
+      ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
+    (s, d) => {
+      val li = lineitem(s, d)
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+      val bwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = fwd.union(bwd).localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
+      var pr = nodes.crossJoin(nTotal)
+        .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = edges.join(pr, col("src") === col("node"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("outdeg")).as("mass"))
+          .crossJoin(nTotal)
+          .select(col("dst").as("node"),
+            (lit(0.15) / col("cnt") + lit(0.85) * col("mass")).as("pr"))
+      }
+      pr.select(col("node"), round(col("pr"), 8).as("pr"))
+        .orderBy(round(col("pr"), 8).desc, col("node"))
+        .limit(20)
     })
 }
