@@ -17,7 +17,8 @@ import graft.text.{TextAnalysis => TA}
   */
 object MixtureQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking)
+  def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking,
+    q120WeightedSample)
 
   /** Deterministic stratified mixture sampling (data mixing): each
     * source keeps a target fraction of its documents, membership
@@ -111,4 +112,49 @@ object MixtureQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
       .orderBy(col("shard"), col("bin"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, top-k per
+    * stratum — Efraimidis–Spirakis A-ES keys with hash-derived
+    * uniforms: key = ln(u) / w for u = (md5₃₂(doc_id)+1)/2³², so
+    * selection probability is proportional to weight (n_chars here —
+    * "prefer longer documents"), yet the draw has no RNG state: the
+    * same top-k re-derives on any cluster, and adding documents never
+    * reshuffles the keys of existing ones (stable under corpus
+    * growth — a resumable curation pass). Plan: scan-side key
+    * computation + one per-source window rank; ranking uses the
+    * ROUNDED key (8 dp) so libm ulp differences between engines can't
+    * reorder near-ties (doc_id breaks exact ties).
+    */
+  val q120WeightedSample = GraftQuery(
+    "q120_weighted_sample",
+    "Efraimidis-Spirakis weighted top-3 per source, hash-derived uniforms",
+    Some("""WITH s AS (
+        SELECT doc_id, source, n_chars,
+          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS UBIGINT) + 1) / 4294967296.0 AS u
+        FROM documents),
+      k AS (SELECT doc_id, source, n_chars,
+          ROUND(ln(u) / n_chars, 8) AS es_key FROM s),
+      r AS (SELECT doc_id, source, n_chars, es_key,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY es_key DESC, doc_id) AS rk
+        FROM k)
+      SELECT source, doc_id, n_chars, es_key, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 3 ORDER BY source, rk"""),
+    (s, d) => {
+      val u = (expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+        + lit(1L)) / lit(4294967296.0)
+      val key = round(log(u) / col("n_chars"), 8)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          key.as("es_key"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("es_key"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    })
 }

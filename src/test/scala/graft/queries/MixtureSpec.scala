@@ -67,6 +67,29 @@ class MixtureSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === toks.length.toLong)
   }
 
+  test("q120 equals a driver-side Efraimidis-Spirakis draw, and weights bite") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keyed = docs.map { case (id, src, w) =>
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) + 1L) /
+        4294967296.0
+      (src, id, BigDecimal(math.log(u) / w)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = keyed.toSeq.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3)
+    }.map(r => (r._1, r._2)).toSet
+    val got = run("q120_weighted_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // weighting must bite: winners are longer than their source median
+    val med = docs.map(_._3).sorted.apply(docs.length / 2)
+    val winners = docs.filter(d => got.contains((d._2, d._1))).map(_._3)
+    assert(winners.count(_ >= med) > winners.length / 2,
+      s"weighted draw should prefer long docs: $winners vs median $med")
+  }
+
   test("q103 chains equal a driver-side walk of the min-successor graph") {
     val edges = graft.text.Dedup
       .jaccardPairs(Tables.documents(spark, sf), 0.4)
