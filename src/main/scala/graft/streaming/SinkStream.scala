@@ -16,14 +16,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SinkStream {
 
-  /** Daily event counts continuously materialized as a parquet table. */
-  def dailyCountsToParquet(events: DataFrame, dir: String): StreamingQuery =
-    events
+  /** Daily event counts continuously materialized as a parquet table.
+    * Pass `checkpoint` to make the query RESTARTABLE: source offsets
+    * and the aggregation state store live under it, so a stopped (or
+    * crashed) query resumes exactly where it left off — committed
+    * batches are not reprocessed and the running counts survive the
+    * restart. Without it Spark uses a temp checkpoint and the state
+    * dies with the query (fine for tests, never for production). */
+  def dailyCountsToParquet(events: DataFrame, dir: String,
+                           checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.coalesce(1).write.mode("overwrite").parquet(dir)
       }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+  }
 }
