@@ -56,6 +56,24 @@ class PqSpec extends AnyFunSuite {
     assert(diff <= 2e-4, s"ADC deviates from reconstruction distance by $diff")
   }
 
+  test("PQ index survives the table layout: write codes+codebook, query from disk") {
+    // The index IS table data (codes column + m×k codebook table), so
+    // the offline build / online query split is just parquet IO — no
+    // side-format, no serialization code to maintain.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val cb = Pq.trainCodebooks(emb, m = 8, k = 16)
+    Pq.encode(emb, cb, m = 8).write.parquet(s"$dir/codes")
+    cb.write.parquet(s"$dir/codebook")
+    val cb2 = spark.read.parquet(s"$dir/codebook")
+    val codes2 = spark.read.parquet(s"$dir/codes")
+    // decode from the persisted pair reproduces the in-memory recon
+    val a = Pq.decode(Pq.encode(emb, cb, 8), cb).orderBy("vec_id")
+      .collect().map(_.toString)
+    val b = Pq.decode(codes2, cb2).orderBy("vec_id")
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("ADC recall vs exact L2; shortlist+re-rank lifts it substantially") {
     // Fixture embeddings are near-random 64-dim vectors — the
     // distance-concentration worst case for an 8-byte code. The pins:
