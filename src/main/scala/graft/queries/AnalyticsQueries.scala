@@ -14,7 +14,8 @@ import graft.model.Tables._
 object AnalyticsQueries {
 
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
-    q117Scd2Build, q118PitJoin, q119PageRank)
+    q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
+    q122CumulativeDistinct, q123CoPurchase)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -333,6 +334,117 @@ object AnalyticsQueries {
       }
       pr.select(col("node"), round(col("pr"), 8).as("pr"))
         .orderBy(round(col("pr"), 8).desc, col("node"))
+        .limit(20)
+    })
+
+  /** EWMA (α=0.5) over each user's observed-day value series, closed
+    * form: ewma_t = α^t·Σ(v_s/α^s) / (α^t·Σ(1/α^s)) — the recurrence
+    * is not window-expressible, but the scaled cumulative sums are,
+    * and BOTH engines evaluate running window sums sequentially in
+    * day order, so the float stream is identical (day ranks are
+    * bounded by the fixture's ~31-day span; 0.5⁻³¹ stays far inside
+    * double range). One shuffle on user_id; the EWMA column is a pure
+    * map over the two running sums. */
+  val q121Ewma = GraftQuery(
+    "q121_ewma",
+    "per-user exponentially weighted moving average over daily sums",
+    Some("""WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, SUM(value) AS v
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, v,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+            AS DOUBLE) AS rn
+        FROM d),
+      c AS (
+        SELECT user_id, day, rn,
+          SUM(v / power(0.5, rn)) OVER w AS num,
+          SUM(1.0 / power(0.5, rn)) OVER w AS den
+        FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, day,
+        ROUND(power(0.5, rn) * num / (power(0.5, rn) * den), 4) AS ewma
+      FROM c ORDER BY user_id, day"""),
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wCum = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("rn", row_number().over(byDay).cast("double"))
+        .withColumn("num", sum(col("v") / pow(lit(0.5), col("rn"))).over(wCum))
+        .withColumn("den", sum(lit(1.0) / pow(lit(0.5), col("rn"))).over(wCum))
+        .select(col("user_id"), col("day"),
+          round(pow(lit(0.5), col("rn")) * col("num") /
+            (pow(lit(0.5), col("rn")) * col("den")), 4).as("ewma"))
+        .orderBy(col("user_id"), col("day"))
+    })
+
+  /** Cumulative distinct users to date — the "total audience" curve.
+    * COUNT(DISTINCT) OVER a running frame is unsupported (and would be
+    * quadratic anyway); the linear form is first-seen-day per user →
+    * per-day new-user counts → one running sum over the (broadcast-
+    * sized) day series. Also emits daily actives for contrast. */
+  val q122CumulativeDistinct = GraftQuery(
+    "q122_cumulative_distinct",
+    "daily active vs cumulative distinct users (first-seen running sum)",
+    Some("""WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+      nu AS (SELECT d0 AS day, COUNT(*) AS new_users FROM f GROUP BY 1),
+      act AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1)
+      SELECT act.day, act.dau,
+        CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY act.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_users
+      FROM act LEFT JOIN nu ON nu.day = act.day
+      ORDER BY act.day"""),
+    (s, d) => {
+      val ev = events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val newUsers = firstSeen.groupBy(col("d0").as("nday"))
+        .agg(count(lit(1)).as("new_users"))
+      val actives = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the day series is ~weeks of rows — the single-partition running
+      // sum is over a broadcast-scale frame, not the event stream
+      actives.join(newUsers, col("nday") === col("day"), "left")
+        .select(col("day"), col("dau"),
+          sum(coalesce(col("new_users"), lit(0L))).over(w).as("cum_users"))
+        .orderBy(col("day"))
+    })
+
+  /** Market-basket co-occurrence: part pairs bought together in one
+    * order, counted corpus-wide — the association-mining primitive.
+    * The self-join is WITHIN the order key (pair fan-out is
+    * per-order-lines², bounded by basket size, never corpus²) and
+    * `<` de-duplicates unordered pairs at the join, not after. Top-20
+    * by (count, pair) ships as TakeOrdered partials. */
+  val q123CoPurchase = GraftQuery(
+    "q123_copurchase_pairs",
+    "top-20 part pairs co-purchased in the same order",
+    Some("""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""),
+    (s, d) => {
+      val a = lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey").as("part_a"))
+      val b = lineitem(s, d).select(col("l_orderkey").as("ok_b"),
+        col("l_partkey").as("part_b"))
+      a.join(b, col("l_orderkey") === col("ok_b") &&
+          col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
     })
 }

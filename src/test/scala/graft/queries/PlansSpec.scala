@@ -163,6 +163,14 @@ class PlansSpec extends AnyFunSuite {
       s"range residual must ride the equi join, not a cross join:\n$p")
   }
 
+  test("q123 co-purchase self-join keys on the order, pairs as residual") {
+    val p = plan("q123_copurchase_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay within the order key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered partials:\n$p")
+  }
+
   test("q118 point-in-time join keys on user with interval residual") {
     val p = plan("q118_pit_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
