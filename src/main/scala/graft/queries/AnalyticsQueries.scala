@@ -15,7 +15,8 @@ object AnalyticsQueries {
 
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
-    q122CumulativeDistinct, q123CoPurchase)
+    q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
+    q126Profile)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -446,5 +447,131 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
+    })
+
+  /** A/B experiment readout: deterministic arm assignment (user_id
+    * parity — at 100 TB a hash bucket, same shape) and a Welch
+    * t-statistic per event_type from one conditional aggregate — the
+    * two-sample comparison as a single shuffle, no per-arm scans.
+    * var_samp is numerically stable on both engines; the statistic is
+    * rounded to absorb last-ulp differences. */
+  val q124AbTest = GraftQuery(
+    "q124_ab_ttest",
+    "Welch t-statistic per event_type for a hash-assigned A/B split",
+    Some("""WITH e AS (
+        SELECT event_type, value, user_id % 2 AS arm FROM events),
+      s AS (
+        SELECT event_type,
+          COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+          COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+          AVG(CASE WHEN arm = 0 THEN value END) AS m_a,
+          AVG(CASE WHEN arm = 1 THEN value END) AS m_b,
+          var_samp(CASE WHEN arm = 0 THEN value END) AS v_a,
+          var_samp(CASE WHEN arm = 1 THEN value END) AS v_b
+        FROM e GROUP BY 1)
+      SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        ROUND(m_a - m_b, 4) AS mean_diff,
+        ROUND((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_welch
+      FROM s ORDER BY 1"""),
+    (s, d) => {
+      val arm = col("user_id") % 2
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(arm === 0, 1)).as("n_a"),
+          count(when(arm === 1, 1)).as("n_b"),
+          avg(when(arm === 0, col("value"))).as("m_a"),
+          avg(when(arm === 1, col("value"))).as("m_b"),
+          var_samp(when(arm === 0, col("value"))).as("v_a"),
+          var_samp(when(arm === 1, col("value"))).as("v_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("m_a") - col("m_b"), 4).as("mean_diff"),
+          round((col("m_a") - col("m_b")) /
+            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4)
+            .as("t_welch"))
+        .orderBy(col("event_type"))
+    })
+
+  /** Distribution-drift monitor: χ² statistic of each source's
+    * language mix against the corpus-wide mix — the pipeline-health
+    * check that flags a crawler segment gone off-language. Corpus
+    * shares are a broadcast-sized aggregate joined back; one shuffle
+    * on (source, lang), χ² is a per-source fold. */
+  val q125ChiSquareDrift = GraftQuery(
+    "q125_chi2_drift",
+    "chi-square drift of per-source language mix vs the corpus mix",
+    Some("""WITH sl AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      st AS (SELECT source, SUM(n) AS n_src FROM sl GROUP BY 1),
+      lt AS (SELECT lang, SUM(n) AS n_lang FROM sl GROUP BY 1),
+      tot AS (SELECT SUM(n) AS n_all FROM sl),
+      x AS (
+        SELECT st.source, lt.lang,
+          COALESCE(sl.n, 0) AS obs,
+          st.n_src * lt.n_lang * 1.0 / tot.n_all AS exp
+        FROM st CROSS JOIN lt CROSS JOIN tot
+        LEFT JOIN sl ON sl.source = st.source AND sl.lang = lt.lang)
+      SELECT source,
+        ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+        CAST(SUM(obs) AS BIGINT) AS n_docs
+      FROM x GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val sl = documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val st = sl.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+      val lt = sl.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      val tot = sl.agg(sum(col("n")).as("n_all"))
+      st.crossJoin(broadcast(lt)).crossJoin(broadcast(tot))
+        .join(sl, Seq("source", "lang"), "left")
+        .select(col("source"),
+          coalesce(col("n"), lit(0L)).as("obs"),
+          (col("n_src") * col("n_lang") * lit(1.0) / col("n_all")).as("exp"))
+        .groupBy(col("source"))
+        .agg(round(sum((col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp")), 4).as("chi2"),
+          sum(col("obs")).cast("long").as("n_docs"))
+        .orderBy(col("source"))
+    })
+
+  /** Column profiling — the first query anyone runs on unknown data:
+    * per-column null count, distinct count, and min/max (string-cast
+    * so heterogeneous columns stack into one frame). Each column's
+    * profile is one aggregate over the shared scan; the union is a
+    * plan-level concat of 1-row frames. */
+  val q126Profile = GraftQuery(
+    "q126_column_profile",
+    "per-column null/distinct/min/max profile of orders",
+    Some("""SELECT 'o_orderdate' AS col_name,
+        CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_nulls,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+        CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_s,
+        CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+        CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+        CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+        CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR) FROM orders
+      ORDER BY 1"""),
+    (s, d) => {
+      val o = orders(s, d)
+      def prof(name: String, c: org.apache.spark.sql.Column) =
+        o.agg((count(lit(1)) - count(c)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_s"),
+          max(c).cast("string").as("max_s"))
+          .select(lit(name).as("col_name"), col("n_nulls"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      prof("o_orderdate", col("o_orderdate").cast("date"))
+        .unionAll(prof("o_orderpriority", col("o_orderpriority")))
+        .unionAll(prof("o_totalprice", round(col("o_totalprice"), 2)))
+        .orderBy(col("col_name"))
     })
 }
