@@ -312,21 +312,27 @@ object AnalyticsQueries {
       SELECT node, ROUND(pr, 8) AS pr FROM it3
       ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
     (s, d) => {
-      val li = lineitem(s, d)
-      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
-      val bwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
-      val edges = fwd.union(bwd).localCheckpoint(true)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // one distinct over the undirected pair set; both directions
+      // derive from it without re-deduplicating
+      val pairs = lineitem(s, d)
+        .select(concat(lit("s"), col("l_suppkey")).as("s"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("s").as("dst")))
+      // degree pre-joined ONCE and the weighted edge table checkpointed
+      // pre-partitioned on src: each iteration then shuffles only the
+      // rank table (the edge side reuses its stored partitioning)
+      val ew = edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(col("src"))
         .localCheckpoint(true)
-      val nodes = edges.select(col("src").as("node")).distinct()
+      val nodes = ew.select(col("src").as("node")).distinct()
       val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
       var pr = nodes.crossJoin(nTotal)
         .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
       for (_ <- 1 to 3) {
-        pr = edges.join(pr, col("src") === col("node"))
-          .join(deg, "src")
+        pr = ew.join(pr, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(col("pr") / col("outdeg")).as("mass"))
           .crossJoin(nTotal)
