@@ -37,6 +37,16 @@ object Ingest {
     df.coalesce(numFiles).write.mode("overwrite").parquet(path)
 
   /** S4 — read a checkpoint back. */
+  /** Schema-evolution read: merge the footers of batches written with
+    * DIFFERENT (compatible) schemas into one union schema — columns a
+    * batch lacks come back null. The per-footer merge is the read-side
+    * half of additive schema evolution (new columns appear without
+    * rewriting old data); `mergeSchema` is off by default in Spark
+    * because footer merging costs a pass over file metadata — exactly
+    * why it's an explicit entry point here, not a global conf. */
+  def readParquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

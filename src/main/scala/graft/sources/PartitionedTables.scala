@@ -19,6 +19,18 @@ object PartitionedTables {
   private def root(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** Incremental backfill: rewrite ONLY the partitions present in
+    * `patch` (per-write `partitionOverwriteMode=dynamic` — no session
+    * mutation), leaving every other partition's files physically
+    * untouched. This is the daily-pipeline repair primitive at 100 TB:
+    * re-deriving one bad day costs one day's IO, not a table rewrite,
+    * and readers of other days never see a change (same files, same
+    * mtimes — PartitionedTablesSpec asserts exactly that). */
+  def backfillPartitions(patch: DataFrame, dir: String): Unit =
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ds").parquet(dir)
+
   /** Write (first use per path) and read back the date-partitioned
     * events copy; `ds` comes back as a DATE partition column. */
   def events(s: SparkSession, sfDir: String): DataFrame = {
