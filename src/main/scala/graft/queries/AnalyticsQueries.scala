@@ -320,29 +320,38 @@ object AnalyticsQueries {
         .distinct()
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))
-      // degree pre-joined ONCE and the weighted edge table checkpointed
-      // pre-partitioned on src: each iteration then shuffles only the
-      // rank table (the edge side reuses its stored partitioning)
-      val ew = edges
-        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(col("src"))
-        .localCheckpoint(true)
-      val nodes = ew.select(col("src").as("node")).distinct()
-      val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
-      var pr = nodes.crossJoin(nTotal)
-        .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
-      for (_ <- 1 to 3) {
-        pr = ew.join(pr, col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(sum(col("pr") / col("outdeg")).as("mass"))
-          .crossJoin(nTotal)
-          .select(col("dst").as("node"),
-            (lit(0.15) / col("cnt") + lit(0.85) * col("mass")).as("pr"))
-      }
-      pr.select(col("node"), round(col("pr"), 8).as("pr"))
+      pageRank(edges, iters = 3)
+        .select(col("node"), round(col("pr"), 8).as("pr"))
         .orderBy(round(col("pr"), 8).desc, col("node"))
         .limit(20)
     })
+
+  /** PageRank over any (src, dst) edge frame (every node must carry at
+    * least one out-edge — true for any symmetrized graph). Degree is
+    * pre-joined ONCE and the weighted edge table checkpointed
+    * pre-partitioned on src, so each iteration shuffles only the rank
+    * table. Returns (node, pr) unrounded; GraftProps pins that the
+    * total mass stays 1 through iterations. */
+  def pageRank(edges: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = ew.select(col("src").as("node")).distinct()
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
+    var pr = nodes.crossJoin(nTotal)
+      .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ew.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("outdeg")).as("mass"))
+        .crossJoin(nTotal)
+        .select(col("dst").as("node"),
+          (lit(0.15) / col("cnt") + lit(0.85) * col("mass")).as("pr"))
+    }
+    pr
+  }
 
   /** EWMA (α=0.5) over each user's observed-day value series, closed
     * form: ewma_t = α^t·Σ(v_s/α^s) / (α^t·Σ(1/α^s)) — the recurrence
@@ -372,22 +381,26 @@ object AnalyticsQueries {
       SELECT user_id, day,
         ROUND(power(0.5, rn) * num / (power(0.5, rn) * den), 4) AS ewma
       FROM c ORDER BY user_id, day"""),
-    (s, d) => {
-      val daily = events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(col("value")).as("v"))
-      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val wCum = Window.partitionBy(col("user_id")).orderBy(col("rn"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("rn", row_number().over(byDay).cast("double"))
-        .withColumn("num", sum(col("v") / pow(lit(0.5), col("rn"))).over(wCum))
-        .withColumn("den", sum(lit(1.0) / pow(lit(0.5), col("rn"))).over(wCum))
-        .select(col("user_id"), col("day"),
-          round(pow(lit(0.5), col("rn")) * col("num") /
-            (pow(lit(0.5), col("rn")) * col("den")), 4).as("ewma"))
-        .orderBy(col("user_id"), col("day"))
-    })
+    (s, d) => ewmaDaily(events(s, d)).orderBy(col("user_id"), col("day")))
+
+  /** The q121 EWMA pipeline over any (user_id, ts, value) frame —
+    * GraftProps pins the convex-combination bound (min ≤ ewma ≤ max of
+    * the prefix) on generated series. */
+  def ewmaDaily(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("v"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(byDay).cast("double"))
+      .withColumn("num", sum(col("v") / pow(lit(0.5), col("rn"))).over(wCum))
+      .withColumn("den", sum(lit(1.0) / pow(lit(0.5), col("rn"))).over(wCum))
+      .select(col("user_id"), col("day"),
+        round(pow(lit(0.5), col("rn")) * col("num") /
+          (pow(lit(0.5), col("rn")) * col("den")), 4).as("ewma"))
+  }
 
   /** Cumulative distinct users to date — the "total audience" curve.
     * COUNT(DISTINCT) OVER a running frame is unsupported (and would be

@@ -132,6 +132,45 @@ object GraftProps extends Properties("graft") {
       deinterleave(z) == a && deinterleave(z >> 1) == b
     }
 
+  // PageRank conserves probability mass: with every node carrying an
+  // out-edge (symmetrized graphs always do), Σpr = 0.15 + 0.85·Σpr
+  // stays exactly 1 through any number of iterations
+  property("pagerank mass sums to one on symmetrized graphs") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5)))) { raw =>
+      val es = raw.collect { case (a, b) if a != b => (s"n$a", s"n$b") }.distinct
+      es.isEmpty || {
+        val fwd = es.toDF("src", "dst")
+        val edges = fwd.union(fwd.select(col("dst"), col("src")))
+        val total = graft.queries.AnalyticsQueries.pageRank(edges, iters = 2)
+          .agg(sum(col("pr"))).collect().head.getDouble(0)
+        math.abs(total - 1.0) < 1e-9
+      }
+    }
+
+  // EWMA is a convex combination of the prefix values: it can never
+  // leave [min, max] of the daily sums seen so far
+  property("ewma stays inside the prefix min/max envelope") =
+    forAll(Gen.listOfN(30, genEvent)) { evs =>
+      evs.isEmpty || {
+        val df = toEventsDf(evs)
+        val daily = df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("v"))
+          .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+        val prefix = daily.groupBy(_._1).flatMap { case (u, rows) =>
+          val sorted = rows.sortBy(_._2)
+          sorted.indices.map { i =>
+            val seen = sorted.take(i + 1).map(_._3)
+            ((u, sorted(i)._2), (seen.min, seen.max))
+          }
+        }
+        graft.queries.AnalyticsQueries.ewmaDaily(df).collect().forall { r =>
+          val (lo, hi) = prefix((r.getLong(0), r.getDate(1).toString))
+          val e = r.getDouble(2)
+          e >= lo - 1e-4 && e <= hi + 1e-4
+        }
+      }
+    }
+
   // funnel monotonicity: each stage's count can only shrink
   property("funnel stages are monotonically non-increasing") =
     forAll(Gen.listOfN(60, genEvent)) { evs =>

@@ -163,6 +163,25 @@ class PlansSpec extends AnyFunSuite {
       s"range residual must ride the equi join, not a cross join:\n$p")
   }
 
+  test("q117 SCD2 build shuffles once: both windows share the user partition") {
+    val p = plan("q117_scd2_build")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"segmenting windows must partition by user:\n$p")
+  }
+
+  test("q121 EWMA windows are user-partitioned, never global") {
+    val p = plan("q121_ewma")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"running sums must partition by user:\n$p")
+  }
+
+  test("q125 drift monitor broadcasts the corpus shares") {
+    val p = plan("q125_chi2_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"lang shares and totals must broadcast, not shuffle:\n$p")
+  }
+
   test("q123 co-purchase self-join keys on the order, pairs as residual") {
     val p = plan("q123_copurchase_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
