@@ -21,7 +21,7 @@ object SqlQueries {
     q47SqlLineitemAgg, q48SqlEventsPivot, q49SqlDatediff, q50SqlTopK,
     q95SqlCorrelated, q96ArgMax, q103RecursiveChain, q104RangeWindow,
     q105LateralTopK, q108TryArith, q109GroupingSets, q110PercentileDisc,
-    q111ApproxTopK, q114JoinHint)
+    q111ApproxTopK, q114JoinHint, q127FilteredAgg)
 
   /** Register every fixture table as a temp view named after itself.
     * Idempotent (createOrReplace) and session-scoped; `events` goes
@@ -376,6 +376,36 @@ object SqlQueries {
         COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1""")
+
+  /** `FILTER (WHERE …)` aggregates + `GROUP BY ALL` + `HAVING` in one
+    * statement — the standard-SQL spelling of the conditional-sum
+    * pivot (q02 wrote it as CASE WHEN): every filtered aggregate is
+    * still ONE pass in a single hash aggregate, the filter folding
+    * into each aggregate's update condition; HAVING becomes an
+    * ordinary post-aggregate filter. */
+  val q127FilteredAgg: GraftQuery = sqlQuery(
+    "q127_filtered_agg",
+    "FILTER (WHERE) aggregates with GROUP BY ALL and HAVING",
+    oracle = """SELECT l_returnflag,
+        COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+          AS BIGINT) AS n_discounters,
+        ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+          AS taxfree_price
+      FROM lineitem GROUP BY ALL
+      HAVING COUNT(*) FILTER (WHERE l_quantity > 25) > 100
+      ORDER BY 1""",
+    sparkSql = """SELECT l_returnflag,
+        COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+          AS n_discounters,
+        ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+          AS taxfree_price
+      FROM lineitem GROUP BY ALL
+      HAVING COUNT(*) FILTER (WHERE l_quantity > 25) > 100
+      ORDER BY 1""")
 
   val q96ArgMax: GraftQuery = sqlQuery(
     "q96_argmax",
