@@ -15,7 +15,7 @@ object CorpusQueries {
   def queries: Seq[GraftQuery] = Seq(
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
-    q100HoppingWindows, q106PqAnn, q107DupSpans)
+    q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -377,4 +377,22 @@ object CorpusQueries {
       FROM runs GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, d) => graft.text.Dedup.sharedSpanPairs(documents(s, d), 0.4)
       .orderBy(col("doc_a"), col("doc_b")))
+
+  /** BPE tokenizer training on the corpus + re-encoding with the
+    * learned merges (rows-only: the merge table is a learned artifact
+    * with no SQL twin; BpeSpec pins the algorithm against the
+    * textbook example and an independent reimplementation). Corpus
+    * pass count: ONE distributed word count + ONE encode map — the
+    * merge loop itself runs over the vocab-bounded frequency table. */
+  val q128BpeTrain = GraftQuery(
+    "q128_bpe_train",
+    "train 40 BPE merges on the corpus, re-encode, report compression",
+    None,
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.text.Bpe.learnMerges(
+        graft.text.Bpe.wordCounts(docs), nMerges = 40)
+      graft.text.Bpe.tokenCounts(docs, merges)
+        .orderBy(col("doc_id"))
+    })
 }
