@@ -26,7 +26,7 @@ object PipelineQueries {
     q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
     q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
-    q71UnigramLm, q72TokenEntropy)
+    q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold. */
@@ -70,6 +70,37 @@ object PipelineQueries {
       SELECT n AS doc_id, MIN(r) AS component
       FROM walk GROUP BY 1 ORDER BY 1"""),
     (s, d) => Components.dedupComponents(documents(s, d), 0.4)
+      .orderBy(col("doc_id")))
+
+  /** Leakage-safe train/test split: q70's hash split draws per DOC, so
+    * two near-duplicates can straddle the boundary and the test set
+    * leaks into training — the classic contamination bug. The safe
+    * unit is the dedup COMPONENT: hash the component id (md5-prefix
+    * cutoff, q101's trick — '4' of 16 first hex digits ≈ 25% test),
+    * so an entire near-dup cluster lands on one side by construction.
+    * Cost over q56 is one scan-side hash — group-aware splitting is
+    * free once components exist. */
+  val q129LeakageSafeSplit = GraftQuery(
+    "q129_leakage_safe_split",
+    "component-hashed train/test split (near-dup clusters never straddle)",
+    Some(s"""WITH RECURSIVE ${pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n),
+      comp AS (SELECT n AS doc_id, MIN(r) AS component
+        FROM walk GROUP BY 1)
+      SELECT doc_id, component,
+        CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < '4'
+          THEN 'test' ELSE 'train' END AS split
+      FROM comp ORDER BY doc_id"""),
+    (s, d) => Components.dedupComponents(documents(s, d), 0.4)
+      .withColumn("split",
+        when(substring(md5(col("component").cast("string")), 1, 1) < "4",
+          "test").otherwise("train"))
       .orderBy(col("doc_id")))
 
   /** TF-IDF term weighting (smooth idf, the sklearn formulation:

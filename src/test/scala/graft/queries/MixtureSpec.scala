@@ -90,6 +90,25 @@ class MixtureSpec extends AnyFunSuite {
       s"weighted draw should prefer long docs: $winners vs median $med")
   }
 
+  test("q129 splits never separate a near-dup pair; per-doc hashing would") {
+    val split = run("q129_leakage_safe_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.text.Dedup
+      .jaccardPairs(Tables.documents(spark, sf), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // the whole point: no near-dup pair straddles the boundary
+    assert(pairs.forall { case (a, b) => split(a) == split(b) })
+    // contrast: the naive per-DOC draw (q101's rule on doc_id) places
+    // at least one near-dup pair on opposite sides of the cut
+    def docSide(id: Long) =
+      if (md5hex(id.toString).take(1) < "4") "test" else "train"
+    assert(pairs.exists { case (a, b) => docSide(a) != docSide(b) },
+      "fixture should demonstrate the leak the component split prevents")
+    // both sides populated
+    assert(split.values.toSet === Set("train", "test"))
+  }
+
   test("q103 chains equal a driver-side walk of the min-successor graph") {
     val edges = graft.text.Dedup
       .jaccardPairs(Tables.documents(spark, sf), 0.4)
