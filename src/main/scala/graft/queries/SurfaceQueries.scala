@@ -19,7 +19,7 @@ object SurfaceQueries {
     q76CubeRevenue, q77FullOuter, q78OrderedListAgg, q79Unpivot,
     q84DistributionWindows, q91VariantJson, q92SessionWindow,
     q94UpsertApply, q97NullSafeJoin, q98EditDistance, q115BagSetOps,
-    q116NthValue)
+    q116NthValue, q130SnapshotDiff)
 
   /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
     * pass — Spark expands the sets inside a single hash aggregate
@@ -414,5 +414,64 @@ object SurfaceQueries {
         .select(col("user_id"), col("first_v"), col("second_v"),
           col("last_v"))
         .orderBy(col("user_id"))
+    })
+
+  /** Snapshot reconciliation — the inverse of q94's CDC apply: given
+    * two table versions, derive the change set (added / removed /
+    * changed / same) with ONE full-outer join on the key and a value
+    * comparison — the regression check every ETL rewrite ships with.
+    * v2 is derived deterministically from v1 (drops, price bumps, and
+    * key-shifted inserts) so both engines build the identical pair of
+    * snapshots. At 100 TB both sides shuffle once on the key; the
+    * classification is a map over the joined row. */
+  val q130SnapshotDiff = GraftQuery(
+    "q130_snapshot_diff",
+    "full-outer snapshot diff: added/removed/changed/same + value delta",
+    Some("""WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      v2 AS (
+        SELECT o_orderkey AS k,
+          CASE WHEN o_orderkey % 100 = 0
+            THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice FROM orders
+        WHERE o_orderkey % 101 = 0),
+      d AS (
+        SELECT COALESCE(v1.k, v2.k) AS k, v1.p AS p1, v2.p AS p2,
+          CASE WHEN v1.k IS NULL THEN 'added'
+               WHEN v2.k IS NULL THEN 'removed'
+               WHEN v1.p <> v2.p THEN 'changed'
+               ELSE 'same' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+      SELECT status, COUNT(*) AS n,
+        ROUND(SUM(COALESCE(p2, 0) - COALESCE(p1, 0)), 2) AS value_delta
+      FROM d GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val v1 = orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val v2 = orders(s, d)
+        .where(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 100 === 0,
+            round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("p"))
+        .unionAll(orders(s, d).where(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 20000000L).as("k"),
+            col("o_totalprice").as("p")))
+      v1.withColumnRenamed("k", "k1").withColumnRenamed("p", "p1")
+        .join(v2.withColumnRenamed("k", "k2").withColumnRenamed("p", "p2"),
+          col("k1") === col("k2"), "full_outer")
+        .select(
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("same").as("status"),
+          col("p1"), col("p2"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("p2"), lit(0)) - coalesce(col("p1"), lit(0))), 2)
+            .as("value_delta"))
+        .orderBy(col("status"))
     })
 }
