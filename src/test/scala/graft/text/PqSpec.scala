@@ -74,6 +74,23 @@ class PqSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("PQ handles production dims (768) without plan blowup") {
+    // The r1 lesson that killed the literal-tree LSH buckets at dim
+    // 768: per-dimension expression trees explode codegen. PQ's plans
+    // are dimension-INDEPENDENT (slice + native dot products + joins),
+    // so the same code must run unchanged at real embedding widths.
+    import org.apache.spark.sql.functions._
+    val emb768 = spark.range(256).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 768), j -> cast(sin(id * 7 + j) as float))")
+        .as("embedding"))
+    val cb = Pq.trainCodebooks(emb768, m = 16, k = 16)
+    assert(cb.count() === 256)
+    assert(cb.select(size(col("cent"))).distinct().head.getInt(0) === 48)
+    val top = Pq.adcRerankTopK(emb768, col("vec_id") < 8, k = 5, m = 16)
+      .collect()
+    assert(top.length === 40) // 8 queries × top-5
+  }
+
   test("ADC recall vs exact L2; shortlist+re-rank lifts it substantially") {
     // Fixture embeddings are near-random 64-dim vectors — the
     // distance-concentration worst case for an 8-byte code. The pins:
