@@ -37,4 +37,16 @@ object EventsStream {
         col("clicks"), col("views"), col("purchases"),
         col("n_events"), col("value_sum"))
   }
+
+  /** Stream-static enrichment — the most common streaming join: each
+    * micro-batch of events joins a STATIC dimension (no watermark, no
+    * join state; the static side is planned per batch, broadcast when
+    * small). Unmatched events keep flowing with a null segment (left
+    * join), so a late dimension row never blocks the stream. Works on
+    * both streaming and batch frames; the batch run is the spec's
+    * oracle. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
 }

@@ -45,4 +45,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exists(t => t._1 == "2024-01-01" && t._2 == 2L && t._3 == 1L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "segment")
+    val stream = MemoryStream[Ev]
+    val q = EventsStream.enrichWithDim(stream.toDF(), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(4))).toSet
+      val batch = EventsStream.enrichWithDim(data.toDF(), dim).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(4))).toSet
+      assert(streamed === batch)
+      // matched users carry their segment; unmatched flow as 'unknown'
+      assert(streamed.filter(_._1 == 1L).forall(_._3 == "gold"))
+      assert(streamed.filter(_._1 == 2L).forall(_._3 == "unknown"))
+    } finally q.stop()
+  }
 }
