@@ -20,7 +20,7 @@ object ExtraQueries {
     q45NativePivot, q51BucketJoin, q52ApproxPercentiles, q55HeavyHitters,
     q66SaltedJoin, q73PartitionPrunedJoin, q74BloomJoinFilter,
     q75BinnedRangeJoin, q88ZOrderLayout, q112ShippingPriority,
-    q113ReturnedItems)
+    q113ReturnedItems, q131SkewReport)
 
   /** W4 — growth/delta features on the daily series
     * (ref 流行音乐趋势预测.md:467-469, 997-1001). */
@@ -706,4 +706,44 @@ object ExtraQueries {
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20))
+
+  /** Key-skew diagnosis — the measurement that DECIDES between a plain
+    * join, a broadcast, and q66's salting (and sizes the salt factor):
+    * per-key cardinalities reduced to max/median/avg, the max:median
+    * skew ratio, and the heaviest key (max_by — no second pass). One
+    * count aggregate + one 1-row fold; at 100 TB this runs on the
+    * join key BEFORE committing to a shuffle strategy, for the cost of
+    * a map-side-combined count. */
+  val q131SkewReport = GraftQuery(
+    "q131_skew_report",
+    "join-key skew diagnosis: cardinality spread + heaviest key",
+    Some("""WITH k AS (
+        SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(MAX(n) AS BIGINT) AS max_n,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+          AS med_n,
+        ROUND(AVG(n), 4) AS avg_n,
+        ROUND(MAX(n) * 1.0 /
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY n), 4) AS skew_ratio,
+        (SELECT key FROM k ORDER BY n DESC, key LIMIT 1) AS heaviest_key
+      FROM k"""),
+    (s, d) => {
+      // k feeds two subtrees (stats fold + heaviest-key probe) — one
+      // scan, not two (the q34/q27 multi-use lesson)
+      val k = lineitem(s, d).groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      k.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+          .cast("long").as("med_n"),
+        round(avg(col("n")), 4).as("avg_n"),
+        round(max(col("n")) * lit(1.0) /
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)"), 4)
+          .as("skew_ratio"))
+        .crossJoin(broadcast(k.orderBy(col("n").desc, col("key")).limit(1)
+          .select(col("key").as("heaviest_key"))))
+    })
 }
