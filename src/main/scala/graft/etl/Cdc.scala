@@ -16,7 +16,10 @@ object Cdc {
 
   /** Minimal change set v1 → v2 as (k, op ∈ I|U|D, new_v): inserts for
     * keys only in v2, deletes for keys only in v1, updates only where
-    * the value ACTUALLY differs — unchanged rows produce nothing. */
+    * the value ACTUALLY differs — unchanged rows produce nothing. The
+    * update test is null-SAFE (`<=>`): a plain `=!=` evaluates to NULL
+    * when either side is NULL, which would silently drop NULL→value
+    * and value→NULL transitions and break the diff/apply inverse. */
   def diff(v1: DataFrame, v2: DataFrame): DataFrame = {
     val a = v1.select(col("k").as("k1"), col("v").as("v1"))
     val b = v2.select(col("k").as("k2"), col("v").as("v2"))
@@ -24,7 +27,7 @@ object Cdc {
       .select(coalesce(col("k1"), col("k2")).as("k"),
         when(col("k1").isNull, "I")
           .when(col("k2").isNull, "D")
-          .when(col("v1") =!= col("v2"), "U").as("op"),
+          .when(not(col("v1") <=> col("v2")), "U").as("op"),
         col("v2").as("new_v"))
       .where(col("op").isNotNull)
   }

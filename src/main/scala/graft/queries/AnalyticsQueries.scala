@@ -581,16 +581,19 @@ object AnalyticsQueries {
       ORDER BY 1"""),
     (s, d) => {
       val o = orders(s, d)
-      def prof(name: String, c: org.apache.spark.sql.Column) =
-        o.agg((count(lit(1)) - count(c)).as("n_nulls"),
-          countDistinct(c).as("n_distinct"),
-          min(c).cast("string").as("min_s"),
-          max(c).cast("string").as("max_s"))
+      // n_nulls/n_distinct profile the RAW column (the oracle does too);
+      // the round/date cast is display-only, applied inside min/max.
+      def prof(name: String, raw: org.apache.spark.sql.Column,
+               show: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        o.agg((count(lit(1)) - count(raw)).as("n_nulls"),
+          countDistinct(raw).as("n_distinct"),
+          show(min(raw)).cast("string").as("min_s"),
+          show(max(raw)).cast("string").as("max_s"))
           .select(lit(name).as("col_name"), col("n_nulls"),
             col("n_distinct"), col("min_s"), col("max_s"))
-      prof("o_orderdate", col("o_orderdate").cast("date"))
-        .unionAll(prof("o_orderpriority", col("o_orderpriority")))
-        .unionAll(prof("o_totalprice", round(col("o_totalprice"), 2)))
+      prof("o_orderdate", col("o_orderdate"), _.cast("date"))
+        .unionAll(prof("o_orderpriority", col("o_orderpriority"), identity))
+        .unionAll(prof("o_totalprice", col("o_totalprice"), round(_, 2)))
         .orderBy(col("col_name"))
     })
 }

@@ -239,30 +239,41 @@ object ExtraQueries {
       .orderBy(col("l_returnflag")))
 
   /** Count-min-sketch heavy hitters — the frequency-sketch sibling of
-    * q32 (HLL) and q52 (quantile sketch). The sketch is ONE bounded-size
-    * aggregate over the full table (~110 KB at ε=1e-3 regardless of row
-    * count — that's the 100 TB point); the driver reads it back and
-    * annotates the exact top-20 (TakeOrdered, O(k) per partition) with
-    * sketch estimates. Rows-only: estimates are sketch-seed-specific.
-    * MlSpec pins the CMS guarantee (never under-counts, over-counts
-    * ≤ ε·N w.h.p.).
+    * q32 (HLL) and q52 (quantile sketch), in the textbook two-pass
+    * shape. Pass 1 builds ONE bounded-size sketch over the full table
+    * (~110 KB at ε=1e-3 regardless of row count — that's the 100 TB
+    * point). Pass 2 probes the sketch INSIDE the scan
+    * ([[graft.functions.CmsEstimate]], codegen'd reference-object
+    * probe, same pattern as the Bloom runtime filter): since a CMS
+    * never under-counts, `est ≥ τ` passes every true heavy hitter, so
+    * only candidate keys reach the shuffle; the exact count then
+    * removes the sketch's over-count false positives. The output is
+    * therefore EXACT — support threshold τ = 1.2× the mean per-key
+    * count — and oracle-checkable; the sketch is purely the pruning
+    * mechanism. MlSpec additionally pins the CMS guarantee (never
+    * under-counts, over-counts ≤ ε·N w.h.p.).
     */
   val q55HeavyHitters = GraftQuery(
     "q55_heavy_hitters",
-    "count-min-sketch estimates next to exact counts for top-20 users",
-    None,
+    "CMS-pruned exact heavy hitters above 1.2x mean per-user support",
+    Some("""SELECT CAST(user_id AS BIGINT) AS user_id,
+        COUNT(*) AS exact_cnt
+      FROM events GROUP BY 1
+      HAVING COUNT(*) >=
+        (SELECT CAST(1.2 AS DOUBLE) * COUNT(*) / COUNT(DISTINCT user_id)
+         FROM events)
+      ORDER BY exact_cnt DESC, user_id"""),
     (s, d) => {
       val ev = events(s, d).select(col("user_id").cast("long").as("user_id"))
-      val bytes = ev
-        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
-        .head.getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val est = udf((u: Long) => cms.estimateCount(java.lang.Long.valueOf(u)))
-      ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(col("exact_cnt").desc, col("user_id"))
-        .limit(20)
-        .withColumn("cms_est", est(col("user_id")))
+      val head = ev.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n"), countDistinct(col("user_id")).as("u")).head
+      val tau = 1.2 * head.getAs[Long]("n") / head.getAs[Long]("u")
+      val probe = graft.functions.CmsEstimate.probe(
+        head.getAs[Array[Byte]]("cms")) _
+      ev.filter(probe(col("user_id")) >= tau)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") >= tau)
         .orderBy(col("exact_cnt").desc, col("user_id"))
     })
 

@@ -94,7 +94,7 @@ object MixtureQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         FROM t)
       SELECT shard, CAST(FLOOR(cum / $PackBudget) AS BIGINT) AS bin,
-        COUNT(*) AS n_docs, SUM(tok) AS tokens
+        COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, d) => packedBins(documents(s, d)))
 

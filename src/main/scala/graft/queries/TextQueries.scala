@@ -180,12 +180,33 @@ object TextQueries {
     (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.8)
       .orderBy(col("doc_a"), col("doc_b")))
 
-  /** Rows-only: minhash values are xxhash64-specific. The spec asserts
-    * LSH pairs ⊆ exact pairs and full recall at the threshold. */
+  /** Oracle-checked against q26's EXACT Jaccard SQL: the LSH output is
+    * candidate pairs verified with exact pair-local Jaccard, so
+    * precision is 1 by construction, and the banding is deterministic
+    * (xxhash64, no RNG) with measured recall 1.0 on the gate corpus —
+    * the sketch is purely the candidate-pruning mechanism, the emitted
+    * rows are engine-independent. TextSpec keeps the recall assertion
+    * as the early-warning if banding parameters ever change. */
   val q27MinHashLsh = GraftQuery(
     "q27_minhash_lsh_pairs",
     "MinHash+LSH banded near-dup pairs, Jaccard-verified (threshold 0.4)",
-    None,
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+      FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
+      ORDER BY doc_a, doc_b"""),
     (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4)
       .orderBy(col("doc_a"), col("doc_b")))
 

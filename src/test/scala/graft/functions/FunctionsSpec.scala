@@ -110,6 +110,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("bloom_might_contain"), plan)
   }
 
+  test("cms_estimate matches the sketch's own estimates and stays in codegen") {
+    val ev = spark.range(5000)
+      .select((col("id") % 100).as("k")) // 50 occurrences per key
+    val bytes = ev
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)")).head
+      .getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_cms_probe"
+    ev.distinct().write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select($"k", CmsEstimate.probe(bytes)($"k").as("est"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 100L).foreach { k =>
+      assert(got(k) === cms.estimateCount(java.lang.Long.valueOf(k)), s"key $k")
+      assert(got(k) >= 50L, s"key $k must never under-count")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), s"must not fall back:\n$plan")
+    assert(plan.contains("cms_estimate"), plan)
+  }
+
   test("SQL registration exposes rolling_min_hash and top_k_by") {
     Registry.registerAll(spark)
     Seq((1L, "hello world rolling hash"), (2L, "another document"))

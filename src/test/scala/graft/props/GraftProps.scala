@@ -172,26 +172,30 @@ object GraftProps extends Properties("graft") {
     }
 
   // CDC round-trip: applying the derived change set reconstructs the
-  // target snapshot exactly, and the diff is minimal (no no-op rows)
+  // target snapshot exactly, and the diff is minimal (no no-op rows).
+  // Values are NULLABLE on purpose: NULL→value and value→NULL must
+  // surface as updates (the null-safe <=> in Cdc.diff), not vanish.
   property("cdc diff∘apply reconstructs v2 and emits no no-ops") =
     forAll(
-      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 5))),
-      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 5)))) { (m1, m2) =>
-      val v1 = m1.toSeq.map { case (k, v) => (k, v.toDouble) }.toDF("k", "v")
-      val v2 = m2.toSeq.map { case (k, v) => (k, v.toDouble) }.toDF("k", "v")
+      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.option(Gen.choose(0, 5)))),
+      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.option(Gen.choose(0, 5))))) { (m1, m2) =>
+      val n1 = m1.map { case (k, v) => k -> v.map(_.toDouble) }
+      val n2 = m2.map { case (k, v) => k -> v.map(_.toDouble) }
+      val v1 = n1.toSeq.toDF("k", "v")
+      val v2 = n2.toSeq.toDF("k", "v")
       val changes = graft.etl.Cdc.diff(v1, v2)
       val rebuilt = graft.etl.Cdc.applyChanges(v1, changes).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
       val minimal = changes.collect().forall { r =>
         val (k, op) = (r.getLong(0), r.getString(1))
         op match {
-          case "I" => !m1.contains(k) && m2.contains(k)
-          case "D" => m1.contains(k) && !m2.contains(k)
-          case "U" => m1.contains(k) && m2.contains(k) &&
-            m1(k).toDouble != m2(k).toDouble
+          case "I" => !n1.contains(k) && n2.contains(k)
+          case "D" => n1.contains(k) && !n2.contains(k)
+          case "U" => n1.contains(k) && n2.contains(k) && n1(k) != n2(k)
         }
       }
-      rebuilt == m2.map { case (k, v) => k -> v.toDouble } && minimal
+      rebuilt == n2 && minimal
     }
 
   // funnel monotonicity: each stage's count can only shrink

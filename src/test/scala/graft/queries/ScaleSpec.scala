@@ -94,18 +94,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(m("max_chars").asInstanceOf[Long] >= 200L)
   }
 
-  test("count-min-sketch never under-counts and over-counts within eps*N (q55 bound)") {
+  test("q55 CMS-pruned heavy hitters equal the exact answer; probe never under-counts") {
     val ev = Tables.events(spark, SparkTestSession.Sf0001)
       .select(col("user_id").cast("long").as("user_id"))
-    val n = ev.count()
-    val rows = ExtraQueries.q55HeavyHitters
-      .run(spark, SparkTestSession.Sf0001).collect()
-    assert(rows.length > 0 && rows.length <= 20)
-    rows.foreach { r =>
-      val exact = r.getLong(1); val est = r.getLong(2)
-      assert(est >= exact, s"CMS must never under-count ($est < $exact)")
-      assert(est - exact <= math.max(1L, (0.001 * n).toLong) * 10,
-        s"CMS overestimate $est vs $exact implausibly large for N=$n")
-    }
+    val head = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n"), countDistinct(col("user_id")).as("u")).head
+    val n = head.getAs[Long]("n")
+    val tau = 1.2 * n / head.getAs[Long]("u")
+    // the sketch filter must be output-invisible: q55 == the plain
+    // exact heavy-hitter query at the same threshold
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= tau)
+      .orderBy(col("c").desc, col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = ExtraQueries.q55HeavyHitters
+      .run(spark, SparkTestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "support threshold should keep at least one user")
+    assert(got.sameElements(exact), "sketch pruning changed the result")
+    // the CMS contract on every key: estimate >= exact, overestimate
+    // bounded by eps*N (w.h.p.; x10 slack kills flakiness)
+    val probe = graft.functions.CmsEstimate.probe(
+      head.getAs[Array[Byte]]("cms")) _
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .withColumn("est", probe(col("user_id")))
+      .collect().foreach { r =>
+        val (exactC, est) = (r.getLong(1), r.getLong(2))
+        assert(est >= exactC, s"CMS must never under-count ($est < $exactC)")
+        assert(est - exactC <= math.max(1L, (0.001 * n).toLong) * 10,
+          s"CMS overestimate $est vs $exactC implausibly large for N=$n")
+      }
   }
 }
