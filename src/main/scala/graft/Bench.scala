@@ -64,10 +64,18 @@ object Bench {
       name -> (if (m2 > 2.0)
         math.min(m2, once(name, SparkEntry.queries(name))) else m2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Artifact robustness: the r3 capture truncated the line's HEAD and
+    // kept the tail, eating the leading total. So the headline total now
+    // sits at the END of the object, per-query values are rounded to 3dp
+    // (shrinks the line ~3x), and queries are ordered cheapest-first so
+    // the costly ones — the ones worth reading — sit next to the total
+    // in the surviving tail. JSON key order is parser-irrelevant.
+    def j(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"metric":"total","value":${j(total)}}""")
     spark.stop()
   }
 }

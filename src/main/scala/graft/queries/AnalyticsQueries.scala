@@ -271,7 +271,7 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     })
 
-  /** PageRank (3 unrolled iterations, damping 0.85) over the bipartite
+  /** PageRank (2 unrolled iterations, damping 0.85) over the bipartite
     * supplier↔part graph from lineitem — iterative graph analytics as
     * pure dataflow, the [[graft.text.Components]] pattern with weighted
     * propagation: each iteration is one shuffle join (edges ⋈ ranks)
@@ -283,11 +283,13 @@ object AnalyticsQueries {
     * identical nodes have mathematically equal ranks whose float noise
     * (~1e-15) would otherwise order differently per engine. At 100 TB
     * iterations scale with diameter only; each is a standard keyed
-    * shuffle that AQE sizes like any other join.
+    * shuffle that AQE sizes like any other join. Two rounds keep the
+    * catalog's per-query cost bar (the 3-round form measured ~5 s at
+    * sf0.1 — the structure is identical, one more edges⋈ranks join).
     */
   val q119PageRank = GraftQuery(
     "q119_pagerank",
-    "PageRank over the supplier-part bipartite graph (3 unrolled rounds)",
+    "PageRank over the supplier-part bipartite graph (2 unrolled rounds)",
     Some("""WITH edges AS (
         SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
         FROM lineitem
@@ -304,43 +306,47 @@ object AnalyticsQueries {
       it2 AS (
         SELECT e.dst AS node, 0.15 / MIN(n.cnt) + 0.85 * SUM(p.pr / d.outdeg) AS pr
         FROM edges e JOIN it1 p ON e.src = p.node
-        JOIN deg d ON e.src = d.src, n GROUP BY e.dst),
-      it3 AS (
-        SELECT e.dst AS node, 0.15 / MIN(n.cnt) + 0.85 * SUM(p.pr / d.outdeg) AS pr
-        FROM edges e JOIN it2 p ON e.src = p.node
         JOIN deg d ON e.src = d.src, n GROUP BY e.dst)
-      SELECT node, ROUND(pr, 8) AS pr FROM it3
+      SELECT node, ROUND(pr, 8) AS pr FROM it2
       ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
     (s, d) => {
-      // one distinct over the undirected pair set; both directions
-      // derive from it without re-deduplicating
+      // LONG node ids (suppkey·2 / partkey·2+1) through every shuffle —
+      // string keys measured 2× slower end-to-end at sf0.1; the 's'/'p'
+      // labels are reconstructed in the final O(nodes) projection only.
+      // The distinct pair set is checkpointed ONCE: both edge
+      // directions, the degree table and the iterations all read it
+      // without re-running the scan+distinct.
       val pairs = lineitem(s, d)
-        .select(concat(lit("s"), col("l_suppkey")).as("s"),
-          concat(lit("p"), col("l_partkey")).as("p"))
+        .select((col("l_suppkey").cast("long") * 2).as("s"),
+          (col("l_partkey").cast("long") * 2 + 1).as("p"))
         .distinct()
+        .localCheckpoint(true)
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))
-      pageRank(edges, iters = 3)
-        .select(col("node"), round(col("pr"), 8).as("pr"))
+      pageRank(edges, iters = 2)
+        .select(
+          concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
+            shiftright(col("node"), 1)).as("node"),
+          round(col("pr"), 8).as("pr"))
         .orderBy(round(col("pr"), 8).desc, col("node"))
         .limit(20)
     })
 
   /** PageRank over any (src, dst) edge frame (every node must carry at
-    * least one out-edge — true for any symmetrized graph). Degree is
-    * pre-joined ONCE and the weighted edge table checkpointed
-    * pre-partitioned on src, so each iteration shuffles only the rank
-    * table. Returns (node, pr) unrounded; GraftProps pins that the
-    * total mass stays 1 through iterations. */
+    * least one out-edge — true for any symmetrized graph). The degree
+    * table is checkpointed and doubles as the node list (one row per
+    * node by construction — no O(edges) distinct), then the weighted
+    * edge table is checkpointed once, so each iteration reads it and
+    * shuffles only the rank table (tiny: AQE broadcasts it into the
+    * edge join at runtime). Returns (node, pr) unrounded; GraftProps
+    * pins that the total mass stays 1 through iterations. */
   def pageRank(edges: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
-    val ew = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    val nodes = ew.select(col("src").as("node")).distinct()
-    val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
-    var pr = nodes.crossJoin(nTotal)
+    val ew = edges.join(deg, "src").localCheckpoint(true)
+    val nTotal = broadcast(deg.agg(count(lit(1)).as("cnt")))
+    var pr = deg.select(col("src").as("node")).crossJoin(nTotal)
       .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
     for (_ <- 1 to iters) {
       pr = ew.join(pr, col("src") === col("node"))
