@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * Media are opaque `binary` payloads with typed metadata; decode /
   * feature-extract / frame-sample run batch-wise over partitions
   * (`Dataset.mapPartitions` — the Scala analogue of arrow-batched
-  * Python UDFs). The actual codec call is STUBBED with a deterministic
-  * fake (no image/audio libs in this container); the Spark-side
-  * plumbing — schema, partitioning, batch shape, output contract — is
-  * real and tested, and a real decoder drops into [[decodeStub]]
-  * without touching any plan.
+  * Python UDFs). Header DECODE is real: [[parseImageDims]] reads
+  * actual PNG IHDR / JPEG SOFn frame headers (pure JVM, public format
+  * specs) inside the partition batches. Only the pixel-level codec
+  * work (full decode, scaling, re-encode) remains a deterministic
+  * fake (no image/audio libs in this container) — a real codec drops
+  * into [[decodeStub]]/[[resizeStub]] without touching any plan.
   */
 object Multimodal {
 
@@ -25,18 +26,89 @@ object Multimodal {
   case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Deterministic synthetic media table derived from `documents`
-    * (payload = UTF-8 bytes; kind round-robins image/audio/video) —
-    * stands in for a real binary column so the pipeline has data.
+    * (kind round-robins image/audio/video) — stands in for a real
+    * binary column so the pipeline has data. Image payloads carry a
+    * REAL PNG signature + IHDR chunk encoding the metadata dims
+    * (built from codegen hex/concat expressions, no UDF), so the
+    * header decode path runs against genuine bytes; audio/video stay
+    * raw UTF-8.
     */
-  def syntheticMedia(docs: DataFrame): DataFrame =
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val w = ((col("doc_id") % 8) * 64 + 64).cast("int")
+    val h = ((col("doc_id") % 4) * 64 + 64).cast("int")
+    // PNG signature, IHDR length (13) + type, then 4-byte big-endian
+    // width/height (unhex of zero-padded hex IS big-endian), then
+    // bit-depth/color-type/compression/filter/interlace
+    val pngHeader = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(w), 8, "0")),
+      unhex(lpad(hex(h), 8, "0")),
+      unhex(lit("0806000000")))
     docs.select(
       col("doc_id").as("id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
-      ((col("doc_id") % 8) * 64 + 64).cast("int").as("width"),
-      ((col("doc_id") % 4) * 64 + 64).cast("int").as("height"),
+      kind.as("kind"),
+      when(kind === "image", concat(pngHeader, col("text").cast("binary")))
+        .otherwise(col("text").cast("binary")).as("payload"),
+      w.as("width"),
+      h.as("height"),
       lit(16000).as("sample_rate"))
+  }
+
+  /** Real image header decode (public formats, pure JVM):
+    *  - PNG: 8-byte signature, then the mandatory-first IHDR chunk —
+    *    width/height are 4-byte big-endian at offsets 16/20.
+    *  - JPEG: FFD8 (SOI), then marker segments `FF xx len(2) …`; the
+    *    frame header SOFn (0xC0–0xCF minus 0xC4/0xC8/0xCC) carries
+    *    height/width big-endian after the 1-byte precision.
+    * Returns (format, width, height); None for anything unparseable.
+    */
+  private[multimodal] def parseImageDims(p: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = java.lang.Byte.toUnsignedInt(p(i))
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16 | u16(i + 2)).toInt
+    if (p.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E && u8(3) == 0x47 &&
+        u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      Some(("png", u32(16), u32(20)))
+    else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xFF) return None // marker desync: not a JPEG stream
+        val marker = u8(i + 1)
+        if (marker == 0xFF) i += 1 // fill byte
+        else if ((marker >= 0xD0 && marker <= 0xD9)) i += 2 // RSTn/SOI/EOI: no payload
+        else if (marker >= 0xC0 && marker <= 0xCF &&
+                 marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          return if (i + 8 < p.length) Some(("jpeg", u16(i + 7), u16(i + 5))) else None
+        } else i += 2 + u16(i + 2)
+      }
+      None
+    } else None
+  }
+
+  case class ImageInfo(id: Long, format: String, width: Int, height: Int)
+
+  /** Header decode over partition batches: parse each image payload's
+    * real container header; payloads without a recognizable header
+    * fall back to the metadata columns with format "raw". Bytes never
+    * hit the driver; partitioning is preserved.
+    */
+  def imageInfo(spark: SparkSession, media: DataFrame): Dataset[ImageInfo] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, p, mw, mh) =>
+        parseImageDims(p) match {
+          case Some((fmt, w, h)) => ImageInfo(id, fmt, w, h)
+          case None => ImageInfo(id, "raw", mw, mh)
+        }
+      })
+  }
 
   /** STUB — where a real codec (JPEG decode, PCM resample, …) would
     * run, per payload, inside a partition batch. The fake is a
@@ -91,17 +163,23 @@ object Multimodal {
   }
 
   case class Resized(id: Long, kind: String, payload: Array[Byte],
-                     width: Int, height: Int)
+                     src_width: Int, src_height: Int, width: Int, height: Int)
 
   /** Image resize over partition batches — payload AND metadata change
-    * together, rows stay 1:1, partitioning preserved. */
+    * together, rows stay 1:1, partitioning preserved. Source dims come
+    * from the REAL header parse in the same batch (metadata fallback
+    * for headerless payloads), which is exactly what a codec-backed
+    * resize consumes. */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int)
       : Dataset[Resized] = {
     import spark.implicits._
     media.filter(col("kind") === "image")
-      .select(col("id"), col("kind"), col("payload")).as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, kind, payload) =>
-        Resized(id, kind, resizeStub(payload, w, h), w, h)
+      .select(col("id"), col("kind"), col("payload"), col("width"), col("height"))
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, kind, payload, mw, mh) =>
+        val (sw, sh) = parseImageDims(payload)
+          .map(t => (t._2, t._3)).getOrElse((mw, mh))
+        Resized(id, kind, resizeStub(payload, w, h), sw, sh, w, h)
       })
   }
 

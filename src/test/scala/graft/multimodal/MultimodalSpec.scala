@@ -56,17 +56,60 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("resizeImages rewrites payload and metadata together, 1:1 rows") {
     val resized = Multimodal.resizeImages(spark, media, w = 32, h = 16).collect()
-    val nImages = media
-      .filter(org.apache.spark.sql.functions.col("kind") === "image").count()
-    assert(resized.length.toLong === nImages)
+    val meta = media
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(resized.length === meta.size)
     resized.foreach { r =>
       assert(r.payload.length === 32 * 16, "payload sized to the new dims")
       assert(r.width === 32 && r.height === 16)
+      // source dims decoded from the REAL PNG header, not the metadata
+      assert((r.src_width, r.src_height) === meta(r.id), "header dims")
     }
     // deterministic stub: a rerun produces identical bytes
     val again = Multimodal.resizeImages(spark, media, w = 32, h = 16)
       .collect().map(r => r.id -> r.payload.toSeq).toMap
     assert(resized.map(r => r.id -> r.payload.toSeq).toMap === again)
+  }
+
+  test("parseImageDims reads real PNG IHDR and JPEG SOF0 headers") {
+    // hand-assembled PNG: signature + IHDR(640x360)
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(360) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.parseImageDims(png) === Some(("png", 640, 360)))
+    // hand-assembled JPEG: SOI, APP0 (JFIF stub), DQT skipped by length,
+    // then SOF0 with height=480 width=852 — the parser must WALK the
+    // variable-length segments to find it
+    def seg(marker: Int, body: Array[Byte]) =
+      Array[Byte](0xFF.toByte, marker.toByte,
+        ((body.length + 2) >>> 8).toByte, ((body.length + 2) & 0xFF).toByte) ++ body
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE0, "JFIF".getBytes ++ new Array[Byte](10)) ++
+      seg(0xDB, new Array[Byte](65)) ++
+      seg(0xC0, Array[Byte](8,
+        (480 >>> 8).toByte, (480 & 0xFF).toByte,
+        (852 >>> 8).toByte, (852 & 0xFF).toByte, 3))
+    assert(Multimodal.parseImageDims(jpeg) === Some(("jpeg", 852, 480)))
+    // garbage falls through to None (metadata fallback path)
+    assert(Multimodal.parseImageDims("not an image".getBytes) === None)
+    assert(Multimodal.parseImageDims(Array.emptyByteArray) === None)
+  }
+
+  test("imageInfo decodes every synthetic image's PNG header to its metadata dims") {
+    val infos = Multimodal.imageInfo(spark, media).collect()
+    val meta = media
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(infos.length === meta.size)
+    infos.foreach { i =>
+      assert(i.format === "png", s"id ${i.id} should carry a real PNG header")
+      assert((i.width, i.height) === meta(i.id))
+    }
   }
 
   test("extracted features feed the similarity stack (multimodal -> ANN)") {

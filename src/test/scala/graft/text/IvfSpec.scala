@@ -32,4 +32,17 @@ class IvfSpec extends AnyFunSuite {
     val full = pairs(Ivf.ivfCosineTopK(emb, isQ, 5, nCells = 8, nProbe = 8))
     assert(full === exact)
   }
+
+  test("IVF recall >= 0.9 on planted clusters (the structure it exists to exploit)") {
+    val emb = ClusteredEmbeddings.fixture(spark)
+    val isQ = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, isQ, 5))
+    val ivf = pairs(Ivf.ivfCosineTopK(emb, isQ, 5, nCells = 16, nProbe = 4))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall $recall — the index missed " +
+      "structure it is designed for (measured 1.0 at authoring)")
+  }
 }

@@ -39,6 +39,21 @@ class SimilaritySpec extends AnyFunSuite {
       "approx neighbors must still be real corpus vectors")
   }
 
+  test("lshCosineTopK recall >= 0.9 on planted clusters") {
+    // the near-random fixture above is the worst case; on clustered
+    // data (what sign-LSH actually serves) recall must be near-perfect
+    val cemb = ClusteredEmbeddings.fixture(spark)
+    val isQ = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(cemb, isQ, 5))
+    val approx = pairs(
+      Similarity.lshCosineTopK(cemb, isQ, 5, dim = 64, planes = 4, tables = 8))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall $recall (measured 1.0)")
+  }
+
   test("quantizedCosineTopK keeps high recall vs full precision") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
     val isQ = col("vec_id") < 20
