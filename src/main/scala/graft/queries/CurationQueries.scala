@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+import graft.text.{Components, Dedup, TextAnalysis => TA}
+
+/** Round-4 curation wave: the two compositions that close the loop
+  * between the pairwise/near-dup machinery and corpus emission —
+  * semantic (embedding-space) dedup end-to-end, and per-source token
+  * budgeting. Both follow the catalog's scale discipline: components
+  * run in O(log n) star rounds, budgets are one window per source.
+  */
+object CurationQueries {
+
+  def queries: Seq[GraftQuery] = Seq(q132SemanticDedup, q133TokenBudget)
+
+  /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
+    * embedding corpus (q46's ground truth) → connected components
+    * ([[graft.text.Components]], large-star/small-star) → every vector
+    * labeled with its dedup group and a keeper flag (min vec_id per
+    * component). This is q68's text-space pipeline transplanted to
+    * embedding space — the "semantic dedup" pass an LLM curation
+    * pipeline runs AFTER lexical dedup to catch paraphrases that share
+    * no n-grams. At 100 TB the pair source swaps to
+    * [[graft.text.Dedup.embeddingDupPairsLsh]] (bucketed) with the
+    * same downstream plan; the exact all-pairs form here is the
+    * oracle-checkable ground truth, per the q26/q27 precedent.
+    */
+  val q132SemanticDedup = GraftQuery(
+    "q132_semantic_dedup",
+    "embedding near-dup pairs → components → per-vector dedup group + keeper",
+    Some("""WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dup AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      edges AS (SELECT va AS s, vb AS d FROM dup
+        UNION ALL SELECT vb, va FROM dup),
+      walk(n, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT g.d, w.r FROM walk w JOIN edges g ON g.s = w.n),
+      comp AS (SELECT n AS vec_id, MIN(r) AS component FROM walk GROUP BY 1)
+      SELECT vec_id, component,
+        CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS INTEGER)
+          AS is_keeper
+      FROM comp ORDER BY vec_id"""),
+    (s, d) => {
+      val pairs = Dedup.embeddingDupPairs(embeddings(s, d), 0.4)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val cc = Components.connectedComponents(pairs)
+      embeddings(s, d).select(col("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("is_keeper",
+          (col("vec_id") === col("component")).cast("int"))
+        .orderBy(col("vec_id"))
+    })
+
+  /** Token budget per source for the sampler — fixture sources carry
+    * ~1.1–1.7k tokens, so 600 genuinely cuts (~half of each source's
+    * docs survive at every SF). */
+  val SourceBudget = 600L
+
+  /** Per-source token budgeting: draw documents in deterministic
+    * hash order (md5 of doc_id — rerun-identical, no RNG state, the
+    * q101 discipline) until each source's running token total reaches
+    * its budget; a document is kept iff its FIRST token fits
+    * (start-offset semantics, exactly q102's packing rule). This is
+    * the "cap each domain's contribution" step of LLM data mixing —
+    * q60/q101 cap by document COUNT or fraction, this caps by what
+    * training actually consumes: tokens. One window per source = one
+    * shuffle; a pathologically large source serializes into one task's
+    * running sum, at which point shard it first like q102 packs
+    * (hash-shard, budget/shards per shard).
+    */
+  val q133TokenBudget = GraftQuery(
+    "q133_token_budget_sample",
+    s"hash-ordered per-source sampling to a $SourceBudget-token budget",
+    Some(s"""WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS tok,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, tok,
+          CAST(COALESCE(SUM(tok) OVER (PARTITION BY source
+            ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum
+        FROM t)
+      SELECT source, doc_id, tok, cum
+      FROM c WHERE cum < $SourceBudget ORDER BY source, doc_id"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), col("source"),
+        TA.tokenCount(col("text")).cast("long").as("tok"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
+        .where(col("cum") < SourceBudget)
+        .select(col("source"), col("doc_id"), col("tok"), col("cum"))
+        .orderBy(col("source"), col("doc_id"))
+    })
+}

@@ -21,5 +21,6 @@ object Catalog {
     Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
       SqlQueries.queries ++ PipelineQueries.queries ++
       SurfaceQueries.queries ++ CorpusQueries.queries ++
-      AnalyticsQueries.queries ++ MixtureQueries.queries
+      AnalyticsQueries.queries ++ MixtureQueries.queries ++
+      CurationQueries.queries
 }
