@@ -29,6 +29,16 @@ object Registry {
 
   private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
+  private def litBytes(e: Expression, what: String): Array[Byte] = e match {
+    case other if other.foldable =>
+      other.eval() match {
+        case b: Array[Byte] => b
+        case x => throw new IllegalArgumentException(
+          s"$what must be a binary literal, got $x")
+      }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
   /** name → expression builder, shared by both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_min_hash" -> (exprs =>
@@ -51,7 +61,16 @@ object Registry {
       Int8RoundTrip(asVec(exprs.head))),
     "z_order_key" -> (exprs =>
       ZOrderKey(Cast(exprs(0), org.apache.spark.sql.types.LongType),
-        Cast(exprs(1), org.apache.spark.sql.types.LongType))))
+        Cast(exprs(1), org.apache.spark.sql.types.LongType))),
+    // sketch probes: the sketch rides as a binary literal (X'…' /
+    // a bound parameter), e.g. built by count_min_sketch(...) /
+    // DataFrameStatFunctions.bloomFilter and re-attached to the scan
+    "cms_estimate" -> (exprs =>
+      CmsEstimate(Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        litBytes(exprs(1), "cms sketch"))),
+    "bloom_might_contain" -> (exprs =>
+      BloomMightContain(Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        litBytes(exprs(1), "bloom sketch"))))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -132,6 +132,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("cms_estimate"), plan)
   }
 
+  test("SQL registration exposes cms_estimate with the sketch as a hex literal") {
+    Registry.registerAll(spark)
+    val ev = spark.range(300).select((col("id") % 10).as("k"))
+    val bytes = ev.agg(expr("count_min_sketch(k, 0.1d, 0.9d, 7)")).head
+      .getAs[Array[Byte]](0) // small sketch so the X'…' literal stays sane
+    val hexLit = "X'" + bytes.map("%02X".format(_)).mkString + "'"
+    ev.distinct().createOrReplaceTempView("cms_keys")
+    val got = spark
+      .sql(s"SELECT k, cms_estimate(k, $hexLit) AS est FROM cms_keys ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(k => assert(got(k) >= 30L, s"key $k under-counted"))
+  }
+
   test("SQL registration exposes rolling_min_hash and top_k_by") {
     Registry.registerAll(spark)
     Seq((1L, "hello world rolling hash"), (2L, "another document"))
