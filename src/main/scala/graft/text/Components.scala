@@ -40,7 +40,9 @@ object Components {
       .filter(col("v") > col("src"))
       .select(col("v").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // no trailing distinct: the next step's collect_set dedups (with
+    // map-side partial aggregation), so the extra shuffle here bought
+    // nothing — one round = symmetrize+groupBy, orient+groupBy, distinct
   }
 
   /** Small-star: orient every edge high→low, then attach each node's
