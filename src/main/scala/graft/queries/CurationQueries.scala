@@ -14,7 +14,8 @@ import graft.text.{Components, Dedup, TextAnalysis => TA}
   */
 object CurationQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q132SemanticDedup, q133TokenBudget)
+  def queries: Seq[GraftQuery] =
+    Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
     * embedding corpus (q46's ground truth) → connected components
@@ -59,6 +60,61 @@ object CurationQueries {
         .withColumn("is_keeper",
           (col("vec_id") === col("component")).cast("int"))
         .orderBy(col("vec_id"))
+    })
+
+  /** Incremental corpus admission: dedup an INCOMING batch against the
+    * EXISTING corpus — the operation a continuously-growing training
+    * corpus runs on every ingest, where re-deduplicating the whole
+    * corpus (q68) would be O(corpus) per batch. The probe is
+    * one-directional ([[graft.text.Dedup.nearDupAgainst]]): incoming
+    * shingles join the existing side's shingle table, so cost scales
+    * with the batch; each incoming doc is admitted or rejected with
+    * its best existing match. The batch split here is deterministic
+    * (doc_id % 5) so both engines derive identical sides.
+    */
+  val q134IncrementalAdmission = GraftQuery(
+    "q134_incremental_admission",
+    "admit/reject an incoming batch against the existing corpus (best near-dup)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+        FROM sh),
+      cand AS (
+        SELECT i.doc_id, o.doc_id AS dup_of, COUNT(*) AS inter,
+          MIN(i.n_sh) AS n_i, MIN(o.n_sh) AS n_e
+        FROM ex i JOIN ex o ON i.sh = o.sh
+        WHERE i.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+        GROUP BY 1, 2),
+      flagged AS (
+        SELECT doc_id, dup_of,
+          ROUND(inter * 1.0 / (n_i + n_e - inter), 4) AS jaccard
+        FROM cand WHERE inter * 1.0 / (n_i + n_e - inter) >= 0.4),
+      best AS (
+        SELECT doc_id, dup_of, jaccard, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rk
+        FROM flagged)
+      SELECT d.doc_id,
+        CASE WHEN b.doc_id IS NULL THEN 'admit' ELSE 'reject' END AS status,
+        b.dup_of, b.jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+      ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val flagged = Dedup.nearDupAgainst(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0), 0.4)
+      docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("dup_of").isNull, "admit").otherwise("reject").as("status"),
+          col("dup_of"), col("jaccard"))
+        .orderBy(col("doc_id"))
     })
 
   /** Token budget per source for the sampler — fixture sources carry

@@ -248,6 +248,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Asymmetric near-dup probe for INCREMENTAL dedup: each `incoming`
+    * document's best exact-Jaccard match among `existing` documents (at
+    * `threshold`), one row per flagged incoming doc. The join is
+    * one-directional — incoming shingles probe the existing side's
+    * shingle table — which is the growing-corpus admission shape: the
+    * existing corpus's shingle index is the stable big side, the new
+    * batch is the small probe side, and cost scales with the batch,
+    * not the corpus². Returns (doc_id, dup_of, jaccard) with dup_of =
+    * the best match (highest jaccard, smallest id on ties).
+    */
+  def nearDupAgainst(existing: DataFrame, incoming: DataFrame,
+                     threshold: Double, n: Int = 3): DataFrame = {
+    val ex = shingleRows(existing, n)
+      .select(col("doc_id").as("dup_of"), col("n_sh").as("n_e"), col("sh"))
+    val in = shingleRows(incoming, n)
+      .select(col("doc_id"), col("n_sh").as("n_i"), col("sh"))
+    val jac = col("inter") / (col("n_i") + col("n_e") - col("inter"))
+    in.join(ex, Seq("sh"))
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(count(lit(1)).as("inter"), min(col("n_i")).as("n_i"),
+        min(col("n_e")).as("n_e"))
+      .filter(jac >= threshold)
+      .select(col("doc_id"), col("dup_of"), round(jac, 4).as("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("jaccard"), (-col("dup_of")).as("neg")),
+        struct(col("jaccard"), (-col("dup_of")).as("neg"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("dup_of"),
+        col("best.jaccard").as("jaccard"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * per position, the xxhash64 of the k-token gram starting there; for
     * every window of `w` consecutive gram hashes, select the minimum

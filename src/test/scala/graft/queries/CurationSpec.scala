@@ -29,6 +29,42 @@ class CurationSpec extends AnyFunSuite {
         s"pair ${r.getLong(0)},${r.getLong(1)} split across components"))
   }
 
+  test("q134 incremental admission agrees with the symmetric pair ground truth") {
+    val d = SparkTestSession.Sf0001
+    val out = CurationQueries.q134IncrementalAdmission.run(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // ground truth from the SYMMETRIC pair list: an incoming doc must be
+    // rejected iff some pair at the threshold straddles the batch split,
+    // and its match must be the best (max jaccard, min id) existing side
+    val straddle = Dedup.jaccardPairs(Tables.documents(spark, d), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        Seq((a, b, j), (b, a, j)).collect {
+          case (in, ex, jj) if in % 5 == 0 && ex % 5 != 0 => (in, ex, jj)
+        }
+      }
+    val bestByDoc = straddle.groupBy(_._1).map { case (in, ms) =>
+      in -> ms.maxBy(m => (m._3, -m._2))
+    }
+    out.foreach { case (id, (status, dupOf, jac)) =>
+      bestByDoc.get(id) match {
+        case Some((_, ex, jj)) =>
+          assert(status === "reject" && dupOf === Some(ex) && jac === Some(jj),
+            s"doc $id: expected reject/$ex/$jj, got $status/$dupOf/$jac")
+        case None =>
+          assert(status === "admit" && dupOf.isEmpty && jac.isEmpty,
+            s"doc $id: expected admit, got $status/$dupOf")
+      }
+    }
+    assert(out.keySet === Tables.documents(spark, d)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("q133 token budget: kept set is a hash-order prefix under budget, per source") {
     val d = SparkTestSession.Sf0001
     val kept = CurationQueries.q133TokenBudget.run(spark, d).collect()
