@@ -256,4 +256,16 @@ class PlansSpec extends AnyFunSuite {
       p.contains("Limit"),
       s"per-group limit must execute as rank-or-limit, found:\n$p")
   }
+
+  test("q55 probes the CMS below the shuffle, with no Expand in the exact pass") {
+    val p = plan("q55_heavy_hitters")
+    // the sketch filter must sit in the scan stage (below every
+    // exchange) so only candidate keys reach the shuffle…
+    assert(p.contains("cms_estimate"), p)
+    assert(p.lastIndexOf("Exchange") < p.indexOf("cms_estimate"),
+      s"cms_estimate must be below the last exchange (scan stage):\n$p")
+    // …and the exact pass must never regress into the multi-distinct
+    // Expand plan (the 8x cost lesson — see the query's scaladoc)
+    assert(!p.contains("Expand"), s"no Expand in the exact pass:\n$p")
+  }
 }

@@ -94,6 +94,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(m("max_chars").asInstanceOf[Long] >= 200L)
   }
 
+  test("q119 iteration joins broadcast the rank table at runtime (AQE)") {
+    // the rank table is O(nodes) vs the O(edges) weighted edge table;
+    // AQE must convert the per-iteration joins to broadcast once it
+    // sees the materialized size — pinned on the FINAL adaptive plan
+    val q = graft.queries.Catalog.all.find(_.name == "q119_pagerank").get
+    val df = q.run(spark, graft.SparkTestSession.Sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected ≥2 broadcast rank joins, got $bhj:\n$p")
+  }
+
   test("q55 CMS-pruned heavy hitters equal the exact answer; probe never under-counts") {
     val ev = Tables.events(spark, SparkTestSession.Sf0001)
       .select(col("user_id").cast("long").as("user_id"))
