@@ -15,7 +15,8 @@ import graft.text.{Components, Dedup, TextAnalysis => TA}
 object CurationQueries {
 
   def queries: Seq[GraftQuery] =
-    Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission)
+    Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission,
+      q135LmQualityFilter)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
     * embedding corpus (q46's ground truth) → connected components
@@ -61,6 +62,67 @@ object CurationQueries {
           (col("vec_id") === col("component")).cast("int"))
         .orderBy(col("vec_id"))
     })
+
+  /** Cross-corpus LM quality scoring (the CCNet/KenLM pattern): train a
+    * Laplace-smoothed unigram LM on a TRUSTED reference slice (every
+    * 4th source — the "wikipedia" proxy), then score EVERY document's
+    * mean negative log-likelihood under it, with OOV tokens counted
+    * and smoothed to 1/(T+V). This differs from q71 (self-scored LM,
+    * no smoothing needed) exactly where production differs: the scorer
+    * and the scored corpus are different distributions, so unseen
+    * tokens must cost probability mass, and a low score means "looks
+    * like the reference", not "typical of itself". Plan: ONE tokenize
+    * projection feeds both the reference counts and the scoring join
+    * (map-side, nothing to checkpoint); the LM is a vocab-sized table
+    * joined on term (broadcast when the vocab fits), the totals ride
+    * as a broadcast 1-row aggregate.
+    */
+  val q135LmQualityFilter = GraftQuery(
+    "q135_lm_quality_filter",
+    "Laplace unigram LM trained on trusted sources scores all docs (+OOV)",
+    Some("""WITH toks AS (
+        SELECT doc_id, source,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      ref AS (
+        SELECT term, COUNT(*) AS c FROM toks
+        WHERE CAST(substr(source, 4) AS INT) % 4 = 0 GROUP BY 1),
+      st AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ref) AS t,
+                    (SELECT COUNT(*) FROM ref) AS v)
+      SELECT k.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN r.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        ROUND(-SUM(ln((COALESCE(r.c, 0) + 1.0) / (st.t + st.v)))
+          / COUNT(*) + 1e-9, 4) AS nll
+      FROM toks k LEFT JOIN ref r USING (term) CROSS JOIN st
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => lmScore(documents(s, d),
+      isTrusted = substring(col("source"), 4, 10).cast("int") % 4 === 0)
+      .orderBy(col("doc_id")))
+
+  /** The q135 plan over any (doc_id, source, text) frame: Laplace
+    * unigram NLL under the LM trained on `isTrusted` rows. Exposed so
+    * CurationSpec can exercise the OOV smoothing path on crafted docs
+    * (the fixture's sources share one vocabulary, so n_oov is 0
+    * there). */
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              isTrusted: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val ref = toks.where(isTrusted)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val st = ref.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    toks.join(ref, Seq("term"), "left_outer")
+      .crossJoin(broadcast(st))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c").isNull, 1).otherwise(0)).cast("long").as("n_oov"),
+        round(-sum(log((coalesce(col("c"), lit(0)) + 1.0)
+            / (col("t") + col("v")))) / count(lit(1)) + 1e-9, 4)
+          .as("nll"))
+  }
 
   /** Incremental corpus admission: dedup an INCOMING batch against the
     * EXISTING corpus — the operation a continuously-growing training

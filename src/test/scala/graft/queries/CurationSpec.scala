@@ -65,6 +65,28 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("q135 LM scoring: OOV tokens smoothed, hand-computed NLL, trusted-only vocab") {
+    import spark.implicits._
+    // trusted slice: "a b b"; scored docs: one in-vocab, one with OOV
+    val docs = Seq(
+      (0L, "src0", "a b b"),     // trusted; trains the LM: T=3, V=2
+      (1L, "src1", "a b"),       // all in-vocab
+      (2L, "src1", "a zz qq"))   // two OOV tokens
+      .toDF("doc_id", "source", "text")
+    val got = CurationQueries.lmScore(docs,
+        isTrusted = org.apache.spark.sql.functions.col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // Laplace with T=3, V=2: p(a)=(1+1)/5, p(b)=(2+1)/5, p(oov)=1/5
+    def nll(ps: Seq[Double]) =
+      BigDecimal(-ps.map(math.log).sum / ps.size + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((2L, 0L, nll(Seq(2.0 / 5, 3.0 / 5)))))
+    assert(got(2L) === ((3L, 2L, nll(Seq(2.0 / 5, 1.0 / 5, 1.0 / 5)))))
+    // OOV must cost MORE than any in-vocab token of the same corpus
+    assert(got(2L)._3 > got(1L)._3)
+  }
+
   test("q133 token budget: kept set is a hash-order prefix under budget, per source") {
     val d = SparkTestSession.Sf0001
     val kept = CurationQueries.q133TokenBudget.run(spark, d).collect()
