@@ -28,16 +28,18 @@ object Multimodal {
   /** Deterministic synthetic media table derived from `documents`
     * (kind round-robins image/audio/video) — stands in for a real
     * binary column so the pipeline has data. Image payloads carry a
-    * REAL PNG signature + IHDR chunk encoding the metadata dims
-    * (built from codegen hex/concat expressions, no UDF), so the
-    * header decode path runs against genuine bytes; audio/video stay
-    * raw UTF-8.
+    * REAL PNG signature + IHDR chunk encoding the metadata dims, and
+    * audio payloads a REAL RIFF/WAVE `fmt ` chunk encoding the
+    * metadata sample rate (both built from codegen hex/concat
+    * expressions, no UDF), so the header decode paths run against
+    * genuine bytes; video stays raw UTF-8.
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     val w = ((col("doc_id") % 8) * 64 + 64).cast("int")
     val h = ((col("doc_id") % 4) * 64 + 64).cast("int")
+    val rate = (((col("doc_id") % 3) + 1) * 8000).cast("int")
     // PNG signature, IHDR length (13) + type, then 4-byte big-endian
     // width/height (unhex of zero-padded hex IS big-endian), then
     // bit-depth/color-type/compression/filter/interlace
@@ -46,14 +48,32 @@ object Multimodal {
       unhex(lpad(hex(w), 8, "0")),
       unhex(lpad(hex(h), 8, "0")),
       unhex(lit("0806000000")))
+    // WAV fields are LITTLE-endian: swap the zero-padded hex's byte
+    // pairs before unhex. RIFF size / data size are left zero (legal
+    // for a header-only probe); fmt = PCM, mono, 16-bit.
+    def le32(v: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(v), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val wavHeader = concat(
+      lit("RIFF").cast("binary"), unhex(lit("00000000")),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), unhex(lit("10000000")), // fmt size 16 LE
+      unhex(lit("0100")), unhex(lit("0100")),             // PCM, 1 channel
+      le32(rate),                                         // sample rate
+      le32(rate * 2),                                     // byte rate
+      unhex(lit("0200")), unhex(lit("1000")),             // align, 16 bit
+      lit("data").cast("binary"), unhex(lit("00000000")))
     docs.select(
       col("doc_id").as("id"),
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, col("text").cast("binary")))
+        .when(kind === "audio", concat(wavHeader, col("text").cast("binary")))
         .otherwise(col("text").cast("binary")).as("payload"),
       w.as("width"),
       h.as("height"),
-      lit(16000).as("sample_rate"))
+      rate.as("sample_rate"))
   }
 
   /** Real image header decode (public formats, pure JVM):
@@ -88,6 +108,53 @@ object Multimodal {
       }
       None
     } else None
+  }
+
+  /** Real WAV header decode (public RIFF format, pure JVM): `RIFF`
+    * sig + `WAVE`, then chunk-walk (id(4) + size(4 LE)) to `fmt `,
+    * whose PCM fields are little-endian: channels at +2, sample rate
+    * at +4, bits/sample at +14. Returns (sampleRate, channels, bits);
+    * None for anything unparseable.
+    */
+  private[multimodal] def parseWavInfo(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = java.lang.Byte.toUnsignedInt(p(i))
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (le16(i).toLong | (le16(i + 2).toLong << 16)).toInt
+    def tag(i: Int, s: String) = p.length >= i + 4 &&
+      s.zipWithIndex.forall { case (c, j) => p(i + j) == c.toByte }
+    if (!(p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE"))) None
+    else {
+      var i = 12
+      while (i + 8 <= p.length) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ")) {
+          return if (i + 8 + 16 <= p.length && size >= 16)
+            Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+          else None
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+  }
+
+  case class AudioInfo(id: Long, format: String, sample_rate: Int,
+                       channels: Int, bits: Int)
+
+  /** Audio header decode over partition batches — the WAV sibling of
+    * [[imageInfo]]; headerless payloads fall back to the metadata
+    * sample rate with format "raw". */
+  def audioInfo(spark: SparkSession, media: DataFrame): Dataset[AudioInfo] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("id"), col("payload"), col("sample_rate"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, p, metaRate) =>
+        parseWavInfo(p) match {
+          case Some((rate, ch, bits)) => AudioInfo(id, "wav", rate, ch, bits)
+          case None => AudioInfo(id, "raw", metaRate, 0, 0)
+        }
+      })
   }
 
   case class ImageInfo(id: Long, format: String, width: Int, height: Int)

@@ -99,6 +99,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageDims(Array.emptyByteArray) === None)
   }
 
+  test("parseWavInfo walks RIFF chunks to fmt and reads little-endian fields") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, (v >>> 8).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    // a LIST chunk before fmt forces the walk to skip by chunk size
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++
+      le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(0)
+    assert(Multimodal.parseWavInfo(wav) === Some((44100, 2, 16)))
+    assert(Multimodal.parseWavInfo("RIFFxxxxNOPE".getBytes) === None)
+    assert(Multimodal.parseWavInfo("not audio".getBytes) === None)
+  }
+
+  test("audioInfo decodes every synthetic audio's WAV header to its metadata rate") {
+    val infos = Multimodal.audioInfo(spark, media).collect()
+    val meta = media
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("id", "sample_rate").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(infos.length === meta.size)
+    infos.foreach { a =>
+      assert(a.format === "wav", s"id ${a.id} should carry a real WAV header")
+      assert(a.sample_rate === meta(a.id))
+      assert(a.channels === 1 && a.bits === 16)
+    }
+  }
+
   test("imageInfo decodes every synthetic image's PNG header to its metadata dims") {
     val infos = Multimodal.imageInfo(spark, media).collect()
     val meta = media
