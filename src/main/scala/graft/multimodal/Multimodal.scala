@@ -124,12 +124,16 @@ object Multimodal {
       s.zipWithIndex.forall { case (c, j) => p(i + j) == c.toByte }
     if (!(p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE"))) None
     else {
-      var i = 12
+      // walk with a Long cursor: a malformed chunk size (negative after
+      // the signed-int truncation, or huge) must fall through to None,
+      // never spin the loop or index out of bounds — this decoder's
+      // whole job is surviving untrusted bytes
+      var i = 12L
       while (i + 8 <= p.length) {
-        val size = le32(i + 4)
-        if (tag(i, "fmt ")) {
+        val size = le32(i.toInt + 4).toLong & 0xFFFFFFFFL
+        if (tag(i.toInt, "fmt ")) {
           return if (i + 8 + 16 <= p.length && size >= 16)
-            Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+            Some((le32(i.toInt + 12), le16(i.toInt + 10), le16(i.toInt + 22)))
           else None
         }
         i += 8 + size + (size & 1) // chunks are word-aligned

@@ -204,11 +204,16 @@ object Dedup {
   /** MinHash + LSH banding: signatures → `bands` band hashes → bucket
     * join on (band_idx, band_hash) → candidate pairs → verified with
     * exact Jaccard (computed only for candidates). The standard
-    * shingle→minhash→band→bucket-join pipeline; with k=32, bands=16
-    * (r=2), P(candidate | s=0.5) ≈ 0.99.
+    * shingle→minhash→band→bucket-join pipeline. Defaults k=64,
+    * bands=32 (r=2): a pair AT the q27 threshold (s=0.4) is a
+    * candidate with probability 1−(1−s²)³² ≈ 0.996 (vs 0.94 at 16
+    * bands — chosen because q27's oracle is the exact pair list, so
+    * the miss probability at the gate corpus must be negligible, not
+    * just "high"; above-threshold pairs decay further, s=0.6 → 1−6e−7).
+    * The wider signature is one aggregate buffer either way.
     */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
-                      k: Int = 32, bands: Int = 16, n: Int = 3): DataFrame = {
+                      k: Int = 64, bands: Int = 32, n: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // the shingle table feeds three subtrees (signatures + both sides of

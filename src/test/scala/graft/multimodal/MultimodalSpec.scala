@@ -112,6 +112,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWavInfo(wav) === Some((44100, 2, 16)))
     assert(Multimodal.parseWavInfo("RIFFxxxxNOPE".getBytes) === None)
     assert(Multimodal.parseWavInfo("not audio".getBytes) === None)
+    // malformed chunk sizes must fall through to None, not hang/crash:
+    // 0xFFFFFFF8 is -8 as a signed int (a frozen cursor if unguarded)
+    val evil = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      "junk".getBytes
+    assert(Multimodal.parseWavInfo(evil) === None)
+    val huge = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(0x7FFFFFF0) ++ "junk".getBytes
+    assert(Multimodal.parseWavInfo(huge) === None)
   }
 
   test("audioInfo decodes every synthetic audio's WAV header to its metadata rate") {
