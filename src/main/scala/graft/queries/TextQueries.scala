@@ -97,17 +97,18 @@ object TextQueries {
     "q24_lang_id",
     "marker-word language-ID heuristic per document",
     Some("""WITH t AS (
-        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        SELECT doc_id, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
       s AS (SELECT doc_id, lang,
-        (length(p) - length(replace(p, ' the ', ''))) / 5.0
-          + (length(p) - length(replace(p, ' and ', ''))) / 5.0
-          + (length(p) - length(replace(p, ' is ', ''))) / 4.0 AS en,
-        (length(p) - length(replace(p, ' el ', ''))) / 4.0
-          + (length(p) - length(replace(p, ' la ', ''))) / 4.0
-          + (length(p) - length(replace(p, ' de ', ''))) / 4.0 AS es,
-        (length(p) - length(replace(p, ' der ', ''))) / 5.0
-          + (length(p) - length(replace(p, ' und ', ''))) / 5.0
-          + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS de
+        len(list_filter(w, x -> x = 'the'))
+          + len(list_filter(w, x -> x = 'and'))
+          + len(list_filter(w, x -> x = 'is')) AS en,
+        len(list_filter(w, x -> x = 'el'))
+          + len(list_filter(w, x -> x = 'la'))
+          + len(list_filter(w, x -> x = 'de')) AS es,
+        len(list_filter(w, x -> x = 'der'))
+          + len(list_filter(w, x -> x = 'und'))
+          + len(list_filter(w, x -> x = 'die')) AS de
         FROM t)
       SELECT doc_id, lang,
         CASE WHEN en >= es AND en >= de THEN 'en'

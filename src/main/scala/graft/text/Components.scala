@@ -89,6 +89,10 @@ object Components {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
+      // release the superseded frontier NOW (next is already eagerly
+      // materialized) — otherwise every round's copy stays pinned in
+      // the block manager until end-of-query cleanup
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(cur)
       cur = next
       fp = nfp
       rounds += 1
@@ -105,11 +109,21 @@ object Components {
   /** Component id for EVERY document (singletons keep their own id):
     * near-dup pairs at `threshold` → star-forest components →
     * right-join back onto the corpus. The output is the dedup-group
-    * assignment a keeper-selection pass consumes.
+    * assignment a keeper-selection pass consumes. Uses the exact
+    * Jaccard pair source (the oracle-checkable ground truth); at
+    * 100 TB feed [[componentsOver]] the banded pair list
+    * ([[Dedup.minHashLshPairs]] / [[Dedup.simHashPairs]]) instead —
+    * the downstream plan is identical.
     */
-  def dedupComponents(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = Dedup.jaccardPairs(docs, threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  def dedupComponents(docs: DataFrame, threshold: Double): DataFrame =
+    componentsOver(docs,
+      Dedup.jaccardPairs(docs, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
+  /** [[dedupComponents]] with a caller-supplied (src, dst) pair frame —
+    * the pluggable-pair-source form, so the scale-path generators drop
+    * in without re-implementing the corpus join-back. */
+  def componentsOver(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")

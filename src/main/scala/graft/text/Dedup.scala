@@ -41,29 +41,33 @@ object Dedup {
     * stays in codegen, and costs one shuffle on doc_id.
     */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = positionalShingles(docs, n)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+    sh.withColumn("n_sh", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+  }
+
+  /** (doc_id, pos, sh) — every n-gram shingle WITH its token position
+    * (duplicates kept): the positional base [[shingleRows]] distincts
+    * over, and the span detector consumes directly. Same codegen'd
+    * posexplode + window-lead plan — NOT the array-lambda form, which
+    * is interpreted and re-tokenizes per element (see the
+    * [[shingleRows]] rationale above). */
+  def positionalShingles(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 2, "shingle width must be >= 2")
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"tok$j"))
-    val sh = toks
-      .select(col("doc_id") +: col("tok") +: leads: _*)
+    toks
+      .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
       .filter(col(s"tok${n - 1}").isNotNull) // only full windows
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"tok$j")): _*)
           .as("sh"))
-      .distinct()
-    sh.withColumn("n_sh", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
   }
-
-  /** (doc_id, shingles) — per-doc distinct shingles gathered to an
-    * array (for pair-local verification via array_intersect). */
-  def tokenShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleRows(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("shingles"))
 
   /** Exact n-gram Jaccard near-dup pairs: self-join on shingle →
     * per-pair intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
@@ -83,6 +87,38 @@ object Dedup {
            min(col("n_b")).as("n_b"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Longest shared n-gram RUN per near-dup pair — the exact-substring
+    * duplication measure (the span view of dedup: Lee et al.'s
+    * "Deduplicating Training Data" removes repeated spans, not whole
+    * docs). Matched shingle positions of a truly shared substring fall
+    * on one diagonal (pa − pb = const) at consecutive pa — so the
+    * longest shared span is the largest island of consecutive
+    * positions within a (pair, diagonal) group (gaps-and-islands via
+    * the pa − row_number trick), and a run of r shingles spans
+    * r + n − 1 tokens. The position join only touches docs already
+    * paired by [[jaccardPairs]] at `threshold`, so its cost is
+    * O(pairs × positions), not corpus-quadratic; at 100 TB the pair
+    * source would be [[minHashLshPairs]] — same downstream plan.
+    */
+  def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold, n).select("doc_a", "doc_b")
+    val posSh = positionalShingles(docs, n)
+    val a = posSh.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("sh"))
+    val b = posSh.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    pairs.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("pa"))
+      .distinct()
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + lit(n - 1)).as("longest_span_tokens"),
+        count(lit(1)).as("n_runs"))
   }
 
   /** PPJoin-style prefix-filtered EXACT Jaccard (Xiao et al., WWW'08;
@@ -105,43 +141,6 @@ object Dedup {
     * and an 8 s query. Below ~0.6, run [[jaccardPairs]] (count-based
     * full join) or [[minHashLshPairs]] instead.
     */
-  /** Longest shared n-gram RUN per near-dup pair — the exact-substring
-    * duplication measure (the span view of dedup: Lee et al.'s
-    * "Deduplicating Training Data" removes repeated spans, not whole
-    * docs). Matched shingle positions of a truly shared substring fall
-    * on one diagonal (pa − pb = const) at consecutive pa — so the
-    * longest shared span is the largest island of consecutive
-    * positions within a (pair, diagonal) group (gaps-and-islands via
-    * the pa − row_number trick), and a run of r shingles spans
-    * r + n − 1 tokens. The position join only touches docs already
-    * paired by [[jaccardPairs]] at `threshold`, so its cost is
-    * O(pairs × positions), not corpus-quadratic; at 100 TB the pair
-    * source would be [[minHashLshPairs]] — same downstream plan.
-    */
-  def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val pairs = jaccardPairs(docs, threshold, n).select("doc_a", "doc_b")
-    val posSh = docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))"))
-        .as(Seq("pos", "sh")))
-    val a = posSh.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("sh"))
-    val b = posSh.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("sh"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
-    pairs.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("pa") - col("pb")).as("diag"), col("pa"))
-      .distinct()
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((max(col("run")) + lit(n - 1)).as("longest_span_tokens"),
-        count(lit(1)).as("n_runs"))
-  }
-
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     val W = org.apache.spark.sql.expressions.Window
@@ -191,10 +190,16 @@ object Dedup {
     * the doc_id grouping; output keeps the (doc_id, n_sh, h0..h{k-1})
     * shape the LSH banding consumes.
     */
-  def minHashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
+  def minHashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
+    signaturesOver(shingleRows(docs, n), k)
+
+  /** [[minHashSignatures]] over an existing shingle table — the single
+    * implementation both it and [[minHashLshPairs]] share (the LSH
+    * pipeline feeds its CHECKPOINTED shingles, so the signature step
+    * must not rebuild them). */
+  private def signaturesOver(sh: DataFrame, k: Int): DataFrame = {
     import graft.functions.MinHashAgg.min_hash_agg
-    shingleRows(docs, n)
-      .groupBy(col("doc_id"))
+    sh.groupBy(col("doc_id"))
       .agg(min(col("n_sh")).as("n_sh"),
         min_hash_agg(xxhash64(col("sh")), k).as("sig"))
       .select(col("doc_id") +: col("n_sh") +:
@@ -221,14 +226,7 @@ object Dedup {
     // materialize it once — the same checkpoint-for-reuse the reference
     // applied between its pipeline stages (SURVEY.md §4.1)
     val sh = shingleRows(docs, n).localCheckpoint(true)
-    val sig = {
-      import graft.functions.MinHashAgg.min_hash_agg
-      sh.groupBy(col("doc_id"))
-        .agg(min(col("n_sh")).as("n_sh"),
-          min_hash_agg(xxhash64(col("sh")), k).as("sig"))
-        .select(col("doc_id") +: col("n_sh") +:
-          (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
-    }
+    val sig = signaturesOver(sh, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))

@@ -28,7 +28,17 @@ object Similarity {
 
   def norm2(a: Column): Column = graft.functions.VectorOps.l2_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity, NULL when either vector is all-zero: a bare
+    * divide would throw DIVIDE_BY_ZERO under Spark 4's default ANSI
+    * mode, killing the whole query for one degenerate vector; NULL
+    * drops it from `>= threshold` filters and ranks last in top-k,
+    * which is the behavior a similarity pass wants (the native
+    * [[graft.functions.VectorOps.cosine_sim]] reaches the same end by
+    * producing NaN from raw JVM arithmetic). */
+  def cosine(a: Column, b: Column): Column = {
+    val n = norm2(a) * norm2(b)
+    when(n =!= lit(0.0), dot(a, b) / n)
+  }
 
   /** Exact top-k cosine neighbors for each query vector (queries =
     * rows passing `isQuery`). Per-query rank ties broken by neighbor id.

@@ -31,13 +31,20 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(trim(text)), lit(BpeishPattern))
 
-  /** Fraction of characters that are sentence punctuation. */
+  /** Fraction of characters that are sentence punctuation. NULL for
+    * empty text: under Spark 4's default ANSI mode a bare `/ length`
+    * would throw DIVIDE_BY_ZERO on the first empty document — a
+    * curation filter must score the rest of the corpus instead
+    * (DuckDB's `/` yields the same NULL, so oracles agree). */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      nullif(length(text), lit(0))
 
-  /** Fraction of characters that are ASCII uppercase. */
+  /** Fraction of characters that are ASCII uppercase (NULL for empty
+    * text — see [[punctRatio]]). */
   def upperRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text)
+    length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+      nullif(length(text), lit(0))
 
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column): Column = {
@@ -54,17 +61,15 @@ object TextAnalysis {
       stopwordRatio(text) * 0.4 +
       (lit(1.0) - punctRatio(text)) * 0.3
 
-  /** Marker-word occurrence count via the length-difference trick —
-    * identical non-overlapping left-to-right semantics in Spark and
-    * DuckDB, so the langid heuristic is oracle-checkable. The text is
-    * space-padded so edge words match.
+  /** Marker-word occurrence count — tokens equal to the word. The
+    * earlier length-difference `replace` trick undercounted ADJACENT
+    * repeats ("de de de" → 2, not 3: each non-overlapping " de " match
+    * consumes the shared separating space), biasing langId low exactly
+    * on marker-heavy text; token equality counts every occurrence and
+    * has the same exact SQL twin (`list_filter` + len).
     */
-  def markerHits(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val marker = s" $word "
-    (length(padded) - length(regexp_replace(padded, marker, ""))).cast("double") /
-      marker.length
-  }
+  def markerHits(text: Column, word: String): Column =
+    size(filter(tokens(text), w => w === word)).cast("double")
 
   /** Language-marker score sets (n-gram-style heuristic; deterministic). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

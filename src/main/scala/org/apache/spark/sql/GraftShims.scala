@@ -23,4 +23,16 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Unpersist the block-manager copy behind a `localCheckpoint(true)`d
+    * DataFrame (its plan is a LogicalRDD over the persisted RDD) —
+    * lets iterative operators release superseded frontiers instead of
+    * pinning every round's copy until end-of-query cleanup. No-op for
+    * non-checkpointed frames. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
