@@ -57,10 +57,18 @@ object BloomMightContain {
     * the sketch: ~1.2 MB per million keys at fpp=0.01 — at 100 TB this
     * is cluster-conf territory (dim row-count stats), here a query
     * parameter.
+    *
+    * LONG-keyed contract, enforced on BOTH sides: the dim column is
+    * cast to long before insertion to match the probe's cast — without
+    * it a string-typed dim inserts string bytes while the probe hashes
+    * longs, and the "provably a superset" guarantee silently becomes
+    * an empty result.
     */
   def keyFilter(dim: DataFrame, keyCol: String, expectedKeys: Long,
       fpp: Double): Column => Column = {
-    val bf = dim.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val bf = dim.select(org.apache.spark.sql.functions.col(keyCol)
+        .cast("long").as(keyCol))
+      .stat.bloomFilter(keyCol, expectedKeys, fpp)
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()
       bf.writeTo(out)

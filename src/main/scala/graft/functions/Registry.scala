@@ -39,21 +39,32 @@ object Registry {
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
 
+  // the SQL path must apply the same input casts the Scala facades do
+  // (score.cast("double"), payload.cast("long"), text.cast("string")):
+  // the expressions declare no inputTypes, so an un-cast INT column
+  // reaches asInstanceOf[Long]/[UTF8String] and every task dies with
+  // ClassCastException
+  private def asLong(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.LongType)
+  private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
+  private def asString(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.StringType)
+
   /** name → expression builder, shared by both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_min_hash" -> (exprs =>
-      RollingMinHash(exprs.head, litInt(exprs(1), "window size"))),
+      RollingMinHash(asString(exprs.head), litInt(exprs(1), "window size"))),
     "top_k_by" -> (exprs =>
-      TopKByScore(exprs(0), exprs(1), litInt(exprs(2), "k"))
+      TopKByScore(asDouble(exprs(0)), asLong(exprs(1)), litInt(exprs(2), "k"))
         .toAggregateExpression()),
     "dot_product" -> (exprs =>
       DotProduct(asVec(exprs(0)), asVec(exprs(1)))),
     "l2_norm" -> (exprs =>
       L2Norm(asVec(exprs.head))),
     "simhash_agg" -> (exprs =>
-      SimHashAgg(exprs.head).toAggregateExpression()),
+      SimHashAgg(asLong(exprs.head)).toAggregateExpression()),
     "min_hash_agg" -> (exprs =>
-      MinHashAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression()),
+      MinHashAgg(asLong(exprs(0)), litInt(exprs(1), "k")).toAggregateExpression()),
     "sign_projection_bucket" -> (exprs =>
       SignProjectionBucket(asVec(exprs(0)), litInt(exprs(3), "table"),
         litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))),

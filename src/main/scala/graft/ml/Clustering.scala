@@ -61,7 +61,10 @@ object Clustering {
     }.toMap
     val preds = present.map { c =>
       models(c).transform(tagged.filter(col("cluster") === c))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).cache()
+    preds.count() // materialize while tagged is still hot…
+    tagged.unpersist() // …then release the tagged copy (it would
+    // otherwise stay pinned in the block manager for the session)
     (models, preds)
   }
 }

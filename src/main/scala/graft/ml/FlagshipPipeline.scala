@@ -37,28 +37,42 @@ object FlagshipPipeline {
       .setOutputCol("features").transform(lagged).cache()
     // KMeans tag + one GBT per cluster (M6/M7)
     val (_, preds) = Clustering.clusterEnsemble(feat, gbtIters = gbtIters)
-    val trainMse = Regressors.mse(preds)
+    val trainMse = Regressors.mse(preds) // reads the cached preds
+    preds.unpersist()
+    feat.unpersist()
     // autoregressive forecast from each user's last observed day (M12):
-    // y=(n_events), y_prev=(previous day), global model over all users
+    // y=(n_events), y_prev=(previous day), global model over all users.
+    // The lagged frame is built ONCE and feeds both the forecast head
+    // and the AR training set.
     val lastDay = daily
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(col("ds").desc)))
       .filter(col("rk") === 1)
-    val head = LagFeatures.windowLag(daily, "user_id", "ds", 1,
-        Seq("n_events"), "_prev")
+    val arBase = LagFeatures.windowLag(daily, "user_id", "ds", 1,
+      Seq("n_events"), "_prev")
+    val head = arBase
       .join(lastDay.select(col("user_id"), col("ds")), Seq("user_id", "ds"), "left_semi")
       .select(col("user_id").as("key"), col("ds"),
         col("n_events").cast("double").as("y"),
         col("n_events_prev").cast("double").as("y_prev"))
     val arModel = {
+      // one-step-ahead alignment: the label is the NEXT day's count,
+      // features are (today, yesterday) — matching exactly what the
+      // forecast loop feeds the model. Training with label = today's
+      // count while also passing it as feature y would be target
+      // leakage: the GBT learns the identity and every forecast
+      // degenerates to a flat repeat of the last observation.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ds"))
+      val arTrain = arBase
+        .withColumn("label", lead(col("n_events"), 1).over(w).cast("double"))
+        .where(col("label").isNotNull) // last observed day has no target
+        .select(col("label"),
+          col("n_events").cast("double").as("y"),
+          col("n_events_prev").cast("double").as("y_prev"))
       val arFeat = new VectorAssembler().setInputCols(Array("y", "y_prev"))
-        .setOutputCol("features")
-        .transform(LagFeatures.windowLag(daily, "user_id", "ds", 1,
-            Seq("n_events"), "_prev")
-          .select(col("n_events").cast("double").as("label"),
-            coalesce(col("n_events"), lit(0)).cast("double").as("y"),
-            col("n_events_prev").cast("double").as("y_prev")))
+        .setOutputCol("features").transform(arTrain)
       Regressors.gbt(maxIter = gbtIters).setLabelCol("label").fit(arFeat)
     }
     val forecast = Forecast.autoregressive(arModel, head, forecastSteps)

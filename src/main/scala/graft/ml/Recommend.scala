@@ -48,6 +48,16 @@ object Recommend {
     */
   def coreSlice(ratings: DataFrame, maxUsers: Int, maxItems: Int): DataFrame = {
     import graft.functions.TopKByScore.top_k_by
+    // top_k_by carries the id as a LONG payload; a string-typed id
+    // would cast to null, silently returning an EMPTY slice — fail
+    // loudly instead (string-keyed corpora must pre-index their ids)
+    Seq("user", "item").foreach { c =>
+      require(ratings.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"coreSlice needs a numeric '$c' id (got " +
+          s"${ratings.schema(c).dataType.simpleString}); map string ids " +
+          "to dense longs first")
+    }
     // Global top-N via the bounded-heap aggregate, not
     // row_number().over(Window.orderBy(...)): the global window funnels
     // every (user,cnt) row through one partition (round-1 weak verdict);

@@ -45,7 +45,11 @@ object SessionStream {
             val sec = e.ts.getTime / 1000
             open match {
               case Some(s) if sec - s.lastSec <= gapSeconds =>
-                open = Some(s.copy(lastSec = sec, count = s.count + 1))
+                // min/max, not assignment: a LATE event from a later
+                // micro-batch must widen the session toward its start,
+                // never rewind lastSec (end < start + phantom splits)
+                open = Some(s.copy(startSec = math.min(s.startSec, sec),
+                  lastSec = math.max(s.lastSec, sec), count = s.count + 1))
               case Some(s) =>
                 closed += ClosedSession(user, s.sessionId, s.count,
                   new Timestamp(s.startSec * 1000), new Timestamp(s.lastSec * 1000))

@@ -62,17 +62,31 @@ class IdleSessionProcessor(gapMs: Long)
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[ClosedSession] = {
-    val prev = Option(open.get()).getOrElse(
-      ClosedSession(key, 0L, Long.MaxValue, Long.MinValue))
-    val updated = rows.foldLeft(prev) { case (acc, (_, t)) =>
+    // the input path must ALSO split on the gap: two events more than
+    // `gap` apart can share a micro-batch (or arrive before the timer's
+    // watermark), and blind min/max-merging would fuse their sessions —
+    // the timer only covers the "stream went quiet" close
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = Option(open.get())
+    rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t) =>
       val us = t.getTime * 1000L
-      ClosedSession(key, acc.n + 1,
-        math.min(acc.first_us, us), math.max(acc.last_us, us))
+      cur match {
+        case Some(s) if us > s.last_us + gapMs * 1000L =>
+          closed += s
+          cur = Some(ClosedSession(key, 1L, us, us))
+        case Some(s) =>
+          cur = Some(ClosedSession(key, s.n + 1,
+            math.min(s.first_us, us), math.max(s.last_us, us)))
+        case None =>
+          cur = Some(ClosedSession(key, 1L, us, us))
+      }
     }
-    open.update(updated)
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
-    getHandle.registerTimer(updated.last_us / 1000L + gapMs)
-    Iterator.empty
+    cur.foreach { s =>
+      open.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last_us / 1000L + gapMs)
+    }
+    closed.result().iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
@@ -93,6 +107,9 @@ object StateStream {
     import spark.implicits._
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0,
+      s"session gap must be day-or-smaller denominated, got '$gap' " +
+        "(a month has no fixed millisecond length)")
     val ms = iv.days * 86400000L + iv.microseconds / 1000L
     events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"))

@@ -173,6 +173,32 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(ys(2) - 3.25) < 1e-6)  // (3.5+3)/2
   }
 
+  test("flagship E2E runs and its AR model is not the identity (no target leak)") {
+    val r = graft.ml.FlagshipPipeline.run(spark, SparkTestSession.Sf0001,
+      forecastSteps = 2, gbtIters = 3)
+    assert(r.trainMse >= 0.0)
+    val fc = r.forecast.collect()
+    assert(fc.nonEmpty)
+    // leak regression: a model trained with its own label as feature y
+    // learns the identity, so EVERY user's step-1 forecast would repeat
+    // the last observed y exactly; the correctly-aligned model must
+    // disagree with the last observation for at least some users
+    val firstStep = fc.groupBy(_.getLong(0)).map { case (k, rows) =>
+      k -> rows.minBy(_.getDate(1).getTime).getDouble(2)
+    }
+    val daily = Pivot.dailyUserCounters(
+      graft.etl.Ingest.dedup(Tables.events(spark, SparkTestSession.Sf0001)))
+    val lastY = daily.withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ds").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(firstStep.exists { case (k, p) => math.abs(p - lastY(k)) > 1e-9 },
+      "every step-1 forecast equals the last observation — identity model")
+  }
+
   test("horizonEnsemble averages two horizons per (key, ds) (M13)") {
     val p1 = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10.0)).toDF("key", "ds", "y")
     val p2 = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 20.0)).toDF("key", "ds", "y")

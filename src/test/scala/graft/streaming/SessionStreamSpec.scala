@@ -44,4 +44,29 @@ class SessionStreamSpec extends AnyFunSuite {
       assert(all(1).n_events === 2)
     } finally q.stop()
   }
+
+  test("a late event widens the open session instead of rewinding it") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val q = SessionStream.sessionize(spark, stream.toDS(), gapSeconds = 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sessions_out").start()
+    try {
+      stream.addData(ev(1, 1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // a LATE event (09:58, within gap) arrives in the next batch;
+      // the buggy form assigned lastSec = 09:58 (end < start) and then
+      // split spuriously — the session must instead widen to 09:58-10:00
+      stream.addData(ev(1, 2, "2024-01-01 09:58:00"))
+      q.processAllAvailable()
+      stream.addData(ev(1, 3, "2024-01-02 10:00:00")) // gap: closes it
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions_out")
+        .as[SessionStream.ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2)
+      assert(closed.head.session_start.toString === "2024-01-01 09:58:00.0")
+      assert(closed.head.session_end.toString === "2024-01-01 10:00:00.0")
+    } finally q.stop()
+  }
 }

@@ -93,4 +93,47 @@ class StateStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("two events a gap apart in ONE batch yield two sessions, not one merged") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[TsEv]
+    val q = StateStream.idleSessions(stream.toDF(), gap = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // 09:00 and 11:00 share a micro-batch; the timer never saw the
+      // first event alone, so the INPUT path must close it — the buggy
+      // blind-merge form fused them into one 09:00-11:00 session
+      stream.addData(Seq(TsEv(1L, ts("2024-01-01 09:00:00")),
+        TsEv(1L, ts("2024-01-01 11:00:00"))))
+      q.processAllAvailable()
+      val closed = spark.table("split_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq === Seq((1L, 1L,
+        ts("2024-01-01 09:00:00").getTime * 1000L,
+        ts("2024-01-01 09:00:00").getTime * 1000L)),
+        s"first session must close from the input path: ${closed.toSeq}")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
+  }
+
+  test("month-denominated gaps are rejected, not silently zero") {
+    val err = intercept[IllegalArgumentException] {
+      StateStream.idleSessions(
+        Seq(TsEv(1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")))
+          .toDF(), gap = "1 month")
+    }
+    assert(err.getMessage.contains("month"))
+  }
 }
