@@ -40,13 +40,25 @@ object Bench {
     // write — a storage layout written once, like the fixtures) out of
     // the per-query figure. Storage is reset after every run, so run 2
     // re-executes the full plan — no result caching is being measured.
+    // Executed via the noop sink, not count(): a count() lets the
+    // optimizer strip each query's final orderBy (EliminateSorts under
+    // Aggregate) and prune the output projection to zero columns, so
+    // queries with expensive final stages would be systematically
+    // under-measured. The noop write materializes every output column
+    // in order — the plan Verify ships is the plan Bench times.
+    // A throwing query reports -1 (never a silent time-to-failure)
+    // with the error on stderr.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      dt
+      if (ok) dt else -1.0
     }
     // Reps are taken as two FULL PASSES over the suite, not
     // back-to-back: observed co-tenant bursts last minutes and

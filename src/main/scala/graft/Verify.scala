@@ -12,6 +12,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // remove any PREVIOUS run's output first: if this query now
+      // throws, a stale parquet dir would make the driver compare old
+      // results and mask the regression as green
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Ingest operators — SURVEY.md §2.1 (S1–S8) + §2.4 A5.
@@ -13,14 +14,40 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
-  /** S1 — typed CSV scan with malformed-row drop (arity-filter semantics). */
+  /** S1 — typed CSV scan with malformed-row drop (arity-filter
+    * semantics), as line → split → filter → cast over built-ins.
+    *
+    * Deliberately NOT the csv reader's DROPMALFORMED: since Spark 2.4 a
+    * CSV row is judged malformed only against the columns the query
+    * actually READS, so `csvScan(...).count()` would drop nothing and
+    * a narrow projection would drop less than a wide one — the row
+    * count would depend on the downstream projection (and the
+    * corrupt-record-column alternative is barred from exactly those
+    * projections: QUERY_ONLY_CORRUPT_RECORD_COLUMN). The split form is
+    * the reference's own shape (split(delim) + length filter), stays
+    * codegen'd, and its row set is projection-INDEPENDENT: a row
+    * survives iff it has exactly the schema's arity and every
+    * non-empty field parses to its declared type (empty fields read as
+    * NULL, matching csv null handling). No quote/escape handling —
+    * neither had the reference's split(","). */
   def csvScan(spark: SparkSession, path: String, schema: StructType,
-              delimiter: String = ","): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("mode", "DROPMALFORMED")
-      .option("delimiter", delimiter)
-      .csv(path)
+              delimiter: String = ","): DataFrame = {
+    val parts = split(col("value"),
+      java.util.regex.Pattern.quote(delimiter), -1)
+    def raw(i: Int) = element_at(col("p"), i + 1)
+    // try_cast, not cast: under ANSI (Spark 4 default) a plain cast of
+    // an unparseable field THROWS instead of yielding the null the
+    // malformed-filter tests for
+    val parseOk = schema.fields.zipWithIndex.map { case (f, i) =>
+      raw(i).isNull || raw(i) === "" || raw(i).try_cast(f.dataType).isNotNull
+    }.reduce(_ && _)
+    spark.read.text(path)
+      .select(parts.as("p"))
+      .filter(size(col("p")) === schema.length && parseOk)
+      .select(schema.fields.zipWithIndex.map { case (f, i) =>
+        raw(i).try_cast(f.dataType).as(f.name)
+      }: _*)
+  }
 
   /** A5 — exact row-level dedup (ref 流行音乐趋势预测.md:42,
     * `select distinct * from rawUserAction`). A full-row hash shuffle; at

@@ -16,11 +16,19 @@ final case class GraftQuery(
     run: (SparkSession, String) => DataFrame)
 
 object Catalog {
-  /** Full registry; SparkEntry derives `queries` and `oracleSql` from it. */
-  def all: Seq[GraftQuery] =
-    Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
-      SqlQueries.queries ++ PipelineQueries.queries ++
-      SurfaceQueries.queries ++ CorpusQueries.queries ++
-      AnalyticsQueries.queries ++ MixtureQueries.queries ++
-      CurationQueries.queries
+  /** Full registry; SparkEntry derives `queries` and `oracleSql` from it.
+    * Duplicate names fail LOUDLY: SparkEntry's `toMap` would otherwise
+    * silently shadow one of the colliding queries — it would vanish
+    * from Bench and Verify while everything still reports green. */
+  def all: Seq[GraftQuery] = {
+    val qs =
+      Relational.queries ++ TextQueries.queries ++ ExtraQueries.queries ++
+        SqlQueries.queries ++ PipelineQueries.queries ++
+        SurfaceQueries.queries ++ CorpusQueries.queries ++
+        AnalyticsQueries.queries ++ MixtureQueries.queries ++
+        CurationQueries.queries
+    val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
+    qs
+  }
 }

@@ -22,29 +22,43 @@ object BucketedTables {
   val nBuckets = 8
 
   private def root(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_bucketed/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    SourceLayout.root("graft_bucketed", sfDir)
 
   private def tableName(sfDir: String, base: String): String =
-    s"graft_${base}_bucketed_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"graft_${base}_bucketed_${SourceLayout.slug(sfDir)}"
 
   /** Write `base` (pruned to `cols`) bucketed+sorted by `key` as an
-    * external table, unless this session already registered it. */
+    * external table. A new session whose in-memory catalog lacks the
+    * table but whose files survive on disk (completed _SUCCESS)
+    * RE-REGISTERS the external table over them via DDL instead of
+    * re-shuffling and rewriting — that is the cross-session reuse the
+    * module header promises. */
   private def ensureTable(s: SparkSession, sfDir: String, base: String,
                           key: String, cols: Seq[String]): String = {
     val name = tableName(sfDir, base)
     if (!s.catalog.tableExists(name)) {
-      // repartition on the bucket hash first so each task holds exactly
-      // one bucket → ONE file per bucket; Spark only elides the join-side
-      // Sort when every bucket is a single sorted file
-      Tables.load(s, sfDir, base)
-        .select(cols.map(col): _*)
-        .repartition(nBuckets, col(key))
-        .write
-        .mode("overwrite")
-        .option("path", s"${root(sfDir)}/$base")
-        .bucketBy(nBuckets, key)
-        .sortBy(key)
-        .saveAsTable(name)
+      val dir = s"${root(sfDir)}/$base"
+      if (new java.io.File(dir, "_SUCCESS").exists()) {
+        val schema = Tables.load(s, sfDir, base).select(cols.map(col): _*).schema
+        val ddlCols = schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        s.sql(s"""CREATE TABLE $name ($ddlCols) USING parquet
+          CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+          LOCATION '$dir'""")
+      } else {
+        // repartition on the bucket hash first so each task holds exactly
+        // one bucket → ONE file per bucket; Spark only elides the join-side
+        // Sort when every bucket is a single sorted file
+        Tables.load(s, sfDir, base)
+          .select(cols.map(col): _*)
+          .repartition(nBuckets, col(key))
+          .write
+          .mode("overwrite")
+          .option("path", dir)
+          .bucketBy(nBuckets, key)
+          .sortBy(key)
+          .saveAsTable(name)
+      }
     }
     name
   }

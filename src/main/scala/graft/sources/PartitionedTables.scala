@@ -17,7 +17,7 @@ import graft.model.Tables
 object PartitionedTables {
 
   private def root(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    SourceLayout.root("graft_partitioned", sfDir)
 
   /** Incremental backfill: rewrite ONLY the partitions present in
     * `patch` (per-write `partitionOverwriteMode=dynamic` — no session
@@ -35,8 +35,7 @@ object PartitionedTables {
     * events copy; `ds` comes back as a DATE partition column. */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     val dir = s"${root(sfDir)}/events"
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
+    SourceLayout.writeOnce(dir) {
       Tables.events(s, sfDir)
         .withColumn("ds", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("ds").parquet(dir)

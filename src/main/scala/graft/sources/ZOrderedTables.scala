@@ -26,14 +26,12 @@ import graft.model.Tables
 object ZOrderedTables {
 
   private def root(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_zorder/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    SourceLayout.root("graft_zorder", sfDir)
 
   private val NFiles = 16
 
-  private def writeOnce(dir: String)(build: => DataFrame): Unit = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) build.write.mode("overwrite").parquet(dir)
-  }
+  private def writeOnce(dir: String)(build: => DataFrame): Unit =
+    SourceLayout.writeOnce(dir)(build.write.mode("overwrite").parquet(dir))
 
   /** lineitem range-sorted by l_partkey only. */
   def linear(s: SparkSession, sfDir: String): DataFrame = {

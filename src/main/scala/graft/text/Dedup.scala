@@ -103,8 +103,21 @@ object Dedup {
     * source would be [[minHashLshPairs]] — same downstream plan.
     */
   def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    // checkpointed: the pair list feeds the id filter AND the final
+    // join (no cross-subtree CSE — rerunning the shingle self-join
+    // twice would double the operator's dominant cost)
     val pairs = jaccardPairs(docs, threshold, n).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    // only docs that appear in some pair can contribute a shared span —
+    // semi-filter the positional table BEFORE its (doc, sh) shuffle, so
+    // the position join moves O(paired docs), not O(corpus), through
+    // the exchange (at 100 TB pairs ≪ corpus; this is the difference
+    // between a span pass and a second corpus shuffle)
+    val pairIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val posSh = positionalShingles(docs, n)
+      .join(broadcast(pairIds), Seq("doc_id"), "left_semi")
     val a = posSh.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("sh"))
     val b = posSh.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("sh"))
     val w = org.apache.spark.sql.expressions.Window

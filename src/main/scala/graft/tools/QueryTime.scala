@@ -21,7 +21,9 @@ object QueryTime {
       .filter(t => names(t._1)).foreach { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          // noop sink, same as Bench: count() would strip final sorts
+          // and prune the output projection
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))

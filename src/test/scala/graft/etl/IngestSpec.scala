@@ -32,6 +32,15 @@ class IngestSpec extends AnyFunSuite {
     val got = Ingest.csvScan(spark, f.getAbsolutePath, schema)
       .collect().map(r => (r.getString(0), r.getInt(2)))
     assert(got.toSet === Set(("u1", 3), ("u3", 7)))
+    // the pruning regression: with CSV column pruning on, a count()
+    // requests zero columns, nothing is "malformed", and the malformed
+    // row survives — graft sessions disable pruning so the row-level
+    // drop holds independent of the downstream projection
+    assert(Ingest.csvScan(spark, f.getAbsolutePath, schema).count() === 2L,
+      "count() must see the arity filter too")
+    // narrow projections of the VALID columns must also see it
+    assert(Ingest.csvScan(spark, f.getAbsolutePath, schema)
+      .select("user").count() === 2L)
   }
 
   test("parquet checkpoint round-trips exactly (S3/S4)") {

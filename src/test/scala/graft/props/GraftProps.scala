@@ -173,22 +173,26 @@ object GraftProps extends Properties("graft") {
 
   // CDC round-trip: applying the derived change set reconstructs the
   // target snapshot exactly, and the diff is minimal (no no-op rows).
-  // Values are NULLABLE on purpose: NULL→value and value→NULL must
-  // surface as updates (the null-safe <=> in Cdc.diff), not vanish.
+  // Keys AND values are NULLABLE on purpose: a NULL key must behave as
+  // one matchable key (the null-safe <=> join in Cdc — a plain
+  // equi-join would explode it into spurious I+D), and NULL→value /
+  // value→NULL must surface as updates, not vanish.
   property("cdc diff∘apply reconstructs v2 and emits no no-ops") =
     forAll(
-      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.option(Gen.choose(0, 5)))),
-      Gen.mapOf(Gen.zip(Gen.choose(0L, 12L), Gen.option(Gen.choose(0, 5))))) { (m1, m2) =>
+      Gen.mapOf(Gen.zip(Gen.option(Gen.choose(0L, 12L)), Gen.option(Gen.choose(0, 5)))),
+      Gen.mapOf(Gen.zip(Gen.option(Gen.choose(0L, 12L)), Gen.option(Gen.choose(0, 5))))) { (m1, m2) =>
       val n1 = m1.map { case (k, v) => k -> v.map(_.toDouble) }
       val n2 = m2.map { case (k, v) => k -> v.map(_.toDouble) }
       val v1 = n1.toSeq.toDF("k", "v")
       val v2 = n2.toSeq.toDF("k", "v")
+      def key(r: org.apache.spark.sql.Row): Option[Long] =
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
       val changes = graft.etl.Cdc.diff(v1, v2)
       val rebuilt = graft.etl.Cdc.applyChanges(v1, changes).collect()
-        .map(r => r.getLong(0) ->
+        .map(r => key(r) ->
           (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
       val minimal = changes.collect().forall { r =>
-        val (k, op) = (r.getLong(0), r.getString(1))
+        val (k, op) = (key(r), r.getString(1))
         op match {
           case "I" => !n1.contains(k) && n2.contains(k)
           case "D" => n1.contains(k) && !n2.contains(k)
