@@ -15,6 +15,30 @@ final case class GraftQuery(
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
 
+/** Shared DuckDB-oracle CTE fragments. Six oracles previously carried
+  * the exact 3-gram Jaccard pair derivation (toks → sh → ex → pairs)
+  * as verbatim copies; one definition keeps every oracle's
+  * tokenization in sync with `Dedup.shingleRows` — a drift in any
+  * copy (n-gram width, normalization, the len(t) >= 3 guard) would
+  * desynchronize that one oracle and fail verify confusingly.
+  * Callers append their own filter/projection CTEs after it.
+  */
+private[queries] object OracleCtes {
+  val shinglePairs: String = """toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+}
+
 object Catalog {
   /** Full registry; SparkEntry derives `queries` and `oracleSql` from it.
     * Duplicate names fail LOUDLY: SparkEntry's `toMap` would otherwise

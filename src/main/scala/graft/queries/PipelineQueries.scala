@@ -29,21 +29,10 @@ object PipelineQueries {
     q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
-    * 3-gram Jaccard pairs at the given threshold. */
+    * 3-gram Jaccard pairs at the given threshold, on the one shared
+    * [[OracleCtes.shinglePairs]] prefix. */
   private def pairsCtes(threshold: Double): String =
-    s"""toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+    s"""${OracleCtes.shinglePairs},
       dup AS (
         SELECT doc_a, doc_b FROM pairs
         WHERE inter * 1.0 / (n_a + n_b - inter) >= $threshold)"""

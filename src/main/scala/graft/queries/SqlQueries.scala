@@ -143,11 +143,6 @@ object SqlQueries {
                       AND o.o_orderpriority = '1-URGENT')
       GROUP BY 1 ORDER BY 1""")
 
-  /** max_by/min_by (argmax) — "the attribute of the extreme row" in
-    * ONE aggregate, no self-join back to the max row and no window
-    * sort. Keyed on the unique orderkey so ties cannot occur and both
-    * engines agree deterministically.
-    */
   /** Recursive CTE (Spark 4 `WITH RECURSIVE`) following each near-dup
     * document's min-successor chain to its end — the SQL-text twin of
     * `text.Components`' iterative min-label propagation. The edge set
@@ -163,20 +158,7 @@ object SqlQueries {
   val q103RecursiveChain: GraftQuery = GraftQuery(
     "q103_recursive_chain",
     "WITH RECURSIVE min-successor chain closure over near-dup pairs",
-    Some("""WITH RECURSIVE toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
-        FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+    Some(s"""WITH RECURSIVE ${OracleCtes.shinglePairs},
       edges AS (
         SELECT doc_a, MIN(doc_b) AS nxt FROM pairs
         WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4 GROUP BY 1),
@@ -268,6 +250,11 @@ object SqlQueries {
     * proves the string→int failure path. The oracle expresses the
     * identical null-on-error semantics with guarded CASE arithmetic.
     */
+  // oracle n_divisible spells out the FULL null set try_divide skips
+  // (d = 0, d NULL, value NULL): the bare `CASE WHEN d = 0` form counted
+  // d-IS-NULL rows (CASE over NULL falls to ELSE) while Spark's
+  // COUNT(try_divide(...)) skips them — a latent drift the fixture's
+  // always-parseable props masked
   val q108TryArith: GraftQuery = sqlQuery(
     "q108_try_arith",
     "try_divide/try_cast null-on-error over a divisor that hits zero",
@@ -277,7 +264,8 @@ object SqlQueries {
           TRY_CAST(event_type AS INT) AS bad_cast
         FROM events)
       SELECT event_type, COUNT(*) AS n,
-        CAST(COUNT(CASE WHEN d = 0 THEN NULL ELSE 1 END) AS BIGINT)
+        CAST(COUNT(CASE WHEN d = 0 OR d IS NULL OR value IS NULL
+          THEN NULL ELSE 1 END) AS BIGINT)
           AS n_divisible,
         ROUND(SUM(CASE WHEN d = 0 THEN NULL ELSE value / d END), 2)
           AS sum_ratio,
@@ -407,6 +395,11 @@ object SqlQueries {
       HAVING COUNT(*) FILTER (WHERE l_quantity > 25) > 100
       ORDER BY 1""")
 
+  /** max_by/min_by (argmax) — "the attribute of the extreme row" in
+    * ONE aggregate, no self-join back to the max row and no window
+    * sort. Keyed on the unique orderkey so ties cannot occur and both
+    * engines agree deterministically.
+    */
   val q96ArgMax: GraftQuery = sqlQuery(
     "q96_argmax",
     "per-customer priority of highest/lowest order via max_by/min_by",

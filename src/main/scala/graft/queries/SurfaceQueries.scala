@@ -120,16 +120,19 @@ object SurfaceQueries {
         "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)")
       .orderBy(col("l_returnflag"), col("metric")))
 
-  /** Semi-structured props via VariantType (Spark 4): `parse_json`
+  /** Semi-structured props via VariantType (Spark 4): `try_parse_json`
     * once into a variant, then typed `variant_get` paths — the
     * open-schema sibling of q21's `get_json_object`. Variant stores a
     * parsed binary form, so repeated path extraction doesn't re-parse
     * the JSON text per path (get_json_object does) — the difference
     * between 1 and k parses per row when k paths are read at 100 TB.
+    * try_parse_json, not parse_json: one malformed props row must
+    * yield NULL like q21 and the oracle do, not abort the scan (the
+    * q108 null-on-error contract).
     */
   val q91VariantJson = GraftQuery(
     "q91_variant_json",
-    "typed variant_get over parse_json'd props (q21's variant twin)",
+    "typed variant_get over try_parse_json'd props (q21's variant twin)",
     Some("""SELECT event_type,
         CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
         MAX(CAST(props ->> 'k' AS BIGINT)) AS k_max,
@@ -138,7 +141,7 @@ object SurfaceQueries {
       FROM events GROUP BY 1 ORDER BY 1"""),
     (s, d) => events(s, d)
       .select(col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
         round(avg(col("k")), 4).as("k_avg"), count(lit(1)).as("n"))

@@ -132,19 +132,7 @@ object TextQueries {
   val q26NgramJaccard = GraftQuery(
     "q26_ngram_jaccard",
     "exact 3-gram Jaccard near-dup pairs (threshold 0.4)",
-    Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+    Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
@@ -161,19 +149,7 @@ object TextQueries {
   val q54JaccardPrefix = GraftQuery(
     "q54_jaccard_prefix",
     "prefix-filtered exact 3-gram Jaccard pairs at t=0.8 (PPJoin plan)",
-    Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+    Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.8
@@ -191,19 +167,7 @@ object TextQueries {
   val q27MinHashLsh = GraftQuery(
     "q27_minhash_lsh_pairs",
     "MinHash+LSH banded near-dup pairs, Jaccard-verified (threshold 0.4)",
-    Some("""WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
-        FROM toks WHERE len(t) >= 3),
-      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-      pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+    Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
