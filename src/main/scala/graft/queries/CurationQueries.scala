@@ -16,7 +16,8 @@ object CurationQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission,
-      q135LmQualityFilter)
+      q135LmQualityFilter, q136Boilerplate, q137TemperatureMix,
+      q138MadOutliers, q139SourceOverlap, q140DedupYield)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
     * embedding corpus (q46's ground truth) → connected components
@@ -226,5 +227,273 @@ object CurationQueries {
         .where(col("cum") < SourceBudget)
         .select(col("source"), col("doc_id"), col("tok"), col("cum"))
         .orderBy(col("source"), col("doc_id"))
+    })
+
+  /** Corpus-level boilerplate detection: a 3-gram is "boilerplate"
+    * when it appears in ≥1% of DOCUMENTS (a corpus-relative cutoff —
+    * the absolute count scales with the corpus, the fraction doesn't),
+    * and each document is scored by the fraction of its 3-gram
+    * POSITIONS covered by such grams — the nav-bar/footer/license-
+    * blurb removal signal (per-doc repetition is q80, intra-corpus
+    * duplicated SPANS are q107; this is the third axis: shared-
+    * across-documents mass). Plan: one positional-shingle projection
+    * feeds both the doc-frequency table (one shuffle) and the
+    * coverage join (second shuffle on the gram); the corpus doc count
+    * rides as a broadcast 1-row aggregate. At 100 TB the df table is
+    * Zipf-shaped — only grams at df ≥ cutoff matter downstream, so
+    * the join side can be pre-filtered to the (tiny) heavy tail,
+    * which also makes it broadcastable.
+    */
+  val q136Boilerplate = GraftQuery(
+    "q136_boilerplate_ngrams",
+    "per-doc fraction of 3-gram positions covered by corpus boilerplate",
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM t WHERE len(w) >= 3),
+      df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN df.df >= 0.01 * nd.n_docs THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_boiler,
+        ROUND(SUM(CASE WHEN df.df >= 0.01 * nd.n_docs THEN 1 ELSE 0 END)
+          * 1.0 / COUNT(*), 4) AS boiler_frac
+      FROM g JOIN df USING (sh) CROSS JOIN nd
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      // grams ride as xxhash64 longs, not 3-word strings: the df agg
+      // and the coverage probe never need the text back, and a 64-bit
+      // collision over even billions of distinct grams is ~1e-9 —
+      // the q27 banding precedent. Only the grams ABOVE the cutoff
+      // (the Zipf heavy tail — tiny at any corpus size) join back,
+      // and they join broadcast: the 1.5M-row positional side never
+      // re-shuffles, its only shuffle is the final per-doc aggregate.
+      val grams = Dedup.positionalShingles(documents(s, d))
+        .select(col("doc_id"), xxhash64(col("sh")).as("g"))
+      val df = grams.distinct().groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+      val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val heavy = df.crossJoin(broadcast(nd))
+        .where(col("df") >= lit(0.01) * col("n_docs"))
+        .select(col("g"), lit(1).as("hit"))
+      grams.join(broadcast(heavy), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit") === 1, 1).otherwise(0)).cast("long")
+            .as("n_boiler"),
+          round(sum(when(col("hit") === 1, 1).otherwise(0)) * lit(1.0)
+            / count(lit(1)), 4).as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Temperature-scaled mixture weights (α = 0.5): the multilingual /
+    * multi-domain rebalancing rule p_i ∝ c_i^α that upsamples
+    * low-resource sources relative to their raw token share. Output
+    * per source: token count, raw share, temperature share, and the
+    * boost factor (temp/raw — >1 means the sampler upsamples it).
+    * q60/q101 draw FROM a given mixture; this computes the mixture
+    * itself, by what training consumes (tokens, the q133 discipline).
+    * Plan: one map-side-combined aggregate per source; both totals
+    * ride as a broadcast 1-row aggregate — nothing here scales with
+    * rows beyond the first scan.
+    */
+  val q137TemperatureMix = GraftQuery(
+    "q137_temperature_mix",
+    "per-source temperature-scaled (α=0.5) sampling weights by token mass",
+    Some("""WITH s AS (
+        SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+            AS toks
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot,
+        SUM(pow(toks, 0.5)) AS tot_t FROM s)
+      SELECT source, toks,
+        ROUND(toks * 1.0 / t.tot, 6) AS raw_share,
+        ROUND(pow(toks, 0.5) / t.tot_t, 6) AS temp_share,
+        ROUND((pow(toks, 0.5) / t.tot_t) / (toks * 1.0 / t.tot), 4) AS boost
+      FROM s CROSS JOIN t ORDER BY source"""),
+    (s, d) => {
+      val bySrc = documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TA.tokenCount(col("text"))).cast("long").as("toks"))
+      val totals = bySrc.agg(sum(col("toks")).as("tot"),
+        sum(pow(col("toks"), 0.5)).as("tot_t"))
+      bySrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("toks"),
+          round(col("toks") * lit(1.0) / col("tot"), 6).as("raw_share"),
+          round(pow(col("toks"), 0.5) / col("tot_t"), 6).as("temp_share"),
+          round((pow(col("toks"), 0.5) / col("tot_t"))
+            / (col("toks") * lit(1.0) / col("tot")), 4).as("boost"))
+        .orderBy(col("source"))
+    })
+
+  /** Robust outlier detection via MAD (median absolute deviation):
+    * per event type, flag |v − median| > 3.5 · 1.4826 · MAD — the
+    * robust z-score rule that, unlike the mean/stddev z-score (q65),
+    * is not itself dragged by the outliers it hunts (breakdown point
+    * 50% vs 0%). Two exact-percentile passes per key (median, then
+    * median of deviations), each one shuffle, with the per-key
+    * medians broadcast back — the 100 TB swap-in is
+    * `approx_percentile` for both passes (the q38→q52 precedent);
+    * exact here keeps the oracle byte-comparable.
+    */
+  val q138MadOutliers = GraftQuery(
+    "q138_mad_outliers",
+    "MAD robust z-score outlier counts per event type (3.5σ-equivalent)",
+    Some("""WITH med AS (
+        SELECT event_type,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type, COUNT(*) AS n,
+        ROUND(MIN(d.med), 6) AS med, ROUND(MIN(m.mad), 6) AS mad,
+        CAST(SUM(CASE WHEN d.ad > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          sum(when(col("ad") > lit(3.5) * lit(1.4826) * col("mad"), 1)
+            .otherwise(0)).cast("long").as("n_outliers"))
+        .orderBy(col("event_type"))
+    })
+
+  /** Cross-source contamination matrix: 3-gram Jaccard overlap for
+    * every source pair — the train/eval-overlap diagnostic at the
+    * SOURCE level (q89 decontaminates docs against one benchmark;
+    * this measures all-pairs bleed between corpus slices, the number
+    * a mixture designer reads before trusting a held-out source).
+    * Plan: per-source DISTINCT gram sets (one shuffle), then a
+    * self-join on the gram — fan-out per gram is bounded by the
+    * number of SOURCES carrying it (≤ S, and S is small even at
+    * 100 TB: sources are domains, not rows), so the pair aggregate
+    * is O(grams · S²) worst case with tiny S, never O(rows²).
+    */
+  val q139SourceOverlap = GraftQuery(
+    "q139_source_overlap",
+    "pairwise 3-gram Jaccard overlap matrix across sources",
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents),
+      g AS (
+        SELECT DISTINCT source, unnest(list_transform(range(len(w) - 2),
+            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        FROM t WHERE len(w) >= 3),
+      n AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+      i AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b, i.inter,
+        ROUND(i.inter * 1.0 / (na.n + nb.n - i.inter), 4) AS jaccard
+      FROM i JOIN n na ON na.source = i.src_a
+        JOIN n nb ON nb.source = i.src_b
+      ORDER BY src_a, src_b"""),
+    (s, d) => {
+      // same hashed-gram discipline as q136: sets and intersections
+      // only ever compare grams for equality, so the 64-bit key
+      // replaces the 3-word string through both shuffles.
+      val docs = documents(s, d)
+      val g = Dedup.positionalShingles(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), xxhash64(col("sh")).as("sh")).distinct()
+      val n = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = g.select(col("source").as("src_a"), col("sh"))
+        .join(g.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(n.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "n_a")), Seq("src_a"))
+        .join(broadcast(n.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "n_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter") * lit(1.0)
+            / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    })
+
+  /** Dedup yield report: the component-size histogram with token
+    * accounting — for each near-dup cluster size, how many clusters,
+    * how many documents they hold, their total token mass, and the
+    * tokens the keeper rule (q68: longest doc, ties → min id) would
+    * drop. This is the "what did dedup buy us" summary a curation
+    * run publishes next to its output corpus; the size histogram is
+    * also the skew early-warning (one giant component means a
+    * boilerplate family, not real duplication). Cost over q56/q68 is
+    * one window + two aggregates over the (tiny) per-component table.
+    */
+  val q140DedupYield = GraftQuery(
+    "q140_dedup_yield",
+    "dedup component-size histogram with kept/dropped token accounting",
+    Some(s"""WITH RECURSIVE ${PipelineQueries.pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n),
+      comp AS (SELECT n AS doc_id, MIN(r) AS component FROM walk GROUP BY 1),
+      m AS (
+        SELECT c.doc_id, c.component, len(t.t) AS tok, d.n_chars
+        FROM comp c JOIN toks t USING (doc_id)
+          JOIN documents d USING (doc_id)),
+      rk AS (
+        SELECT component, tok, ROW_NUMBER() OVER (PARTITION BY component
+          ORDER BY n_chars DESC, doc_id) AS rn FROM m),
+      cs AS (
+        SELECT component, COUNT(*) AS sz, SUM(tok) AS toks,
+          SUM(CASE WHEN rn > 1 THEN tok ELSE 0 END) AS dropped
+        FROM rk GROUP BY 1)
+      SELECT CAST(sz AS BIGINT) AS comp_size, COUNT(*) AS n_components,
+        CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+        CAST(SUM(toks) AS BIGINT) AS tokens,
+        CAST(SUM(dropped) AS BIGINT) AS tokens_dropped
+      FROM cs GROUP BY sz ORDER BY comp_size"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val m = Components.dedupComponents(docs, 0.4)
+        .join(docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("tok"),
+          col("n_chars")), Seq("doc_id"))
+      val byComp = Window.partitionBy(col("component"))
+      val cs = m
+        .withColumn("rn", row_number().over(
+          byComp.orderBy(col("n_chars").desc, col("doc_id"))))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"), sum(col("tok")).as("toks"),
+          sum(when(col("rn") > 1, col("tok")).otherwise(0L)).as("dropped"))
+      cs.groupBy(col("sz").as("comp_size"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("toks")).as("tokens"),
+          sum(col("dropped")).as("tokens_dropped"))
+        .select(col("comp_size"), col("n_components"),
+          (col("n_components") * col("comp_size")).as("n_docs"),
+          col("tokens"), col("tokens_dropped"))
+        .orderBy(col("comp_size"))
     })
 }

@@ -31,7 +31,7 @@ object PipelineQueries {
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold, on the one shared
     * [[OracleCtes.shinglePairs]] prefix. */
-  private def pairsCtes(threshold: Double): String =
+  private[queries] def pairsCtes(threshold: Double): String =
     s"""${OracleCtes.shinglePairs},
       dup AS (
         SELECT doc_a, doc_b FROM pairs

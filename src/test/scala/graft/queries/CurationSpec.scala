@@ -108,4 +108,113 @@ class CurationSpec extends AnyFunSuite {
     // the budget genuinely binds: something was cut
     assert(kept.length < docs.length, "budget should exclude some documents")
   }
+
+  test("q136 boilerplate: coverage bounds + total positions conserved") {
+    val d = SparkTestSession.Sf0001
+    val rows = CurationQueries.q136Boilerplate.run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, b, f) =>
+      assert(b >= 0 && b <= n, s"doc $id: n_boiler $b outside [0, $n]")
+      assert(f >= 0.0 && f <= 1.0, s"doc $id: frac $f outside [0,1]")
+      assert(math.abs(f - b.toDouble / n) <= 5.01e-5, // half-ulp of 4 dp
+        s"doc $id: frac $f drifts from $b/$n")
+    }
+    // every 3-gram position of every (>=3-token) doc is accounted for
+    val totalPositions = Dedup.positionalShingles(
+      Tables.documents(spark, d)).count()
+    assert(rows.map(_._2).sum === totalPositions,
+      "per-doc gram counts must sum to the corpus positional total")
+  }
+
+  test("q137 temperature mix: shares sum to 1, α=0.5 compresses toward uniform") {
+    val d = SparkTestSession.Sf0001
+    val rows = CurationQueries.q137TemperatureMix.run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length >= 2)
+    val tol = 1e-4
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= tol, "raw shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= tol, "temp shares sum to 1")
+    // boost is inversely ordered with size: the largest source is
+    // downsampled relative to the smallest
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.head._5 >= bySize.last._5,
+      "smallest source must get at least the boost of the largest")
+    // temp shares flatter than raw: max/min ratio strictly shrinks
+    val rawRatio = bySize.last._3 / bySize.head._3
+    val tempRatio = bySize.last._4 / bySize.head._4
+    assert(tempRatio <= rawRatio + tol,
+      s"α=0.5 must compress spread (raw $rawRatio → temp $tempRatio)")
+    assert(math.abs(tempRatio - math.sqrt(rawRatio)) <= 0.01,
+      s"temp ratio $tempRatio should be ~sqrt of raw ratio $rawRatio")
+  }
+
+  test("q138 MAD outliers: agrees with a driver-side recomputation") {
+    val d = SparkTestSession.Sf0001
+    val got = CurationQueries.q138MadOutliers.run(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byType = Tables.events(spark, d)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (t, vs) =>
+      val values = vs.map(_._2)
+      val med = medianOf(values)
+      val mad = medianOf(values.map(v => math.abs(v - med)))
+      val nOut = values.count(v => math.abs(v - med) > 3.5 * 1.4826 * mad)
+      val (n, gmed, gmad, gout) = got(t)
+      assert(n === values.length)
+      assert(math.abs(gmed - med) <= 1e-6, s"$t median $gmed vs $med")
+      assert(math.abs(gmad - mad) <= 1e-6, s"$t MAD $gmad vs $mad")
+      assert(gout === nOut, s"$t outliers $gout vs $nOut")
+    }
+  }
+
+  test("q139 source overlap: full matrix, symmetric-free, sane jaccard") {
+    val d = SparkTestSession.Sf0001
+    val rows = CurationQueries.q139SourceOverlap.run(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val sources = Tables.documents(spark, d).select(col("source"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // fixture sources share one vocabulary, so every pair overlaps and
+    // the matrix is complete: S*(S-1)/2 rows, each ordered src_a < src_b
+    assert(rows.length === sources.size * (sources.size - 1) / 2)
+    rows.foreach { case (a, b, inter, j) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(inter > 0 && j > 0.0 && j <= 1.0, s"($a,$b) inter=$inter j=$j")
+    }
+  }
+
+  test("q140 dedup yield: docs conserved, token accounting matches q68 keepers") {
+    val d = SparkTestSession.Sf0001
+    val hist = CurationQueries.q140DedupYield.run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, d)
+    assert(hist.map(_._3).sum === docs.count(), "histogram covers every doc")
+    // singletons drop nothing
+    hist.filter(_._1 == 1).foreach { case (_, _, _, _, dropped) =>
+      assert(dropped === 0L, "size-1 components must drop no tokens")
+    }
+    // kept tokens (total - dropped) equal the token mass of q68's keepers
+    val keptTokens = hist.map(h => h._4 - h._5).sum
+    val keeperIds = PipelineQueries.q68DedupCorpus.run(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val keeperTokens = docs
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .collect().filter(r => keeperIds(r.getLong(0))).map(_.getLong(1)).sum
+    assert(keptTokens === keeperTokens,
+      s"kept token mass $keptTokens must equal q68 keeper mass $keeperTokens")
+    // and the number of components equals the number of keepers
+    assert(hist.map(_._2).sum === keeperIds.size)
+  }
 }
