@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+import graft.text.{Similarity => Sim}
+
+/** Label-quality diagnostics over the labeled embedding corpus — the
+  * "find the mislabeled examples" pass of supervised-data curation
+  * (confident-learning style, via its two classic geometric proxies):
+  * local neighborhood label agreement (q141) and global distance to
+  * the label centroid (q142). Both are pure compositions of the
+  * catalog's vector machinery ([[graft.text.Similarity]]), and both
+  * are exact and oracle-checked; the fixture's labels are random with
+  * respect to the vectors, which the operators faithfully report
+  * (chance-level agreement) — LabelQualitySpec plants correlated
+  * labels to pin the discrimination behavior the fixture can't show.
+  */
+object LabelQualityQueries {
+
+  def queries: Seq[GraftQuery] =
+    Seq(q141KnnLabelAgreement, q142CentroidOutliers)
+
+  /** k-NN label agreement (k = 10): for each vector, the fraction of
+    * its cosine nearest neighbors sharing its label; low agreement
+    * flags a likely labeling error (or an off-manifold example). The
+    * brute-force neighbor join is the oracle-checkable ground truth
+    * (q30's precedent); at 100 TB the candidate source swaps to the
+    * IVF / LSH lists (q83/q106) with the identical downstream
+    * label join + aggregate.
+    */
+  val q141KnnLabelAgreement = GraftQuery(
+    "q141_knn_label_agreement",
+    "fraction of 10 cosine-NN sharing each vector's label (noise flag < 0.3)",
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS qa, a.label AS la, b.label AS lb, b.vec_id AS nb,
+          list_cosine_similarity(a.v, b.v) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
+          ORDER BY sim DESC, nb) AS rk FROM p)
+      SELECT qa AS vec_id, MIN(la) AS label,
+        CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        ROUND(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) / 10.0, 4)
+          AS match_frac,
+        CAST(CASE WHEN SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) / 10.0 < 0.3
+          THEN 1 ELSE 0 END AS INTEGER) AS is_suspect
+      FROM r WHERE rk <= 10 GROUP BY qa ORDER BY qa"""),
+    (s, d) => knnLabelAgreement(embeddings(s, d), 10).orderBy(col("vec_id")))
+
+  /** The q141 plan over any (vec_id, embedding, label) frame.
+    * Neighbor selection is the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKByScore]], same tie-break as
+    * `ORDER BY sim DESC, id`): the all-pairs similarity stream never
+    * materializes through a sort — each partition keeps k candidates
+    * per query, so the shuffle carries O(queries · k), not O(n²)
+    * (measured 7.4 s → ~1 s at sf0.1 vs the row_number window). */
+  def knnLabelAgreement(emb: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKByScore.top_k_by
+    // Precompute each vector's norm ONCE as a scalar column carried
+    // through the join, so the O(n²) pair stream does a single
+    // codegen'd dot product per pair plus scalar arithmetic —
+    // Sim.cosine would walk the arrays five times per pair (dot +
+    // two norms, the ANSI zero-guard double-evaluating the norm
+    // product). Same formula as the oracle's cosine; a zero vector's
+    // NULL score never enters the heap (TopKByScore skips nulls).
+    val e = emb.select(col("vec_id"), col("label"),
+      Sim.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Sim.norm2(col("v")))
+    val q = e.select(col("vec_id").as("q_id"), col("label").as("la"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val np = col("qnrm") * col("nrm")
+    // The heap payload packs (neighbor id << 32 | label): the label
+    // rides along for free, so no second join or aggregate is needed
+    // to score the returned top-k — and because the label occupies
+    // the LOW bits, payload order still breaks score ties by smaller
+    // neighbor id, exactly the oracle's ORDER BY sim DESC, nb.
+    // (Labels are non-negative ints < 2³²; ids keep 31 bits, which
+    // a per-shard id space covers at any corpus size.)
+    val nMatch = size(filter(col("top"),
+      s => s.getField("payload").bitwiseAND(lit((1L << 32) - 1))
+        === col("la"))).cast("long")
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("la"),
+        when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np).as("cos"),
+        (col("vec_id") * lit(1L << 32) + col("label")).as("pl"))
+      .groupBy(col("q_id"), col("la"))
+      .agg(top_k_by(col("cos"), col("pl"), k).as("top"))
+      .select(col("q_id").as("vec_id"), col("la").as("label"),
+        nMatch.as("n_match"),
+        round(nMatch / lit(k * 1.0), 4).as("match_frac"),
+        (nMatch / lit(k * 1.0) < 0.3).cast("int").as("is_suspect"))
+  }
+
+  /** Centroid-distance outliers: cosine of each vector to its LABEL
+    * CENTROID (componentwise mean), flagging the bottom 5% per label —
+    * the global counterpart to q141's local test (a mislabeled point
+    * sits far from its claimed class center even when its local
+    * neighborhood is mixed). Plan: one explode + (label, dim)
+    * aggregate builds the centroid table — labels × dim rows, tiny at
+    * ANY corpus size, so it re-assembles into per-label arrays and
+    * joins back BROADCAST; the corpus itself is scanned once and
+    * never exploded on the scoring side (the native codegen'd vector
+    * ops take the centroid array whole).
+    */
+  val q142CentroidOutliers = GraftQuery(
+    "q142_centroid_outliers",
+    "cosine to own-label centroid, bottom 5% per label flagged",
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      ev AS (
+        SELECT vec_id, label, t.i AS pos, v[t.i] AS x
+        FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+      cent AS (SELECT label, pos, AVG(x) AS c FROM ev GROUP BY 1, 2),
+      s AS (
+        SELECT ev.vec_id, ev.label,
+          SUM(ev.x * cent.c) AS dot,
+          sqrt(SUM(ev.x * ev.x)) AS nx, sqrt(SUM(cent.c * cent.c)) AS nc
+        FROM ev JOIN cent USING (label, pos) GROUP BY 1, 2),
+      d AS (SELECT vec_id, label, dot / (nx * nc) AS cosc FROM s),
+      pr AS (SELECT vec_id, label, cosc,
+        PERCENT_RANK() OVER (PARTITION BY label ORDER BY cosc, vec_id)
+          AS prk FROM d)
+      SELECT vec_id, label, ROUND(cosc, 6) AS cos_centroid,
+        CAST(CASE WHEN prk <= 0.05 THEN 1 ELSE 0 END AS INTEGER) AS is_far
+      FROM pr ORDER BY vec_id"""),
+    (s, d) => centroidOutliers(embeddings(s, d)).orderBy(col("vec_id")))
+
+  /** The q142 plan over any (vec_id, embedding, label) frame. */
+  def centroidOutliers(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      Sim.toDouble(col("embedding")).as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        Sim.cosine(col("v"), col("cv")).as("cosc"))
+    scored
+      .withColumn("prk", percent_rank().over(
+        Window.partitionBy(col("label")).orderBy(col("cosc"), col("vec_id"))))
+      .select(col("vec_id"), col("label"),
+        round(col("cosc"), 6).as("cos_centroid"),
+        (col("prk") <= 0.05).cast("int").as("is_far"))
+  }
+}
