@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * Media are opaque `binary` payloads with typed metadata; decode /
   * feature-extract / frame-sample run batch-wise over partitions
   * (`Dataset.mapPartitions` — the Scala analogue of arrow-batched
-  * Python UDFs). Header DECODE is real: [[parseImageDims]] reads
-  * actual PNG IHDR / JPEG SOFn frame headers (pure JVM, public format
-  * specs) inside the partition batches. Only the pixel-level codec
-  * work (full decode, scaling, re-encode) remains a deterministic
-  * fake (no image/audio libs in this container) — a real codec drops
-  * into [[decodeStub]]/[[resizeStub]] without touching any plan.
+  * Python UDFs). Header decode is real ([[parseImageDims]] /
+  * [[parseWavInfo]]), and for PNG the PIXEL path is real too:
+  * [[PngCodec]] round-trips actual deflate-compressed, scanline-
+  * filtered image data, so feature extraction histograms decoded
+  * pixels and resize is a true 2-D nearest-neighbor resample with
+  * re-encode ([[realImageFeatures]] / [[resizeImages]]). Non-PNG
+  * payloads (e.g. JPEG, whose entropy decode is out of scope) fall
+  * back to the deterministic byte-level fakes, same contracts.
   */
 object Multimodal {
 
@@ -74,6 +76,36 @@ object Multimodal {
       w.as("width"),
       h.as("height"),
       rate.as("sample_rate"))
+  }
+
+  /** Deterministic synthetic media with REAL PNG image payloads:
+    * pixels derive from the document text (bytes cycled over a
+    * gray w×h raster) and run through the true encoder — deflate,
+    * CRCs, filter bytes — so every pixel-path consumer downstream
+    * exercises genuine image bytes. Dims are kept small (the doc-id
+    * pattern mod 24 + 8) because the VALUE here is codec realism,
+    * not raster size. Audio/video rows match [[syntheticMedia]].
+    */
+  def syntheticPngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val rate = ((id % 3 + 1) * 8000).toInt
+        val payload =
+          if (kind == "image") {
+            val tb = text.getBytes("UTF-8")
+            val px = new Array[Byte](w * h)
+            var i = 0
+            while (i < px.length) {
+              px(i) = if (tb.isEmpty) 0 else tb(i % tb.length); i += 1
+            }
+            PngCodec.encode(PngCodec.Image(w, h, 1, px))
+          } else text.getBytes("UTF-8")
+        MediaRow(id, kind, payload, w, h, rate)
+      }).toDF()
   }
 
   /** Real image header decode (public formats, pure JVM):
@@ -199,17 +231,40 @@ object Multimodal {
     acc
   }
 
+  /** REAL pixel features for a decoded image: the normalized
+    * `dim`-bin intensity histogram over DECODED pixel values —
+    * computed from bytes that actually went through inflate +
+    * un-filtering, not from the compressed payload. */
+  private[multimodal] def realImageFeatures(img: PngCodec.Image, dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < img.pixels.length) {
+      acc(java.lang.Byte.toUnsignedInt(img.pixels(i)) * dim / 256) += 1.0f
+      i += 1
+    }
+    val n = math.max(img.pixels.length, 1).toFloat
+    var j = 0
+    while (j < dim) { acc(j) /= n; j += 1 }
+    acc
+  }
+
   /** Feature extraction over partition batches: one pass per partition,
     * payload bytes never hit the driver. Partition count (and therefore
     * batch shape / parallelism) is preserved from the input — at scale,
     * repartition upstream to match executor memory to payload sizes.
-    */
+    * Images that decode as PNG get REAL pixel-intensity histograms;
+    * everything else falls back to the deterministic byte fold. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8)
       : Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("id"), col("kind"), col("payload")).as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
-        MediaFeatures(id, kind, decodeStub(payload, dim))
+        val feats =
+          if (kind == "image") PngCodec.decode(payload)
+            .map(realImageFeatures(_, dim))
+            .getOrElse(decodeStub(payload, dim))
+          else decodeStub(payload, dim)
+        MediaFeatures(id, kind, feats)
       })
   }
 
@@ -237,10 +292,11 @@ object Multimodal {
                      src_width: Int, src_height: Int, width: Int, height: Int)
 
   /** Image resize over partition batches — payload AND metadata change
-    * together, rows stay 1:1, partitioning preserved. Source dims come
-    * from the REAL header parse in the same batch (metadata fallback
-    * for headerless payloads), which is exactly what a codec-backed
-    * resize consumes. */
+    * together, rows stay 1:1, partitioning preserved. PNG payloads
+    * take the REAL path: decode → 2-D nearest-neighbor resample →
+    * re-encode, so the output payload is itself a valid PNG at the
+    * target dims. Non-PNG payloads keep the byte-resample stub with
+    * header-parsed (or metadata) source dims — same output contract. */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int)
       : Dataset[Resized] = {
     import spark.implicits._
@@ -248,9 +304,16 @@ object Multimodal {
       .select(col("id"), col("kind"), col("payload"), col("width"), col("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, kind, payload, mw, mh) =>
-        val (sw, sh) = parseImageDims(payload)
-          .map(t => (t._2, t._3)).getOrElse((mw, mh))
-        Resized(id, kind, resizeStub(payload, w, h), sw, sh, w, h)
+        PngCodec.decode(payload) match {
+          case Some(img) =>
+            val resized = PngCodec.resizeNearest(img, w, h)
+            Resized(id, kind, PngCodec.encode(resized),
+              img.width, img.height, w, h)
+          case None =>
+            val (sw, sh) = parseImageDims(payload)
+              .map(t => (t._2, t._3)).getOrElse((mw, mh))
+            Resized(id, kind, resizeStub(payload, w, h), sw, sh, w, h)
+        }
       })
   }
 

@@ -163,4 +163,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perQuery.keySet === Set(0L, 1L, 2L))
     perQuery.values.foreach(g => assert(g.length === 2))
   }
+
+  private def pngMedia = Multimodal.syntheticPngMedia(spark,
+    Tables.documents(spark, SparkTestSession.Sf0001).limit(60))
+
+  test("syntheticPngMedia image payloads are complete, decodable PNGs") {
+    val images = pngMedia
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      val decoded = PngCodec.decode(r.getAs[Array[Byte]]("payload"))
+      assert(decoded.isDefined, s"id ${r.getLong(0)}: payload not a real PNG")
+      assert(decoded.get.width === r.getInt(3) &&
+        decoded.get.height === r.getInt(4),
+        s"id ${r.getLong(0)}: decoded dims != metadata")
+    }
+  }
+
+  test("extractFeatures histograms REAL decoded pixels for PNG payloads") {
+    val m = pngMedia
+    val feats = Multimodal.extractFeatures(spark, m, dim = 8)
+      .collect().map(f => f.id -> f).toMap
+    val images = m
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .collect()
+    images.foreach { r =>
+      val img = PngCodec.decode(r.getAs[Array[Byte]]("payload")).get
+      // hand-computed pixel-intensity histogram must match exactly
+      val expect = new Array[Float](8)
+      img.pixels.foreach(b =>
+        expect(java.lang.Byte.toUnsignedInt(b) * 8 / 256) += 1.0f)
+      val n = img.pixels.length.toFloat
+      val got = feats(r.getLong(0)).features
+      expect.indices.foreach(i =>
+        assert(math.abs(got(i) - expect(i) / n) < 1e-6f,
+          s"id ${r.getLong(0)} bin $i: ${got(i)} vs ${expect(i) / n}"))
+    }
+  }
+
+  test("resizeImages emits valid PNGs at target dims with true source dims") {
+    val resized = Multimodal.resizeImages(spark, pngMedia, 6, 4).collect()
+    val srcDims = pngMedia
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(resized.length === srcDims.size)
+    resized.foreach { r =>
+      assert((r.src_width, r.src_height) === srcDims(r.id))
+      val out = PngCodec.decode(r.payload)
+      assert(out.isDefined, s"id ${r.id}: resized payload is not a valid PNG")
+      assert(out.get.width === 6 && out.get.height === 4)
+      // spot-check geometry: resized pixels are a nearest-neighbor
+      // subsample of the decoded source
+      val src = PngCodec.decode(
+        pngMedia.filter(org.apache.spark.sql.functions.col("id") === r.id)
+          .collect().head.getAs[Array[Byte]]("payload")).get
+      val expect = PngCodec.resizeNearest(src, 6, 4)
+      assert(out.get.pixels.toSeq === expect.pixels.toSeq)
+    }
+  }
 }
