@@ -128,4 +128,27 @@ class PngCodecSpec extends AnyFunSuite {
     val re = PngCodec.decode(PngCodec.encode(resized))
     assert(re.isDefined && re.get.pixels.toSeq === resized.pixels.toSeq)
   }
+
+  test("property: any image round-trips exactly (arbitrary dims/channels/pixels)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      c <- Gen.oneOf(1, 3, 4)
+      px <- Gen.containerOfN[Array, Byte](w * h * c, Gen.choose(-128, 127).map(_.toByte))
+    } yield Image(w, h, c, px)
+    val prop = forAll(genImg) { img =>
+      PngCodec.decode(PngCodec.encode(img)) match {
+        case Some(d) =>
+          Prop(d.width == img.width && d.height == img.height &&
+            d.channels == img.channels &&
+            java.util.Arrays.equals(d.pixels, img.pixels))
+        case None => Prop.falsified
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

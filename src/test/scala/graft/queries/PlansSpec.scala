@@ -268,4 +268,35 @@ class PlansSpec extends AnyFunSuite {
     // Expand plan (the 8x cost lesson — see the query's scaladoc)
     assert(!p.contains("Expand"), s"no Expand in the exact pass:\n$p")
   }
+
+  test("q136 heavy-tail grams join back broadcast; no string grams in exchanges") {
+    val p = plan("q136_boilerplate_ngrams")
+    // the coverage probe must be a broadcast join (the positional
+    // stream's only shuffle is the final per-doc aggregate)…
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the df heavy tail must broadcast, not co-shuffle:\n$p")
+    // …and gram keys must ride hashed (xxhash64), never as strings
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("q141 selects neighbors through the bounded heap, not a sort") {
+    val p = plan("q141_knn_label_agreement")
+    assert(p.contains("top_k_by"), p)
+    // no rank window and no sort below the aggregate: the only Sort
+    // allowed is the final output ORDER BY vec_id
+    assert(!p.contains("windowspecdefinition"),
+      s"q141 must not rank through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the heap aggregate must stay on the hash path:\n$p")
+  }
+
+  test("q142 joins label centroids broadcast; corpus never explodes for scoring") {
+    val p = plan("q142_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one Generate (the centroid-building posexplode); the
+    // scoring side consumes whole arrays through the native vector ops
+    assert("Generate".r.findAllIn(p).length === 1,
+      s"only the centroid build may explode:\n$p")
+  }
 }
