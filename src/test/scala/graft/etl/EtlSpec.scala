@@ -73,4 +73,34 @@ class EtlSpec extends AnyFunSuite {
     assert(m(("a", "2024-01-02")) === 40L) // 01-04's value, 2 days ahead
     assert(m(("a", "2024-01-04")) === 0L)  // no 01-06 → zero-fill
   }
+
+  test("Telemetry.observeQuality yields exact metrics from ONE action") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5)), (2L, None), (3L, Some(-1.0)), (4L, Some(0.5)))
+      .toDF("id", "v")
+    val (inst, obs) = Telemetry.observeQuality(df, "t", Seq("id"))
+    // the instrumented frame is row-identical to the input
+    assert(inst.collect().length === 4)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("n_null_v") === 1L && m("n_null_id") === 0L)
+    assert(m("min_id") === 1L && m("max_id") === 4L && m("sum_id") === 10L)
+  }
+
+  test("Telemetry.assertQuality gates on observed null fractions") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Double]), (2L, Some(1.0)))
+      .toDF("id", "v")
+    val (inst, obs) = Telemetry.observeQuality(df, "g", Seq())
+    inst.write.format("noop").mode("overwrite").save()
+    // v is 50% null: a 0.6 gate passes and returns the metrics…
+    val m = Telemetry.assertQuality(obs, Seq("v"), 0.6)
+    assert(m("n_rows") === 2L)
+    // …and a 0.4 gate fails fast
+    val (inst2, obs2) = Telemetry.observeQuality(df, "g2", Seq())
+    inst2.write.format("noop").mode("overwrite").save()
+    val e = intercept[IllegalArgumentException](
+      Telemetry.assertQuality(obs2, Seq("v"), 0.4))
+    assert(e.getMessage.contains("null fraction"))
+  }
 }
