@@ -86,6 +86,23 @@ object Multimodal {
     * pattern mod 24 + 8) because the VALUE here is codec realism,
     * not raster size. Audio/video rows match [[syntheticMedia]].
     */
+  /** The JVM twin of [[syntheticMedia]]'s SQL-built WAV header (PCM,
+    * mono, 16-bit, zero-length data — legal for a header probe), so
+    * this generator's audio rows exercise [[parseWavInfo]] the same
+    * way its image rows exercise the full PNG decode. */
+  private def wavHeader(rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)          // PCM, 1 channel
+      .putInt(rate).putInt(rate * 2)    // sample rate, byte rate
+      .putShort(2).putShort(16)         // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
   def syntheticPngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -94,8 +111,8 @@ object Multimodal {
         val w = (id % 24 + 8).toInt
         val h = (id % 12 + 8).toInt
         val rate = ((id % 3 + 1) * 8000).toInt
-        val payload =
-          if (kind == "image") {
+        val payload = kind match {
+          case "image" =>
             val tb = text.getBytes("UTF-8")
             val px = new Array[Byte](w * h)
             var i = 0
@@ -103,7 +120,9 @@ object Multimodal {
               px(i) = if (tb.isEmpty) 0 else tb(i % tb.length); i += 1
             }
             PngCodec.encode(PngCodec.Image(w, h, 1, px))
-          } else text.getBytes("UTF-8")
+          case "audio" => wavHeader(rate) ++ text.getBytes("UTF-8")
+          case _ => text.getBytes("UTF-8")
+        }
         MediaRow(id, kind, payload, w, h, rate)
       }).toDF()
   }

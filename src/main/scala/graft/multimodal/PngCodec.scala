@@ -119,13 +119,26 @@ object PngCodec {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // ANY zero-progress state is refusal: truncated stream
+        // (needsInput), preset-dictionary stream (needsDictionary —
+        // inflate() returns 0 forever without this check, an infinite
+        // loop on a crafted FDICT zlib header), or any other stall
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
       if (off != raw.length) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
+    // refuse invalid filter types up front (spec §9 defines 0–4 only;
+    // passing garbage through would decode to real-looking corruption)
+    val rowLen = 1 + width * channels
+    var y = 0
+    while (y < height) {
+      val f = java.lang.Byte.toUnsignedInt(raw(y * rowLen))
+      if (f > 4) return None
+      y += 1
+    }
     Some(Image(width, height, channels, unfilter(raw, width, height, channels)))
   }
 
@@ -162,8 +175,7 @@ object PngCodec {
           case 2 => cur + b
           case 3 => cur + (a + b) / 2
           case 4 => cur + paeth(a, b, c)
-          case _ => cur // unknown filter: pass through (refusal happens
-                        // at spec level; data is best-effort here)
+          case _ => cur // unreachable: decode() refuses filters > 4
         }
         out(rowOut + x) = recon.toByte
         x += 1

@@ -271,6 +271,12 @@ object CurationQueries {
       // (the Zipf heavy tail — tiny at any corpus size) join back,
       // and they join broadcast: the 1.5M-row positional side never
       // re-shuffles, its only shuffle is the final per-doc aggregate.
+      // `grams` feeds two subtrees and is deliberately NOT
+      // checkpointed (unlike sharedSpanPairs' PAIR list): it is a
+      // scan-stage projection of O(corpus tokens) — at 100 TB,
+      // re-running the scan twice is cheaper than materializing the
+      // whole tokenized corpus to executor disk. Checkpointing is for
+      // small frontiers (pairs, edges), not corpus-sized streams.
       val grams = Dedup.positionalShingles(documents(s, d))
         .select(col("doc_id"), xxhash64(col("sh")).as("g"))
       val df = grams.distinct().groupBy(col("g"))
@@ -414,7 +420,10 @@ object CurationQueries {
     (s, d) => {
       // same hashed-gram discipline as q136: sets and intersections
       // only ever compare grams for equality, so the 64-bit key
-      // replaces the 3-word string through both shuffles.
+      // replaces the 3-word string through both shuffles. And as in
+      // q136, `g` is recomputed per consuming subtree rather than
+      // checkpointed — a corpus-sized scan projection is cheaper to
+      // re-run than to materialize (only small frontiers checkpoint).
       val docs = documents(s, d)
       val g = Dedup.positionalShingles(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))

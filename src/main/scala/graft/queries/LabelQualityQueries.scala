@@ -74,6 +74,11 @@ object LabelQualityQueries {
     val q = e.select(col("vec_id").as("q_id"), col("label").as("la"),
       col("v").as("qv"), col("nrm").as("qnrm"))
     val np = col("qnrm") * col("nrm")
+    // Degenerate (all-zero) vectors score -1.0, matching DuckDB's
+    // list_cosine_similarity convention exactly (probed: zero-vs-x
+    // AND zero-vs-zero both return -1.0 there) — a NULL here would
+    // instead be dropped by the heap and silently shrink the
+    // neighbor list relative to the oracle.
     // The heap payload packs (neighbor id << 32 | label): the label
     // rides along for free, so no second join or aggregate is needed
     // to score the returned top-k — and because the label occupies
@@ -86,7 +91,8 @@ object LabelQualityQueries {
         === col("la"))).cast("long")
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("la"),
-        when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np).as("cos"),
+        when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
+          .otherwise(lit(-1.0)).as("cos"),
         (col("vec_id") * lit(1L << 32) + col("label")).as("pl"))
       .groupBy(col("q_id"), col("la"))
       .agg(top_k_by(col("cos"), col("pl"), k).as("top"))
@@ -146,8 +152,12 @@ object LabelQualityQueries {
       .select(col("vec_id"), col("label"),
         Sim.cosine(col("v"), col("cv")).as("cosc"))
     scored
+      // NULLS LAST to match DuckDB's ordering: a degenerate vector's
+      // NULL cosine must rank prk = 1.0 (unflagged) on both engines —
+      // Spark's ascending default is NULLS FIRST, which would flag it
       .withColumn("prk", percent_rank().over(
-        Window.partitionBy(col("label")).orderBy(col("cosc"), col("vec_id"))))
+        Window.partitionBy(col("label"))
+          .orderBy(col("cosc").asc_nulls_last, col("vec_id"))))
       .select(col("vec_id"), col("label"),
         round(col("cosc"), 6).as("cos_centroid"),
         (col("prk") <= 0.05).cast("int").as("is_far"))

@@ -64,6 +64,7 @@ class PngCodecSpec extends AnyFunSuite {
           case 2 => cur - b
           case 3 => cur - (a + b) / 2
           case 4 => cur - paeth(a, b, c)
+          case _ => cur // out-of-spec filter id: raw data under a bad tag
         }
         raw(y * (1 + w) + 1 + x) = filtered.toByte
       }
@@ -98,6 +99,19 @@ class PngCodecSpec extends AnyFunSuite {
     // interlaced flag set
     val interlaced = good.clone(); interlaced(8 + 4 + 4 + 12) = 1
     assert(PngCodec.decode(interlaced).isEmpty, "interlaced must be refused")
+    // out-of-spec scanline filter id (spec §9 defines 0-4 only): must
+    // refuse, never decode to real-looking garbage
+    assert(PngCodec.decode(encodeWithFilter(4, 2, pattern(8, 6), 7)).isEmpty,
+      "filter id 7 must be refused")
+    // zlib FDICT stream: Inflater reports needsDictionary and makes no
+    // progress — must refuse, never loop (the crafted header is
+    // 0x78 0x20: deflate method, FDICT bit set, then a 4-byte DICTID)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0)
+    val fdictIdat = Array(0x78, 0x20, 1, 2, 3, 4, 5, 6, 7).map(_.toByte)
+    val fdictPng = sig ++ rawChunk("IHDR", ihdr) ++
+      rawChunk("IDAT", fdictIdat) ++ rawChunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(fdictPng).isEmpty, "FDICT zlib must be refused")
     // deterministic fuzz: arbitrary byte soup, optionally with a valid
     // signature prefix, must return None or Some but never throw
     for (seed <- 0 until 50) {
