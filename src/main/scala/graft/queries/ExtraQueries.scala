@@ -204,10 +204,16 @@ object ExtraQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1"""),
     (s, d) => lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25) + 1e-6"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.50) + 1e-6"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75) + 1e-6"), 2).as("p75"))
+      // ONE percentile aggregate over the quantile array, not three:
+      // exact percentile keeps every group value in its buffer, so
+      // three separate aggregates tripled the state and the merge
+      // (measured 4.0-5.0 s → 2.3-3.7 s at sf0.1 under the noop sink)
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1) + 1e-6, 2).as("p25"),
+        round(element_at(col("ps"), 2) + 1e-6, 2).as("p50"),
+        round(element_at(col("ps"), 3) + 1e-6, 2).as("p75"))
       .orderBy(col("l_returnflag")))
 
   /** 100 TB twin of q38 (round-1 missing item #5): `approx_percentile`
