@@ -85,8 +85,19 @@ object Components {
     var fp = fingerprint(cur)
     var rounds = 0
     var converged = cur.isEmpty
+    // Frontier partitioning adapts to the frontier's MEASURED size
+    // (already known from the fingerprint count — no extra action):
+    // the edge set contracts geometrically, so late rounds on the
+    // global shuffle-partition count are pure task overhead, and
+    // localCheckpoint pins whatever layout the round produced. ~50k
+    // edges per partition keeps early rounds parallel and late rounds
+    // single-task; coalesce (not repartition) merges map-side.
+    def frontierPartitions(edgeCount: Long): Int =
+      math.max(1L, math.min(edgeCount / 50000L,
+        cur.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur))
+        .coalesce(frontierPartitions(fp._1)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
       // release the superseded frontier NOW (next is already eagerly
