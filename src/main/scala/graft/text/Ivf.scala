@@ -61,14 +61,28 @@ object Ivf {
       .withColumn("d2", dist2)
       .withColumn("cr", row_number().over(wCell))
       .where(col("cr") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cell"))
-    // search only the probed cells
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    probes.join(indexed, Seq("cell"))
+      .select(col("q_id"), col("qv"),
+        l2_norm(col("qv")).as("qnrm"), col("cell"))
+    // Search only the probed cells. Same candidate-stream discipline
+    // as q141 (LabelQualityQueries.knnLabelAgreement): norms ride as
+    // scalar columns so each candidate costs ONE codegen'd dot (the
+    // guarded cosine walks the arrays five times), and the top-k
+    // comes from the bounded-heap aggregate — the shuffle carries
+    // O(queries · k), never a sort of the full candidate stream.
+    // Tie-break (score desc, id asc) matches the former window's
+    // ORDER BY cos DESC, vec_id.
+    import graft.functions.TopKByScore.top_k_by
+    val np = col("qnrm") * col("nrm")
+    probes.join(indexed.withColumn("nrm", l2_norm(col("v"))), Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rk"))
+      .select(col("q_id"),
+        when(np =!= 0.0, dot_product(col("qv"), col("v")) / np).as("cos"),
+        col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.payload").as("vec_id"),
+        round(col("hit.score"), 4).as("cos"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 }
