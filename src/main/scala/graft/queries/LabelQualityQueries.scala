@@ -57,7 +57,7 @@ object LabelQualityQueries {
     * `ORDER BY sim DESC, id`): the all-pairs similarity stream never
     * materializes through a sort — each partition keeps k candidates
     * per query, so the shuffle carries O(queries · k), not O(n²)
-    * (measured 7.4 s → ~1 s at sf0.1 vs the row_number window). */
+    * (measured 7.4 s → ~2 s at sf0.1 vs the row_number window). */
   def knnLabelAgreement(emb: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TopKByScore.top_k_by

@@ -48,12 +48,16 @@ object Ivf {
                     nCells: Int = 16, nProbe: Int = 4,
                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     val (indexed, centroids) = buildIndex(emb, nCells, seed, maxIter)
+    import graft.functions.VectorOps.{dot_product, l2_norm}
+    // query norm computed ONCE per query, reused by the cell-distance
+    // expression (which would otherwise re-walk the array nCells
+    // times) and by the candidate scoring downstream
     val queries = indexed.where(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        l2_norm(col("v")).as("qnrm"))
     // nCells rows × queries: rank cells per query, keep nProbe.
     // ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖² via the native vector ops (no lambdas)
-    import graft.functions.VectorOps.{dot_product, l2_norm}
-    val dist2 = pow(l2_norm(col("qv")), 2) -
+    val dist2 = pow(col("qnrm"), 2) -
       lit(2.0) * dot_product(col("qv"), col("centroid")) +
       pow(l2_norm(col("centroid")), 2)
     val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
@@ -61,8 +65,7 @@ object Ivf {
       .withColumn("d2", dist2)
       .withColumn("cr", row_number().over(wCell))
       .where(col("cr") <= nProbe)
-      .select(col("q_id"), col("qv"),
-        l2_norm(col("qv")).as("qnrm"), col("cell"))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"))
     // Search only the probed cells. Same candidate-stream discipline
     // as q141 (LabelQualityQueries.knnLabelAgreement): norms ride as
     // scalar columns so each candidate costs ONE codegen'd dot (the
@@ -76,7 +79,12 @@ object Ivf {
     probes.join(indexed.withColumn("nrm", l2_norm(col("v"))), Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"),
-        when(np =!= 0.0, dot_product(col("qv"), col("v")) / np).as("cos"),
+        // degenerate (zero-norm) vectors score -1.0, the q141
+        // convention: a NULL would be dropped by the heap and the
+        // query would silently vanish from the output, where the
+        // former window ranked NULL-cos rows last but kept them
+        when(np =!= 0.0, dot_product(col("qv"), col("v")) / np)
+          .otherwise(lit(-1.0)).as("cos"),
         col("vec_id"))
       .groupBy(col("q_id"))
       .agg(top_k_by(col("cos"), col("vec_id"), k).as("top"))

@@ -33,6 +33,22 @@ class IvfSpec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("a zero-norm query scores -1.0 and stays in the output (q141 convention)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .limit(40)
+      .union(Seq((9999L, Array.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Ivf.ivfCosineTopK(emb, col("vec_id") === 9999L, k = 3,
+      nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // the degenerate query must not vanish: k rows, every score -1.0,
+    // tie-broken by smallest neighbor id
+    assert(out.length === 3, s"zero-norm query dropped: ${out.length} rows")
+    assert(out.forall(_._2 === -1.0), out.mkString(","))
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq)
+  }
+
   test("IVF recall >= 0.9 on planted clusters (the structure it exists to exploit)") {
     val emb = ClusteredEmbeddings.fixture(spark)
     val isQ = col("vec_id") < 20
