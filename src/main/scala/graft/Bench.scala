@@ -86,8 +86,15 @@ object Bench {
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + j(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"metric":"total","value":${j(total)}}""")
+    // Failed queries (-1 markers) are excluded from the total — a crash
+    // must not make the suite look faster — and are named explicitly in
+    // the tail next to the total, the part of the line that survives
+    // head-truncation (the -1s themselves sort cheapest-first, i.e. into
+    // the truncatable head).
+    val (failed, timed) = results.partition(_._2 < 0)
+    val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
+    val failedJson = failed.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"metric":"total","value":${j(total)}}""")
     spark.stop()
   }
 }

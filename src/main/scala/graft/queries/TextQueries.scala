@@ -163,7 +163,16 @@ object TextQueries {
     * (xxhash64, no RNG) with measured recall 1.0 on the gate corpus —
     * the sketch is purely the candidate-pruning mechanism, the emitted
     * rows are engine-independent. TextSpec keeps the recall assertion
-    * as the early-warning if banding parameters ever change. */
+    * as the early-warning if banding parameters ever change.
+    *
+    * TRIAGE if this row ever goes red with rows_match=false and FEWER
+    * Spark rows than oracle rows: banding is probabilistic — a pair
+    * sitting exactly at the 0.4 threshold is missed with ~0.4%
+    * probability per pair (deterministic per corpus, but a new fixture
+    * or SF can flip one). That is a banding-parameter/fixture property,
+    * NOT an engine bug: re-check recall in TextSpec and either raise
+    * the band count or accept the corpus change before touching the
+    * join logic. */
   val q27MinHashLsh = GraftQuery(
     "q27_minhash_lsh_pairs",
     "MinHash+LSH banded near-dup pairs, Jaccard-verified (threshold 0.4)",

@@ -27,6 +27,17 @@ object BucketedTables {
   private def tableName(sfDir: String, base: String): String =
     s"graft_${base}_bucketed_${SourceLayout.slug(sfDir)}"
 
+  /** Spec fingerprint baked into the on-disk directory name: if the
+    * bucket count, bucket key, or pruned column set ever change across
+    * code versions, the old directory simply isn't found and a fresh
+    * write happens — stale files can't be re-registered under the new
+    * DDL (where missing columns would read as all-NULL and a changed
+    * bucket count would silently void the exchange-free-join claim). */
+  private def specFingerprint(key: String, cols: Seq[String]): String = {
+    val spec = s"b$nBuckets|$key|${cols.mkString(",")}"
+    f"${scala.util.hashing.MurmurHash3.stringHash(spec) & 0xffffffffL}%08x"
+  }
+
   /** Write `base` (pruned to `cols`) bucketed+sorted by `key` as an
     * external table. A new session whose in-memory catalog lacks the
     * table but whose files survive on disk (completed _SUCCESS)
@@ -37,7 +48,7 @@ object BucketedTables {
                           key: String, cols: Seq[String]): String = {
     val name = tableName(sfDir, base)
     if (!s.catalog.tableExists(name)) {
-      val dir = s"${root(sfDir)}/$base"
+      val dir = s"${root(sfDir)}/${base}_${specFingerprint(key, cols)}"
       if (new java.io.File(dir, "_SUCCESS").exists()) {
         val schema = Tables.load(s, sfDir, base).select(cols.map(col): _*).schema
         val ddlCols = schema.fields

@@ -118,7 +118,10 @@ class FunctionsSpec extends AnyFunSuite {
       .getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_cms_probe"
+    // per-run unique dir: two concurrent test runs on one machine must
+    // not race on a shared parquet directory
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cms_probe").toString
     ev.distinct().write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
       .select($"k", CmsEstimate.probe(bytes)($"k").as("est"))
