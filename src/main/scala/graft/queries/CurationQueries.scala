@@ -17,7 +17,8 @@ object CurationQueries {
   def queries: Seq[GraftQuery] =
     Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission,
       q135LmQualityFilter, q136Boilerplate, q137TemperatureMix,
-      q138MadOutliers, q139SourceOverlap, q140DedupYield)
+      q138MadOutliers, q139SourceOverlap, q140DedupYield,
+      q144LshSemanticDedup)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
     * embedding corpus (q46's ground truth) → connected components
@@ -51,18 +52,47 @@ object CurationQueries {
         CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS INTEGER)
           AS is_keeper
       FROM comp ORDER BY vec_id"""),
-    (s, d) => {
-      val pairs = Dedup.embeddingDupPairs(embeddings(s, d), 0.4)
-        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      val cc = Components.connectedComponents(pairs)
-      embeddings(s, d).select(col("vec_id"))
-        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
-        .select(col("vec_id"),
-          coalesce(col("component"), col("vec_id")).as("component"))
-        .withColumn("is_keeper",
-          (col("vec_id") === col("component")).cast("int"))
-        .orderBy(col("vec_id"))
-    })
+    (s, d) => semanticDedup(embeddings(s, d),
+      Dedup.embeddingDupPairs(embeddings(s, d), 0.4)))
+
+  /** The shared tail of q132/q144: a (vec_a, vec_b) near-dup pair
+    * source through connected components into per-vector
+    * (component, is_keeper). The pair SOURCE is the only difference
+    * between the exact twin (all pairs) and the LSH-bucketed 100 TB
+    * form. */
+  def semanticDedup(emb: org.apache.spark.sql.DataFrame,
+                    dupPairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = dupPairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val cc = Components.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("is_keeper",
+        (col("vec_id") === col("component")).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q132's 100 TB form, EXECUTED (round-5 verdict item #1): the pair
+    * source swaps from the O(n²) exact cosine join to the multi-table
+    * sign-LSH bucketed join ([[graft.text.Dedup.embeddingDupPairsLsh]]
+    * — candidates only meet inside a shared (table, bucket), exact
+    * cosine verifies each candidate, O(Σ bucket²) total) and the
+    * downstream components + keeper plan is IDENTICAL (same
+    * [[semanticDedup]] call as the exact twin). Rows-only at the gate:
+    * LSH banding recall < 1 by construction, so a threshold-grazing
+    * pair can differ from the exact oracle per corpus; CurationSpec
+    * pins ≥ 0.9 per-vector (component, is_keeper) parity vs q132 on
+    * the planted-cluster fixture, where the structure an index
+    * exploits actually exists.
+    */
+  val q144LshSemanticDedup = GraftQuery(
+    "q144_lsh_semantic_dedup",
+    "LSH-bucketed near-dup pairs → components → group + keeper (q132's 100 TB form)",
+    None,
+    (s, d) => semanticDedup(embeddings(s, d),
+      Dedup.embeddingDupPairsLsh(embeddings(s, d), 0.4, dim = 64)))
 
   /** Cross-corpus LM quality scoring (the CCNet/KenLM pattern): train a
     * Laplace-smoothed unigram LM on a TRUSTED reference slice (every

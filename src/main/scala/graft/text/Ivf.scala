@@ -40,6 +40,29 @@ object Ivf {
     (indexed, centroids.toSeq.toDF("cell", "centroid"))
   }
 
+  /** Pair each query row with its `nProbe` nearest centroid cells
+    * (euclidean, matching the quantizer's metric). `queries` must carry
+    * (q_id, qv, qnrm); any EXTRA columns (e.g. a label riding along for
+    * q143's agreement aggregate) pass through untouched, so callers
+    * never need a second join to recover query-side attributes.
+    * ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖² via the native vector ops (no
+    * lambdas); the centroid table is nCells rows — broadcast by
+    * construction. */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+                 nProbe: Int): DataFrame = {
+    import graft.functions.VectorOps.{dot_product, l2_norm}
+    val dist2 = pow(col("qnrm"), 2) -
+      lit(2.0) * dot_product(col("qv"), col("centroid")) +
+      pow(l2_norm(col("centroid")), 2)
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val carried = queries.columns.map(col) :+ col("cell")
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") <= nProbe)
+      .select(carried: _*)
+  }
+
   /** Approximate top-k: each query probes its `nProbe` closest
     * centroids (euclidean, matching the quantizer's metric), then runs
     * exact cosine only inside those cells.
@@ -55,17 +78,7 @@ object Ivf {
     val queries = indexed.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         l2_norm(col("v")).as("qnrm"))
-    // nCells rows × queries: rank cells per query, keep nProbe.
-    // ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖² via the native vector ops (no lambdas)
-    val dist2 = pow(col("qnrm"), 2) -
-      lit(2.0) * dot_product(col("qv"), col("centroid")) +
-      pow(l2_norm(col("centroid")), 2)
-    val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2)
-      .withColumn("cr", row_number().over(wCell))
-      .where(col("cr") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"))
+    val probes = probeCells(queries, centroids, nProbe)
     // Search only the probed cells. Same candidate-stream discipline
     // as q141 (LabelQualityQueries.knnLabelAgreement): norms ride as
     // scalar columns so each candidate costs ONE codegen'd dot (the

@@ -29,6 +29,23 @@ class CurationSpec extends AnyFunSuite {
         s"pair ${r.getLong(0)},${r.getLong(1)} split across components"))
   }
 
+  test("q144 LSH semantic dedup: >= 0.9 per-vector parity with the exact twin") {
+    import graft.text.ClusteredEmbeddings
+    val emb = ClusteredEmbeddings.fixture(spark)
+    def grouping(pairs: org.apache.spark.sql.DataFrame) =
+      CurationQueries.semanticDedup(emb, pairs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val exact = grouping(Dedup.embeddingDupPairs(emb, 0.4))
+    val lsh = grouping(Dedup.embeddingDupPairsLsh(emb, 0.4, dim = 64))
+    assert(lsh.size === exact.size)
+    // the LSH pair source loses only threshold-grazing pairs; on the
+    // planted clusters the components it builds must agree with the
+    // exact twin's (component id AND keeper flag) on >= 90% of vectors
+    val matching = exact.count { case (id, ck) => lsh(id) == ck }
+    val parity = matching.toDouble / exact.size
+    assert(parity >= 0.9, s"LSH/exact grouping parity $parity < 0.9")
+  }
+
   test("q134 incremental admission agrees with the symmetric pair ground truth") {
     val d = SparkTestSession.Sf0001
     val out = CurationQueries.q134IncrementalAdmission.run(spark, d).collect()

@@ -51,6 +51,32 @@ class LabelQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q143 ANN agreement: >= 0.9 per-row parity with the exact twin, same discrimination") {
+    val exact = LabelQualityQueries.knnLabelAgreement(labeled, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = LabelQualityQueries.annLabelAgreement(labeled, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // every vector's own cell is always among its probes (it contains
+    // the vector itself), so no query may vanish from the output
+    assert(rows.length === exact.size, "ANN form dropped query vectors")
+    // per-row agreement parity vs the exact twin: the IVF candidate set
+    // is a subset of all pairs, so n_match can only drift where a true
+    // neighbor sits outside the probed cells — on planted clusters that
+    // must be rare (the verdict's >= 0.9 bar; measured 1.0 when the
+    // probes cover each point's own cluster)
+    val matching = rows.count { case (id, nMatch, _, _) => exact(id) == nMatch }
+    val parity = matching.toDouble / rows.length
+    assert(parity >= 0.9, s"ANN/exact n_match parity $parity < 0.9")
+    // and the headline discrimination must survive the swap-in
+    rows.foreach { case (id, _, frac, suspect) =>
+      if (corrupted(id))
+        assert(frac <= 0.1 && suspect === 1, s"corrupted $id not flagged: $frac")
+      else
+        assert(frac >= 0.9 && suspect === 0, s"clean $id wrongly flagged: $frac")
+    }
+  }
+
   test("q142 centroid distance ranks every corrupted label worst in its class") {
     val rows = LabelQualityQueries.centroidOutliers(labeled)
       .collect()
