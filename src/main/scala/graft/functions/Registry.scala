@@ -54,6 +54,8 @@ object Registry {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_min_hash" -> (exprs =>
       RollingMinHash(asString(exprs.head), litInt(exprs(1), "window size"))),
+    "poly_hash" -> (exprs =>
+      PolyHash(asString(exprs.head))),
     "top_k_by" -> (exprs =>
       TopKByScore(asDouble(exprs(0)), asLong(exprs(1)), litInt(exprs(2), "k"))
         .toAggregateExpression()),

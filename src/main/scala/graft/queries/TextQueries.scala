@@ -192,11 +192,36 @@ object TextQueries {
     (s, d) => Dedup.simHashPairs(documents(s, d), 3)
       .orderBy(col("doc_a"), col("doc_b")))
 
-  /** Rows-only: custom rolling-hash Catalyst expression. */
+  /** GRADUATED from rows-only (round-5): the rolling hash is plain
+    * base-31 polynomial arithmetic mod 2⁶⁴ (window hash ≡
+    * Σ bᵢ·31^(k−1−i), read off a signed long), so the oracle replicates
+    * it VALUE-exactly in DuckDB — HUGEINT recurrence with a mod after
+    * each step, then a two's-complement fold before the signed MIN.
+    * This is an arithmetic guarantee, not a measured-recall property:
+    * any corpus, any SF, same values (corpus is ASCII, so `ascii(c)` ==
+    * the UTF-8 byte; a non-ASCII fixture would need byte-level access).
+    */
   val q29Fingerprint = GraftQuery(
     "q29_fingerprint",
     "rolling min-hash fingerprint per document (native codegen expression)",
-    None,
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      cs AS (SELECT doc_id, n,
+        list_transform(range(1, n + 1), i -> CAST(ascii(text[i]) AS HUGEINT)) AS c
+        FROM d),
+      wins AS (
+        SELECT doc_id,
+          unnest(CASE WHEN n < 16 THEN [c]
+            ELSE list_transform(range(1, n - 14), w -> c[w : w + 15]) END) AS win
+        FROM cs),
+      hh AS (SELECT doc_id,
+        list_reduce(win, (a, b) -> (a * 31 + b) % 18446744073709551616) AS r
+        FROM wins),
+      sg AS (SELECT doc_id,
+        CASE WHEN r >= 9223372036854775808
+          THEN r - 18446744073709551616 ELSE r END AS s
+        FROM hh)
+      SELECT doc_id, CAST(MIN(s) AS BIGINT) AS fingerprint
+      FROM sg GROUP BY doc_id ORDER BY doc_id"""),
     (s, d) => documents(s, d)
       .select(col("doc_id"), rolling_min_hash(col("text"), 16).as("fingerprint"))
       .orderBy(col("doc_id")))
@@ -291,10 +316,52 @@ object TextQueries {
     * document — completes the fingerprint family over q29's single
     * rolling min-hash. TextSpec pins parity against an independent
     * driver-side reimplementation. */
+  /** GRADUATED from rows-only (round-5): the gram hash moved from
+    * xxhash64 to [[graft.functions.PolyHash]] (the winnowing paper
+    * prescribes "any rolling hash"), whose base-31 mod-2⁶⁴ arithmetic
+    * the oracle replicates value-exactly in DuckDB; the window-min
+    * selection (rightmost on hash ties) replays as a bounded rn-range
+    * self-join — MIN(h) per window start, then MAX(pos) among the
+    * window's rows at that minimum. Same arithmetic-guarantee footing
+    * as q29, valid at any corpus/SF (ASCII corpus ⇒ ascii(c) == byte).
+    */
   val q53Winnowing = GraftQuery(
     "q53_winnowing",
-    "winnowing fingerprints (k=3-gram hashes, window 4) per document",
-    None,
+    "winnowing fingerprints (k=3-gram poly-hashes, window 4) per document",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, u.i AS pos,
+          t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS gram
+        FROM toks, unnest(range(len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+      hh AS (
+        SELECT doc_id, pos,
+          list_reduce(list_transform(range(1, length(gram) + 1),
+            i -> CAST(ascii(gram[i]) AS HUGEINT)),
+            (a, b) -> (a * 31 + b) % 18446744073709551616) AS r
+        FROM g0),
+      hs AS (SELECT doc_id, pos,
+        CASE WHEN r >= 9223372036854775808
+          THEN r - 18446744073709551616 ELSE r END AS h
+        FROM hh),
+      g AS (SELECT doc_id, pos, h,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+        COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM hs),
+      wm AS (
+        SELECT a.doc_id, a.rn AS ws, MIN(b.h) AS mh
+        FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.rn BETWEEN a.rn AND a.rn + 3
+        WHERE a.rn <= GREATEST(a.n_grams - 3, 1)
+        GROUP BY 1, 2),
+      sel AS (
+        SELECT wm.doc_id, MAX(b.pos) AS pos, wm.mh AS h
+        FROM wm JOIN g b ON b.doc_id = wm.doc_id
+          AND b.rn BETWEEN wm.ws AND wm.ws + 3 AND b.h = wm.mh
+        GROUP BY wm.doc_id, wm.ws, wm.mh)
+      SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, CAST(h AS BIGINT) AS h
+      FROM sel ORDER BY doc_id, pos"""),
     (s, d) => Dedup.winnowFingerprints(documents(s, d), 3, 4)
       .orderBy(col("doc_id"), col("pos")))
 

@@ -295,7 +295,10 @@ object Dedup {
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    * per position, the xxhash64 of the k-token gram starting there; for
+    * per position, the [[graft.functions.PolyHash]] of the k-token gram
+    * starting there (the paper prescribes "any rolling hash"; the
+    * base-31 mod-2⁶⁴ polynomial is chosen because an independent engine
+    * can replicate it exactly — q53's DuckDB oracle does); for
     * every window of `w` consecutive gram hashes, select the minimum
     * (rightmost on ties); the fingerprint set is the distinct selected
     * (pos, hash) pairs. Guarantees every match of ≥ w+k-1 tokens shares
@@ -319,7 +322,7 @@ object Dedup {
       .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
       .filter(if (k > 1) col(s"tok${k - 1}").isNotNull else lit(true))
       .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws(" ",
+        graft.functions.PolyHash.poly_hash(concat_ws(" ",
           col("tok") +: (1 until k).map(j => col(s"tok$j")): _*)).as("h"))
     val winForward = byDoc.rowsBetween(0, w - 1)
     val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))

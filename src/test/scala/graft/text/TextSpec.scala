@@ -73,11 +73,10 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("winnowFingerprints matches an independent driver-side winnowing") {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
+    // independent re-implementation of the gram hash (PolyHash: base-31
+    // polynomial over UTF-8 bytes with 64-bit wrap-around)
     def xx(s: String): Long =
-      XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + b)
     def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
       val toks = text.trim.toLowerCase.split("\\s+").toSeq
       val grams = (0 to toks.length - k)
