@@ -139,7 +139,9 @@ object LabelQualityQueries {
                         nCells: Int = 16, nProbe: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     import graft.text.Ivf
-    val (indexed, centroids) = Ivf.buildIndex(emb, nCells)
+    // maxIter=8 like q83's quantizer fit: cell assignments stabilize in
+    // a few Lloyd rounds and the fit is the query's dominant constant
+    val (indexed, centroids) = Ivf.buildIndex(emb, nCells, maxIter = 8)
     // the label rides back onto the indexed corpus once; both the
     // query side (la, via probeCells' pass-through columns) and the
     // candidate side (payload packing) read it from this one join

@@ -362,16 +362,25 @@ object Dedup {
                            planes: Int = 4, tables: Int = 8): DataFrame = {
     import graft.functions.VectorOps.cosine_sim
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val buckets = e.select(col("vec_id"), col("v"),
+    // Candidates carry IDS ONLY: the tables-way explode and the pair
+    // dedup shuffle move (long, long) rows, not ~1 KB vector payloads
+    // (the payload-carrying form measured 11 s at sf0.1 — a ~12 GB
+    // dedup shuffle — vs ~1 s for the id-only plan). Vectors re-attach
+    // per side AFTER the dedup, the candidates-then-fetch shape every
+    // ANN path here uses (Pq.adcRerankTopK's refine join): at 100 TB
+    // the fetch joins touch |candidates| rows of the vec_id-bucketed
+    // vector table, never the corpus.
+    val buckets = e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), Similarity.lshBucket(col("v"), dim, planes, t).as("b"))): _*))
         .as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.b"))
+      .select(col("vec_id"), col("tb.t"), col("tb.b"))
     buckets.as("x").join(buckets.as("y"), Seq("t", "b"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
