@@ -515,7 +515,7 @@ object CurationQueries {
       FROM cs GROUP BY sz ORDER BY comp_size"""),
     (s, d) => {
       val docs = documents(s, d)
-      val m = Components.dedupComponents(docs, 0.4)
+      val m = graft.sources.ComponentLayout.dedupComponents(s, d, 0.4)
         .join(docs.select(col("doc_id"),
           TA.tokenCount(col("text")).cast("long").as("tok"),
           col("n_chars")), Seq("doc_id"))

@@ -58,7 +58,9 @@ object PipelineQueries {
         SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n)
       SELECT n AS doc_id, MIN(r) AS component
       FROM walk GROUP BY 1 ORDER BY 1"""),
-    (s, d) => Components.dedupComponents(documents(s, d), 0.4)
+    // reads the write-once component layout (ComponentLayout): four
+    // catalog queries consume this same assignment — see its Scaladoc
+    (s, d) => graft.sources.ComponentLayout.dedupComponents(s, d, 0.4)
       .orderBy(col("doc_id")))
 
   /** Leakage-safe train/test split: q70's hash split draws per DOC, so
@@ -86,7 +88,7 @@ object PipelineQueries {
         CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < '4'
           THEN 'test' ELSE 'train' END AS split
       FROM comp ORDER BY doc_id"""),
-    (s, d) => Components.dedupComponents(documents(s, d), 0.4)
+    (s, d) => graft.sources.ComponentLayout.dedupComponents(s, d, 0.4)
       .withColumn("split",
         when(substring(md5(col("component").cast("string")), 1, 1) < "4",
           "test").otherwise("train"))
@@ -379,7 +381,7 @@ object PipelineQueries {
     (s, d) => {
       val docs = documents(s, d)
       val byComp = Window.partitionBy(col("component"))
-      Components.dedupComponents(docs, 0.4)
+      graft.sources.ComponentLayout.dedupComponents(s, d, 0.4)
         .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
         .withColumn("rn", row_number().over(
           byComp.orderBy(col("n_chars").desc, col("doc_id"))))

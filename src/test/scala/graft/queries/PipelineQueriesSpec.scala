@@ -13,6 +13,17 @@ class PipelineQueriesSpec extends AnyFunSuite {
   private def run(name: String) =
     Catalog.all.find(_.name == name).get.run(spark, SparkTestSession.Sf0001)
 
+  test("ComponentLayout read-back equals the direct dedupComponents build") {
+    val d = SparkTestSession.Sf0001
+    val direct = graft.text.Components
+      .dedupComponents(graft.model.Tables.documents(spark, d), 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layout = graft.sources.ComponentLayout.dedupComponents(spark, d, 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout === direct,
+      "the write-once layout must be value-identical to the in-query build")
+  }
+
   test("q59 hash sample is identical across runs (reproducible corpus)") {
     val a = run("q59_hash_sample").collect().toSeq
     val b = run("q59_hash_sample").collect().toSeq
