@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * feature-extract / frame-sample run batch-wise over partitions
   * (`Dataset.mapPartitions` — the Scala analogue of arrow-batched
   * Python UDFs). Header decode is real ([[parseImageDims]] /
-  * [[parseWavInfo]]), and for PNG the PIXEL path is real too:
-  * [[PngCodec]] round-trips actual deflate-compressed, scanline-
-  * filtered image data, so feature extraction histograms decoded
-  * pixels and resize is a true 2-D nearest-neighbor resample with
-  * re-encode ([[realImageFeatures]] / [[resizeImages]]). Non-PNG
-  * payloads (e.g. JPEG, whose entropy decode is out of scope) fall
-  * back to the deterministic byte-level fakes, same contracts.
+  * [[parseWavInfo]]), and the PIXEL path is real for BOTH image
+  * codecs: [[PngCodec]] round-trips actual deflate-compressed,
+  * scanline-filtered image data, and [[JpegCodec]] entropy-decodes
+  * baseline-sequential JPEG (Huffman + dequant + IDCT + YCbCr), so
+  * feature extraction histograms decoded pixels and resize is a true
+  * 2-D nearest-neighbor resample with re-encode
+  * ([[realImageFeatures]] / [[resizeImages]]; JPEG resize re-encodes
+  * as PNG — a transcode, since a JPEG writer is out of scope).
+  * Payloads neither codec accepts (progressive JPEG, malformed bytes)
+  * fall back to the deterministic byte-level fakes, same contracts.
   */
 object Multimodal {
 
@@ -271,8 +274,9 @@ object Multimodal {
     * payload bytes never hit the driver. Partition count (and therefore
     * batch shape / parallelism) is preserved from the input — at scale,
     * repartition upstream to match executor memory to payload sizes.
-    * Images that decode as PNG get REAL pixel-intensity histograms;
-    * everything else falls back to the deterministic byte fold. */
+    * Images that decode as PNG or baseline JPEG get REAL pixel-
+    * intensity histograms; everything else falls back to the
+    * deterministic byte fold. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8)
       : Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -280,6 +284,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, kind, payload) =>
         val feats =
           if (kind == "image") PngCodec.decode(payload)
+            .orElse(JpegCodec.decode(payload))
             .map(realImageFeatures(_, dim))
             .getOrElse(decodeStub(payload, dim))
           else decodeStub(payload, dim)
@@ -311,11 +316,13 @@ object Multimodal {
                      src_width: Int, src_height: Int, width: Int, height: Int)
 
   /** Image resize over partition batches — payload AND metadata change
-    * together, rows stay 1:1, partitioning preserved. PNG payloads
-    * take the REAL path: decode → 2-D nearest-neighbor resample →
-    * re-encode, so the output payload is itself a valid PNG at the
-    * target dims. Non-PNG payloads keep the byte-resample stub with
-    * header-parsed (or metadata) source dims — same output contract. */
+    * together, rows stay 1:1, partitioning preserved. PNG and baseline
+    * JPEG payloads take the REAL path: decode → 2-D nearest-neighbor
+    * resample → re-encode, so the output payload is itself a valid PNG
+    * at the target dims (JPEG input transcodes to PNG on the way out —
+    * a JPEG writer is out of scope). Unparseable payloads keep the
+    * byte-resample stub with header-parsed (or metadata) source dims —
+    * same output contract. */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int)
       : Dataset[Resized] = {
     import spark.implicits._
@@ -323,7 +330,7 @@ object Multimodal {
       .select(col("id"), col("kind"), col("payload"), col("width"), col("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, kind, payload, mw, mh) =>
-        PngCodec.decode(payload) match {
+        PngCodec.decode(payload).orElse(JpegCodec.decode(payload)) match {
           case Some(img) =>
             val resized = PngCodec.resizeNearest(img, w, h)
             Resized(id, kind, PngCodec.encode(resized),

@@ -222,4 +222,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(out.get.pixels.toSeq === expect.pixels.toSeq)
     }
   }
+
+  test("baseline JPEG payloads run the REAL pixel path; progressive falls back") {
+    import spark.implicits._
+    import JpegTestImages._
+    // crafted baseline JPEG (8×8, every pixel 152) + a progressive one
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", gray8x8Dc12(), 8, 8, 0),
+      Multimodal.MediaRow(2L, "image", progressive8x8(), 8, 8, 0))
+    val m = spark.createDataset(rows).toDF()
+    val feats = Multimodal.extractFeatures(spark, m, dim = 8)
+      .collect().map(f => f.id -> f.features).toMap
+    // id 1 decodes: all 64 pixels = 152 → histogram bin 152·8/256 = 4
+    val expect = new Array[Float](8); expect(4) = 1.0f
+    assert(feats(1L).toSeq === expect.toSeq,
+      "baseline JPEG must histogram DECODED pixels")
+    // id 2 is refused by the codec → deterministic byte-fold fallback
+    val p2 = rows(1).payload
+    val stub = new Array[Float](8)
+    p2.foreach(b => stub(java.lang.Byte.toUnsignedInt(b) % 8) += 1.0f)
+    assert(feats(2L).toSeq === stub.map(_ / p2.length).toSeq,
+      "progressive JPEG must take the refusal fallback")
+    // resize transcodes the baseline JPEG into a valid PNG at target dims
+    val resized = Multimodal.resizeImages(spark, m, 4, 4)
+      .collect().map(r => r.id -> r).toMap
+    val out = PngCodec.decode(resized(1L).payload)
+    assert(out.isDefined && out.get.width === 4 && out.get.height === 4)
+    assert(out.get.pixels.forall(b => java.lang.Byte.toUnsignedInt(b) == 152))
+    assert((resized(1L).src_width, resized(1L).src_height) === ((8, 8)))
+  }
 }
