@@ -310,11 +310,16 @@ object CorpusQueries {
     "q83_ann_join",
     "IVF cell-join ANN: approximate nearest neighbor per embedding",
     None,
-    (s, d) => graft.text.Ivf
-      .ivfCosineTopK(embeddings(s, d), isQuery = lit(true), k = 1,
-        nCells = 16, nProbe = 4, maxIter = 8)
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
-      .orderBy(col("q_id")))
+    (s, d) => {
+      // index-as-storage (IvfLayout): the quantizer fits once per
+      // corpus and q83/q143 both read the written cell assignment
+      val (indexed, centroids) = graft.sources.IvfLayout.index(s, d)
+      graft.text.Ivf
+        .ivfCosineTopKOver(indexed, centroids, isQuery = lit(true),
+          k = 1, nProbe = 4)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
+        .orderBy(col("q_id"))
+    })
 
   /** Product-quantization ANN, shortlist + re-rank form (rows-only:
     * codebooks come from seeded KMeans, so values are engine-specific;

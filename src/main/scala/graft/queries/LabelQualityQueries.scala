@@ -132,16 +132,24 @@ object LabelQualityQueries {
     "q143_ann_label_agreement",
     "kNN label agreement with IVF-probed candidates (q141's 100 TB swap-in)",
     None,
-    (s, d) => annLabelAgreement(embeddings(s, d), 10).orderBy(col("vec_id")))
+    (s, d) => annLabelAgreement(embeddings(s, d), 10,
+      index = Some(graft.sources.IvfLayout.index(s, d)))
+      .orderBy(col("vec_id")))
 
-  /** The q143 plan over any (vec_id, embedding, label) frame. */
+  /** The q143 plan over any (vec_id, embedding, label) frame. `index`
+    * lets the catalog entry read the shared write-once quantizer
+    * ([[graft.sources.IvfLayout]], shared with q83) instead of
+    * re-fitting per query. */
   def annLabelAgreement(emb: org.apache.spark.sql.DataFrame, k: Int,
-                        nCells: Int = 16, nProbe: Int = 4)
+                        nCells: Int = 16, nProbe: Int = 4,
+                        index: Option[(org.apache.spark.sql.DataFrame,
+                          org.apache.spark.sql.DataFrame)] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.text.Ivf
     // maxIter=8 like q83's quantizer fit: cell assignments stabilize in
     // a few Lloyd rounds and the fit is the query's dominant constant
-    val (indexed, centroids) = Ivf.buildIndex(emb, nCells, maxIter = 8)
+    val (indexed, centroids) =
+      index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
     // the label rides back onto the indexed corpus once; both the
     // query side (la, via probeCells' pass-through columns) and the
     // candidate side (payload packing) read it from this one join

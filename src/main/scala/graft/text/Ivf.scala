@@ -71,6 +71,16 @@ object Ivf {
                     nCells: Int = 16, nProbe: Int = 4,
                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     val (indexed, centroids) = buildIndex(emb, nCells, seed, maxIter)
+    ivfCosineTopKOver(indexed, centroids, isQuery, k, nProbe)
+  }
+
+  /** The search half of [[ivfCosineTopK]] over an ALREADY-BUILT index
+    * — the entry point for index-as-storage callers
+    * ([[graft.sources.IvfLayout]]): at 100 TB the cell column lives in
+    * the table layout, written once per ingest wave, and every query
+    * reads it instead of re-fitting the quantizer. */
+  def ivfCosineTopKOver(indexed: DataFrame, centroids: DataFrame,
+                        isQuery: Column, k: Int, nProbe: Int): DataFrame = {
     import graft.functions.VectorOps.{dot_product, l2_norm}
     // query norm computed ONCE per query, reused by the cell-distance
     // expression (which would otherwise re-walk the array nCells
