@@ -10,8 +10,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * `dup_of`/`n_e` are present when the shingle also occurs in the
   * existing corpus; the `sh == None` marker row keeps shingle-less
   * (< 3-token) documents alive through the join so they still get an
-  * admit verdict. */
+  * admit verdict. The shingle rides along so the verdict fold can
+  * count DISTINCT shared shingles — a document replayed twice inside
+  * one micro-batch doubles its candidate rows, and a bag count would
+  * inflate the intersection (and the jaccard) 2×. */
 case class AdmissionCand(doc_id: Long, ts: java.sql.Timestamp, n_i: Int,
+                         sh: Option[String],
                          dup_of: Option[Long], n_e: Option[Int])
 
 /** The admit/reject verdict, shaped exactly like q134's output row. */
@@ -43,20 +47,23 @@ class AdmissionProcessor(threshold: Double, horizonMs: Long)
       seen.update(true)
       getHandle.registerTimer(rs.map(_.ts.getTime).max + horizonMs)
       val nI = rs.head.n_i
-      // per existing doc: shared-shingle count + that doc's shingle count
-      val counts = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
+      // per existing doc: DISTINCT shared shingles (replay-proof, see
+      // AdmissionCand) + that doc's shingle count
+      val shared = scala.collection.mutable.HashMap
+        .empty[Long, (scala.collection.mutable.HashSet[String], Int)]
       rs.foreach { r =>
-        (r.dup_of, r.n_e) match {
-          case (Some(d), Some(ne)) =>
-            val c = counts.getOrElse(d, (0, ne))._1
-            counts(d) = (c + 1, ne)
+        (r.dup_of, r.n_e, r.sh) match {
+          case (Some(d), Some(ne), Some(s)) =>
+            shared.getOrElseUpdate(d,
+              (scala.collection.mutable.HashSet.empty[String], ne))._1 += s
           case _ => ()
         }
       }
       // EXACTLY Dedup.nearDupAgainst's fold: threshold on the raw
       // jaccard, round to 4dp, then best = max (rounded j, -dup_of)
-      val flagged = counts.toSeq
-        .map { case (d, (inter, ne)) =>
+      val flagged = shared.toSeq
+        .map { case (d, (shs, ne)) =>
+          val inter = shs.size
           (d, inter.toDouble / (nI + ne - inter)) }
         .filter(_._2 >= threshold)
         .map { case (d, j) =>
@@ -141,7 +148,8 @@ object AdmissionStream {
       .withWatermark("ts", watermark)
     inShingles
       .join(existingShingles(existing), col("sh_i") === col("sh"), "left_outer")
-      .select(col("doc_id"), col("ts"), col("n_i"), col("dup_of"), col("n_e"))
+      .select(col("doc_id"), col("ts"), col("n_i"), col("sh_i").as("sh"),
+        col("dup_of"), col("n_e"))
       .as[AdmissionCand]
       .groupByKey(_.doc_id)
       .transformWithState(new AdmissionProcessor(threshold, horizonMs),

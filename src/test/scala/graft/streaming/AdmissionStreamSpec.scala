@@ -44,7 +44,11 @@ class AdmissionStreamSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("admission_out").start()
     try {
-      stream.addData(first.map { case (id, tx) => IncomingDoc(id, t1, tx) })
+      // batch 1 carries a SAME-batch replay of its first doc: the fold
+      // counts distinct shared shingles, so the duplicate rows must
+      // neither inflate the jaccard nor emit a second verdict
+      stream.addData(first.map { case (id, tx) => IncomingDoc(id, t1, tx) }
+        ++ first.take(1).map { case (id, tx) => IncomingDoc(id, t1, tx) })
       q.processAllAvailable()
       // second wave + replays of three first-wave docs: the seen-state
       // must suppress the replays entirely (no second verdict row)
