@@ -380,7 +380,8 @@ object CorpusQueries {
       SELECT doc_a, doc_b, MAX(run) + 2 AS longest_span_tokens,
         COUNT(*) AS n_runs
       FROM runs GROUP BY 1, 2 ORDER BY 1, 2"""),
-    (s, d) => graft.text.Dedup.sharedSpanPairs(documents(s, d), 0.4)
+    (s, d) => graft.text.Dedup.sharedSpanPairs(documents(s, d), 0.4,
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** BPE tokenizer training on the corpus + re-encoding with the

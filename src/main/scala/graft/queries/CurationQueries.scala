@@ -199,9 +199,12 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
     (s, d) => {
       val docs = documents(s, d)
+      val sh = graft.sources.ShingleLayout.shingles(s, d)
       val flagged = Dedup.nearDupAgainst(
         docs.where(col("doc_id") % 5 =!= 0),
-        docs.where(col("doc_id") % 5 === 0), 0.4)
+        docs.where(col("doc_id") % 5 === 0), 0.4,
+        existingShingles = Some(sh.where(col("doc_id") % 5 =!= 0)),
+        incomingShingles = Some(sh.where(col("doc_id") % 5 === 0)))
       docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))
         .join(flagged, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),

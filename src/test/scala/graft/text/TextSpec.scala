@@ -72,6 +72,18 @@ class TextSpec extends AnyFunSuite {
     assert(prefixed === plain, "prefix filter must lose nothing (exact method)")
   }
 
+  test("ShingleLayout read-back equals the direct shingleRows derivation") {
+    val d = SparkTestSession.Sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val direct = rows(Dedup.shingleRows(Tables.documents(spark, d), 3)
+      .select("doc_id", "sh", "n_sh"))
+    val layout = rows(graft.sources.ShingleLayout.shingles(spark, d)
+      .select("doc_id", "sh", "n_sh"))
+    assert(layout === direct,
+      "the write-once shingle layout must be value-identical to the in-query derivation")
+  }
+
   test("winnowFingerprints matches an independent driver-side winnowing") {
     // independent re-implementation of the gram hash (PolyHash: base-31
     // polynomial over UTF-8 bytes with 64-bit wrap-around)
