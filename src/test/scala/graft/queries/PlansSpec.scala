@@ -16,6 +16,23 @@ class PlansSpec extends AnyFunSuite {
       .run(spark, SparkTestSession.Sf0001)
       .queryExecution.executedPlan.toString
 
+  test("layout consumers scan their write-once storage, not the derivation") {
+    // q56 reads the component layout, q26 the shingle layout, q83 the
+    // IVF layout — each plan must contain a parquet scan over the
+    // layout directory INSTEAD of the in-query rebuild (no shingle
+    // window in q56/q26's plan prefix, no KMeans leftovers in q83's).
+    // Guards the round-5 storage treatment from silently regressing
+    // to per-query recomputation.
+    assert(plan("q56_dedup_components").contains("graft_components"),
+      "q56 must read ComponentLayout")
+    val p26 = plan("q26_ngram_jaccard")
+    assert(p26.contains("graft_shingles"), "q26 must read ShingleLayout")
+    assert(!p26.contains("posexplode"),
+      "q26 must not re-derive shingles from text")
+    assert(plan("q83_ann_join").contains("graft_ivf"),
+      "q83 must read IvfLayout")
+  }
+
   test("q05 broadcast chain: three broadcast joins, zero shuffle joins") {
     val p = plan("q05_multijoin_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).length === 3, p)
