@@ -71,10 +71,15 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }
     val pass2 = ordered.map { case (name, fn) => name -> once(name, fn) }
-    val mins = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // min over SUCCESSFUL reps only: a query that crashed in one pass
+    // but ran in the other is a measurement (of the successful run),
+    // not a failure — min(-1, t) would mark it failed and hide t
+    def best(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    val mins = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> best(a, b) }
     val results = mins.map { case (name, m2) =>
       name -> (if (m2 > 2.0)
-        math.min(m2, once(name, SparkEntry.queries(name))) else m2)
+        best(m2, once(name, SparkEntry.queries(name))) else m2)
     }
     // Artifact robustness: the r3 capture truncated the line's HEAD and
     // kept the tail, eating the leading total. So the headline total now
