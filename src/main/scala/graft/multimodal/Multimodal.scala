@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * scanline-filtered image data, and [[JpegCodec]] entropy-decodes
   * baseline-sequential JPEG (Huffman + dequant + IDCT + YCbCr), so
   * feature extraction histograms decoded pixels and resize is a true
-  * 2-D nearest-neighbor resample with re-encode
-  * ([[realImageFeatures]] / [[resizeImages]]; JPEG resize re-encodes
-  * as PNG — a transcode, since a JPEG writer is out of scope).
+  * 2-D nearest-neighbor resample with re-encode in the SOURCE format
+  * ([[realImageFeatures]] / [[resizeImages]]; JPEG in → JPEG out via
+  * [[JpegCodec.encode]], PNG in → PNG out).
   * Payloads neither codec accepts (progressive JPEG, malformed bytes)
   * fall back to the deterministic byte-level fakes, same contracts.
   */
@@ -318,11 +318,10 @@ object Multimodal {
   /** Image resize over partition batches — payload AND metadata change
     * together, rows stay 1:1, partitioning preserved. PNG and baseline
     * JPEG payloads take the REAL path: decode → 2-D nearest-neighbor
-    * resample → re-encode, so the output payload is itself a valid PNG
-    * at the target dims (JPEG input transcodes to PNG on the way out —
-    * a JPEG writer is out of scope). Unparseable payloads keep the
-    * byte-resample stub with header-parsed (or metadata) source dims —
-    * same output contract. */
+    * resample → re-encode IN THE SOURCE FORMAT, so the output payload
+    * is itself a valid PNG or baseline JPEG at the target dims.
+    * Unparseable payloads keep the byte-resample stub with
+    * header-parsed (or metadata) source dims — same output contract. */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int)
       : Dataset[Resized] = {
     import spark.implicits._
@@ -330,11 +329,14 @@ object Multimodal {
       .select(col("id"), col("kind"), col("payload"), col("width"), col("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, kind, payload, mw, mh) =>
-        PngCodec.decode(payload).orElse(JpegCodec.decode(payload)) match {
-          case Some(img) =>
+        PngCodec.decode(payload).map((_, false))
+          .orElse(JpegCodec.decode(payload).map((_, true))) match {
+          case Some((img, wasJpeg)) =>
             val resized = PngCodec.resizeNearest(img, w, h)
-            Resized(id, kind, PngCodec.encode(resized),
-              img.width, img.height, w, h)
+            val bytes =
+              if (wasJpeg) JpegCodec.encode(resized)
+              else PngCodec.encode(resized)
+            Resized(id, kind, bytes, img.width, img.height, w, h)
           case None =>
             val (sw, sh) = parseImageDims(payload)
               .map(t => (t._2, t._3)).getOrElse((mw, mh))

@@ -223,10 +223,11 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("baseline JPEG payloads run the REAL pixel path; progressive falls back") {
+  test("baseline JPEG payloads run the REAL pixel path; malformed falls back") {
     import spark.implicits._
     import JpegTestImages._
-    // crafted baseline JPEG (8×8, every pixel 152) + a progressive one
+    // crafted baseline JPEG (8×8, every pixel 152) + a malformed
+    // SOF2 stream (baseline-shaped scan header — illegal progressive)
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", gray8x8Dc12(), 8, 8, 0),
       Multimodal.MediaRow(2L, "image", progressive8x8(), 8, 8, 0))
@@ -242,12 +243,16 @@ class MultimodalSpec extends AnyFunSuite {
     val stub = new Array[Float](8)
     p2.foreach(b => stub(java.lang.Byte.toUnsignedInt(b) % 8) += 1.0f)
     assert(feats(2L).toSeq === stub.map(_ / p2.length).toSeq,
-      "progressive JPEG must take the refusal fallback")
-    // resize transcodes the baseline JPEG into a valid PNG at target dims
+      "malformed JPEG must take the refusal fallback")
+    // resize re-encodes the baseline JPEG as a valid baseline JPEG at
+    // the target dims (format-preserving, no PNG transcode)
     val resized = Multimodal.resizeImages(spark, m, 4, 4)
       .collect().map(r => r.id -> r).toMap
-    val out = PngCodec.decode(resized(1L).payload)
+    assert(Multimodal.parseImageDims(resized(1L).payload)
+      === Some(("jpeg", 4, 4)))
+    val out = JpegCodec.decode(resized(1L).payload)
     assert(out.isDefined && out.get.width === 4 && out.get.height === 4)
+    // a flat block survives quantization exactly: all pixels stay 152
     assert(out.get.pixels.forall(b => java.lang.Byte.toUnsignedInt(b) == 152))
     assert((resized(1L).src_width, resized(1L).src_height) === ((8, 8)))
   }
