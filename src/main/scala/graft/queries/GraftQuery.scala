@@ -50,7 +50,8 @@ object Catalog {
         SqlQueries.queries ++ PipelineQueries.queries ++
         SurfaceQueries.queries ++ CorpusQueries.queries ++
         AnalyticsQueries.queries ++ MixtureQueries.queries ++
-        CurationQueries.queries ++ LabelQualityQueries.queries
+        CurationQueries.queries ++ LabelQualityQueries.queries ++
+        MultimodalQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+import graft.multimodal.{Multimodal, PngCodec}
+
+/** The multimodal plumbing layer inside the driver's oracle gate.
+  *
+  * The synthetic media table ([[Multimodal.syntheticPngMedia]]) is
+  * built so every payload's CONTENT is a pure function of the source
+  * document row: image rasters are the document's UTF-8 bytes cycled
+  * over doc_id-derived dims and then run through the REAL PNG encoder
+  * (deflate, filters, CRCs); audio payloads carry a real RIFF/WAVE
+  * header encoding doc_id-derived PCM fields; video payloads are the
+  * raw text bytes. That makes the decode paths value-checkable by
+  * DuckDB: the oracle replays the expected decode OUTPUT analytically
+  * from `documents.text` and doc_id arithmetic, while the Spark side
+  * actually decodes bytes — inflate + un-filter for pixels, the RIFF
+  * chunk walk for audio, the frame cutter for video. A defect
+  * anywhere in the codec or plumbing (filter choice, scanline
+  * offsets, endianness, chunk boundaries) breaks a value pin.
+  *
+  * The corpus is ASCII, so DuckDB `ascii(char)` == UTF-8 byte (the
+  * q29/q53 oracle precedent). All decoding runs inside partition
+  * batches — payload bytes never hit the driver.
+  */
+object MultimodalQueries {
+
+  def queries: Seq[GraftQuery] =
+    Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample)
+
+  /** Pixel path: decode each image payload (the full PNG codec) and
+    * emit per-image pixel sum / mean / first / last. The oracle
+    * replays the cycled-byte raster with cycle-count arithmetic: sum
+    * = full_cycles·Σbytes + prefix, positional pins via index math. */
+  val q146MediaPixelStats = GraftQuery(
+    "q146_media_pixel_stats",
+    "decode real PNG payloads; per-image pixel stats replayed from text",
+    Some("""WITH img AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS INT) AS w,
+          CAST(doc_id % 12 + 8 AS INT) AS h,
+          CAST(doc_id % 24 + 8 AS BIGINT) * (doc_id % 12 + 8) AS n,
+          text, CAST(length(text) AS BIGINT) AS len
+        FROM documents WHERE doc_id % 3 = 0),
+      b AS (
+        SELECT doc_id, w, h, n, len,
+          CASE WHEN len = 0 THEN []
+               ELSE list_transform(range(len), i -> ascii(text[i+1])) END
+            AS bytes
+        FROM img),
+      stats AS (
+        SELECT doc_id, w, h, n,
+          CASE WHEN len = 0 THEN 0
+               ELSE (n // len) * list_aggregate(bytes, 'sum')
+                    + COALESCE(list_aggregate(
+                        bytes[1:CAST(n % len AS INT)], 'sum'), 0) END AS px_sum,
+          CASE WHEN len = 0 THEN 0 ELSE bytes[1] END AS px_first,
+          CASE WHEN len = 0 THEN 0
+               ELSE bytes[CAST((n - 1) % len AS INT) + 1] END AS px_last
+        FROM b)
+      SELECT doc_id, w, h,
+        CAST(px_sum AS BIGINT) AS px_sum,
+        ROUND(px_sum * 1.0 / n, 4) AS px_mean,
+        CAST(px_first AS INT) AS px_first,
+        CAST(px_last AS INT) AS px_last
+      FROM stats ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Multimodal.syntheticPngMedia(s, documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          // .get is deliberate: these are our own encoder's bytes — a
+          // refusal here IS the correctness failure the gate exists for
+          val img = PngCodec.decode(payload).get
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sum += java.lang.Byte.toUnsignedInt(img.pixels(i)); i += 1
+          }
+          val first =
+            if (img.pixels.isEmpty) 0
+            else java.lang.Byte.toUnsignedInt(img.pixels(0))
+          val last =
+            if (img.pixels.isEmpty) 0
+            else java.lang.Byte.toUnsignedInt(img.pixels(img.pixels.length - 1))
+          (id, img.width, img.height, sum, first, last)
+        })
+        .toDF("doc_id", "w", "h", "px_sum", "px_first", "px_last")
+        .select(col("doc_id"), col("w"), col("h"), col("px_sum"),
+          round(col("px_sum") / (col("w") * col("h")), 4).as("px_mean"),
+          col("px_first"), col("px_last"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Audio path: walk each WAV payload's RIFF chunks
+    * ([[Multimodal.audioInfo]]) and emit the parsed PCM fields. The
+    * payload's header was BUILT from doc_id math, so the oracle is
+    * that same math — a parse that falls back (format "raw") or reads
+    * little-endian fields wrong mismatches immediately. */
+  val q147AudioHeader = GraftQuery(
+    "q147_audio_header",
+    "RIFF/WAVE chunk-walk of audio payloads vs the doc_id-derived truth",
+    Some("""SELECT doc_id, 'wav' AS format,
+        CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+        1 AS channels, 16 AS bits
+      FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id"""),
+    (s, d) =>
+      Multimodal.audioInfo(s, Multimodal.syntheticPngMedia(s, documents(s, d)))
+        .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("bits"))
+        .orderBy(col("doc_id")))
+
+  /** Video path: the frame cutter ([[Multimodal.sampleFrames]], a
+    * row-generating flatMap) at stride 32, pinned per frame — index,
+    * length and byte sum — against DuckDB slicing the same text into
+    * 32-byte windows. Chunk-boundary bugs (off-by-one, short final
+    * frame) break the per-frame pins. */
+  val q148FrameSample = GraftQuery(
+    "q148_frame_sample",
+    "per-frame length + byte sum of strided video frames vs text slices",
+    Some("""WITH vid AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+          list_transform(range(length(text)), i -> ascii(text[i+1])) AS bytes
+        FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+      f AS (
+        SELECT doc_id, len, bytes,
+          unnest(range(CAST(ceil(len / 32.0) AS BIGINT))) AS k
+        FROM vid)
+      SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        CAST(least(32, len - k * 32) AS INT) AS frame_len,
+        CAST(list_aggregate(
+          bytes[CAST(k * 32 + 1 AS INT):CAST(least(len, (k + 1) * 32) AS INT)],
+          'sum') AS BIGINT) AS frame_sum
+      FROM f ORDER BY doc_id, frame_idx"""),
+    (s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          s, Multimodal.syntheticPngMedia(s, documents(s, d)), stride = 32)
+        .map { f =>
+          var sum = 0L
+          f.frame.foreach(b => sum += java.lang.Byte.toUnsignedInt(b))
+          (f.id, f.frame_idx, f.frame.length, sum)
+        }
+        .toDF("doc_id", "frame_idx", "frame_len", "frame_sum")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+}

@@ -18,7 +18,7 @@ object TextQueries {
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
-    q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens, q146MediaPixelStats)
+    q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -64,80 +64,6 @@ object TextQueries {
         round(sum(col("n_chars")) * lit(1.0) / sum(col("bp")), 4)
           .as("chars_per_token"))
       .orderBy(col("lang")))
-
-  /** Multimodal pixel path inside the oracle gate. The synthetic image
-    * payloads ([[graft.multimodal.Multimodal.syntheticPngMedia]]) are
-    * REAL PNGs whose gray raster is the document's UTF-8 bytes cycled
-    * over w×h (dims a pure function of doc_id), so a query that
-    * DECODES the payload — inflate, un-filter, the whole codec — has a
-    * value-exact DuckDB oracle that replays the expected pixels from
-    * `text` analytically: sum via cycle-count arithmetic, first/last
-    * pixel via position math. Any decode defect (filter choice, byte
-    * order, scanline offsets) breaks sum or the positional pins. The
-    * corpus is ASCII (`ascii(char)` == UTF-8 byte — the q29/q53
-    * precedent), and encode runs distributed in mapPartitions batches,
-    * decode likewise: bytes never hit the driver.
-    */
-  val q146MediaPixelStats = GraftQuery(
-    "q146_media_pixel_stats",
-    "decode real PNG payloads; per-image pixel stats replayed from text",
-    Some("""WITH img AS (
-        SELECT doc_id,
-          CAST(doc_id % 24 + 8 AS INT) AS w,
-          CAST(doc_id % 12 + 8 AS INT) AS h,
-          CAST(doc_id % 24 + 8 AS BIGINT) * (doc_id % 12 + 8) AS n,
-          text, CAST(length(text) AS BIGINT) AS len
-        FROM documents WHERE doc_id % 3 = 0),
-      b AS (
-        SELECT doc_id, w, h, n, len,
-          CASE WHEN len = 0 THEN []
-               ELSE list_transform(range(len), i -> ascii(text[i+1])) END
-            AS bytes
-        FROM img),
-      stats AS (
-        SELECT doc_id, w, h, n,
-          CASE WHEN len = 0 THEN 0
-               ELSE (n // len) * list_aggregate(bytes, 'sum')
-                    + COALESCE(list_aggregate(
-                        bytes[1:CAST(n % len AS INT)], 'sum'), 0) END AS px_sum,
-          CASE WHEN len = 0 THEN 0 ELSE bytes[1] END AS px_first,
-          CASE WHEN len = 0 THEN 0
-               ELSE bytes[CAST((n - 1) % len AS INT) + 1] END AS px_last
-        FROM b)
-      SELECT doc_id, w, h,
-        CAST(px_sum AS BIGINT) AS px_sum,
-        ROUND(px_sum * 1.0 / n, 4) AS px_mean,
-        CAST(px_first AS INT) AS px_first,
-        CAST(px_last AS INT) AS px_last
-      FROM stats ORDER BY doc_id"""),
-    (s, d) => {
-      import s.implicits._
-      graft.multimodal.Multimodal.syntheticPngMedia(s, documents(s, d))
-        .filter(col("kind") === "image")
-        .select(col("id"), col("payload")).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, payload) =>
-          // .get is deliberate: these are our own encoder's bytes — a
-          // refusal here IS the correctness failure the gate exists for
-          val img = graft.multimodal.PngCodec.decode(payload).get
-          var sum = 0L
-          var i = 0
-          while (i < img.pixels.length) {
-            sum += java.lang.Byte.toUnsignedInt(img.pixels(i)); i += 1
-          }
-          val first =
-            if (img.pixels.isEmpty) 0
-            else java.lang.Byte.toUnsignedInt(img.pixels(0))
-          val last =
-            if (img.pixels.isEmpty) 0
-            else java.lang.Byte.toUnsignedInt(img.pixels(img.pixels.length - 1))
-          (id, img.width, img.height, sum, first, last)
-        })
-        .toDF("doc_id", "w", "h", "px_sum", "px_first", "px_last")
-        .select(col("doc_id"), col("w"), col("h"), col("px_sum"),
-          round(col("px_sum") / (col("w") * col("h")), 4).as("px_mean"),
-          col("px_first"), col("px_last"))
-        .orderBy(col("doc_id"))
-    })
 
   val q23DocQuality = GraftQuery(
     "q23_doc_quality",
