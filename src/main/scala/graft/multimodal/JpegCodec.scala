@@ -225,6 +225,10 @@ object JpegCodec {
             width = u16(seg + 3)
             val nc = u8(seg + 5)
             if (width == 0 || height == 0) return None
+            // dims guard (the PngCodec IHDR precedent): a crafted
+            // header claiming a huge frame must refuse, not OOM — with
+            // progressive EOB runs a tiny file can legally claim one
+            if (width.toLong * height > (1L << 26)) return None
             if (nc != 1 && nc != 3) return None
             if (len != 8 + 3 * nc) return None
             comps = (0 until nc).map { c =>

@@ -303,6 +303,29 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxErr <= 2, s"interop max error $maxErr")
   }
 
+  test("a crafted header claiming huge dims refuses instead of allocating") {
+    // take a valid stream and rewrite SOF dims to 65535×65535: the
+    // decoder must bail at the header, never attempt the multi-GB
+    // coefficient/plane allocations (progressive EOB runs mean a tiny
+    // file can otherwise legally claim a frame this large)
+    for (prog <- Seq(false, true)) {
+      val bytes = imageioJpeg(grayBuffered(16, 16), prog, 0.8f)
+      var i = 2
+      var done = false
+      while (!done && i + 3 < bytes.length) {
+        val m = java.lang.Byte.toUnsignedInt(bytes(i + 1))
+        if (m == 0xC0 || m == 0xC2) {
+          bytes(i + 5) = 0xFF.toByte; bytes(i + 6) = 0xFF.toByte // height
+          bytes(i + 7) = 0xFF.toByte; bytes(i + 8) = 0xFF.toByte // width
+          done = true
+        } else i += 2 + ((java.lang.Byte.toUnsignedInt(bytes(i + 2)) << 8) |
+          java.lang.Byte.toUnsignedInt(bytes(i + 3)))
+      }
+      assert(done, "fixture must contain a SOF marker")
+      assert(JpegCodec.decode(bytes).isEmpty, s"progressive=$prog")
+    }
+  }
+
   test("progressive byte-flip fuzz never throws") {
     val prog = imageioJpeg(grayBuffered(16, 16), progressive = true, 0.8f)
     for (i <- prog.indices) {
