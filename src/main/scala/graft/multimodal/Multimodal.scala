@@ -90,19 +90,20 @@ object Multimodal {
     * not raster size. Audio/video rows match [[syntheticMedia]].
     */
   /** The JVM twin of [[syntheticMedia]]'s SQL-built WAV header (PCM,
-    * mono, 16-bit, zero-length data — legal for a header probe), so
-    * this generator's audio rows exercise [[parseWavInfo]] the same
-    * way its image rows exercise the full PNG decode. */
-  private def wavHeader(rate: Int): Array[Byte] = {
+    * mono, 16-bit), so this generator's audio rows exercise
+    * [[parseWavInfo]] the same way its image rows exercise the full
+    * PNG decode — here with a real data chunk of `dataSize` bytes
+    * following (the SQL twin stays header-only, documented there). */
+  private def wavHeader(rate: Int, dataSize: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(0)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(1)          // PCM, 1 channel
       .putInt(rate).putInt(rate * 2)    // sample rate, byte rate
       .putShort(2).putShort(16)         // block align, bits/sample
-      .put("data".getBytes("US-ASCII")).putInt(0)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
     bb.array()
   }
 
@@ -123,7 +124,20 @@ object Multimodal {
               px(i) = if (tb.isEmpty) 0 else tb(i % tb.length); i += 1
             }
             PngCodec.encode(PngCodec.Image(w, h, 1, px))
-          case "audio" => wavHeader(rate) ++ text.getBytes("UTF-8")
+          case "audio" =>
+            // REAL PCM data chunk: one signed 16-bit LE sample per text
+            // byte, value (byte − 128) · 256 — full decode surface
+            // (chunk walk + sample parse), analytically replayable
+            val tb = text.getBytes("UTF-8")
+            val pcm = new Array[Byte](tb.length * 2)
+            var i = 0
+            while (i < tb.length) {
+              pcm(2 * i) = 0 // LE low byte
+              pcm(2 * i + 1) =
+                (java.lang.Byte.toUnsignedInt(tb(i)) - 128).toByte
+              i += 1
+            }
+            wavHeader(rate, pcm.length) ++ pcm
           case _ => text.getBytes("UTF-8")
         }
         MediaRow(id, kind, payload, w, h, rate)
@@ -194,6 +208,72 @@ object Multimodal {
       }
       None
     }
+  }
+
+  /** Locate the PCM payload: walk RIFF chunks for BOTH `fmt ` (sample
+    * rate) and `data` (offset + byte count). The data size is clamped
+    * to the bytes actually present and rounded down to whole samples —
+    * untrusted headers routinely overstate it. Returns
+    * (sampleRate, dataOffset, dataBytes); None if either chunk is
+    * missing or the stream is malformed. */
+  private[multimodal] def parsePcm(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = java.lang.Byte.toUnsignedInt(p(i))
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (le16(i).toLong | (le16(i + 2).toLong << 16)).toInt
+    def tag(i: Int, s: String) = p.length >= i + 4 &&
+      s.zipWithIndex.forall { case (c, j) => p(i + j) == c.toByte }
+    if (!(p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE"))) return None
+    var rate = -1
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val size = le32(i.toInt + 4).toLong & 0xFFFFFFFFL
+      if (tag(i.toInt, "fmt ")) {
+        if (!(i + 8 + 16 <= p.length && size >= 16)) return None
+        rate = le32(i.toInt + 12)
+      } else if (tag(i.toInt, "data")) {
+        if (rate <= 0) return None // fmt must precede data (spec order)
+        val off = (i + 8).toInt
+        val avail = math.min(size, (p.length - off).toLong).toInt
+        return Some((rate, off, avail & ~1))
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  case class PcmWindow(id: Long, win_idx: Int, n_samples: Int, energy: Long)
+
+  /** Windowed PCM energy — the audio analogue of a quality filter:
+    * parse the real 16-bit LE samples out of each WAV payload and emit
+    * per-window sample count + Σ sample² (exact integer). Payloads
+    * without a parseable PCM stream yield no rows (refusal, not
+    * garbage). Row-generating flatMap over partition batches. */
+  def pcmWindows(spark: SparkSession, media: DataFrame, window: Int = 100)
+      : Dataset[PcmWindow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        parsePcm(p) match {
+          case Some((_, off, nBytes)) =>
+            val n = nBytes / 2
+            (0 until (n + window - 1) / window).iterator.map { k =>
+              val start = k * window
+              val end = math.min(n, start + window)
+              var e = 0L
+              var i = start
+              while (i < end) {
+                val lo = java.lang.Byte.toUnsignedInt(p(off + 2 * i))
+                val hi = p(off + 2 * i + 1).toInt // sign-extends
+                val s = (hi << 8) | lo
+                e += s.toLong * s
+                i += 1
+              }
+              PcmWindow(id, k, end - start, e)
+            }
+          case None => Iterator.empty
+        }
+      }
   }
 
   case class AudioInfo(id: Long, format: String, sample_rate: Int,

@@ -28,7 +28,8 @@ import graft.multimodal.{Multimodal, PngCodec}
 object MultimodalQueries {
 
   def queries: Seq[GraftQuery] =
-    Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample)
+    Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample,
+      q149AudioEnergy, q150ImageAhash)
 
   /** Pixel path: decode each image payload (the full PNG codec) and
     * emit per-image pixel sum / mean / first / last. The oracle
@@ -112,6 +113,92 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
           col("channels"), col("bits"))
         .orderBy(col("doc_id")))
+
+  /** PCM path: the audio payloads carry a REAL 16-bit LE data chunk
+    * (one sample per text byte, value (byte−128)·256), and
+    * [[Multimodal.pcmWindows]] chunk-walks to it and parses every
+    * sample. The oracle replays per-window Σ sample² as
+    * Σ (byte−128)²·65536 over 100-sample text slices — endianness or
+    * sign-extension bugs in the sample parse break it immediately. */
+  val q149AudioEnergy = GraftQuery(
+    "q149_audio_energy",
+    "windowed PCM energy from real 16-bit LE samples vs text replay",
+    Some("""WITH aud AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          list_transform(range(length(text)), i -> ascii(text[i+1]) - 128)
+            AS s
+        FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+      w AS (
+        SELECT doc_id, n, s,
+          unnest(range(CAST(ceil(n / 100.0) AS BIGINT))) AS k
+        FROM aud)
+      SELECT doc_id, CAST(k AS INT) AS win_idx,
+        CAST(least(100, n - k * 100) AS INT) AS n_samples,
+        CAST(list_aggregate(list_transform(
+            s[CAST(k * 100 + 1 AS INT):CAST(least(n, (k + 1) * 100) AS INT)],
+            x -> CAST(x AS BIGINT) * x * 65536), 'sum') AS BIGINT) AS energy
+      FROM w ORDER BY doc_id, win_idx"""),
+    (s, d) =>
+      Multimodal.pcmWindows(
+          s, Multimodal.syntheticPngMedia(s, documents(s, d)), window = 100)
+        .select(col("id").as("doc_id"), col("win_idx"), col("n_samples"),
+          col("energy"))
+        .orderBy(col("doc_id"), col("win_idx")))
+
+  /** Image near-dup fingerprint: average-hash (aHash) over DECODED
+    * pixels — decode, 8×8 nearest-neighbor resample, threshold each
+    * cell against the 64-cell mean (exact integer form px·64 ≥ Σ),
+    * emit the 64-char bitstring plus its dup-group size. The oracle
+    * replays the resample's index math and the threshold from `text`;
+    * group sizes come from a keyed window on the hash (hash-
+    * partitioned at scale, never a global window). */
+  val q150ImageAhash = GraftQuery(
+    "q150_image_ahash",
+    "average-hash image fingerprint + dup-group size vs text replay",
+    Some("""WITH img AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+          CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+          text, CAST(length(text) AS BIGINT) AS len
+        FROM documents WHERE doc_id % 3 = 0),
+      g AS (
+        SELECT doc_id,
+          list_transform(range(64), j ->
+            CASE WHEN len = 0 THEN 0 ELSE ascii(text[
+              CAST((least(h - 1, (j // 8) * h // 8) * w
+                    + least(w - 1, (j % 8) * w // 8)) % len AS INT) + 1])
+            END) AS px
+        FROM img),
+      hs AS (
+        SELECT doc_id, px, list_aggregate(px, 'sum') AS s64 FROM g),
+      hsh AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(64), j ->
+            CASE WHEN px[CAST(j AS INT) + 1] * 64 >= s64
+                 THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+        FROM hs)
+      SELECT doc_id, ahash,
+        CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size
+      FROM hsh ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Multimodal.syntheticPngMedia(s, documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val img = PngCodec.decode(payload).get
+          val small = PngCodec.resizeNearest(img, 8, 8)
+          var sum = 0
+          small.pixels.foreach(b => sum += java.lang.Byte.toUnsignedInt(b))
+          val bits = small.pixels.map(b =>
+            if (java.lang.Byte.toUnsignedInt(b) * 64 >= sum) '1' else '0')
+          (id, new String(bits))
+        })
+        .toDF("doc_id", "ahash")
+        .withColumn("group_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))))
+        .orderBy(col("doc_id"))
+    })
 
   /** Video path: the frame cutter ([[Multimodal.sampleFrames]], a
     * row-generating flatMap) at stride 32, pinned per frame — index,
