@@ -25,18 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long and rebuild the timestamp at
-    * microsecond precision (integer `div` — no double round-trip).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session build in [[graft.Bench.configure]] (shared by Bench, Verify,
-    * PlanAudit and the test session) — mutating session conf inside a
-    * query function would be a hidden global side-effect and racy under
-    * concurrent queries. Date/hour-level semantics are unaffected.
+  /** events.ts normalization — the fixture's physical timestamp type has
+    * varied across driver generations, so branch on what the footer
+    * actually says instead of assuming one encoding:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set once at session
+    *    build in [[graft.Bench.configure]]) it surfaces as a LONG of
+    *    epoch-ns, rebuilt here at µs precision (integer `div` — no
+    *    double round-trip).
+    *  - timestamp[us] (current generation): surfaces as TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP under the session's UTC zone — bit-identical
+    *    instants to the nanos path, and downstream epoch-µs arithmetic
+    *    (unix_micros etc.) keeps matching DuckDB's naive read.
+    * Branching at plan-build time (not per row) keeps the scan vectorized
+    * either way; conf mutation stays out of query functions (racy under
+    * concurrent queries).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
