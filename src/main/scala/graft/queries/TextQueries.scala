@@ -18,7 +18,8 @@ object TextQueries {
     q22DocTokens, q23DocQuality, q24LangId, q25ExactDedup, q26NgramJaccard,
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
-    q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens)
+    q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
+    q151ExactSubstrSpans, q152ExactSubstrCut)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -382,4 +383,79 @@ object TextQueries {
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("event_id")).as("approx_events"),
         count(lit(1)).as("n_rows")))
+
+  /** Shared oracle prefix for the ExactSubstr family: 8-gram positions
+    * → corpus-wide occurrence count → duplicated positions → interval
+    * union per doc via the cumulative-max sweep (islands split where
+    * pos jumps past running-max-end + 1). Mirrors
+    * [[graft.text.Dedup.duplicatedSpans]] step for step. */
+  private val exactSubstrCte = """toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      gpos AS (
+        SELECT doc_id, t, unnest(range(len(t) - 7)) AS p
+        FROM toks WHERE len(t) >= 8),
+      grams AS (
+        SELECT doc_id, p, array_to_string(t[p + 1 : p + 8], ' ') AS sh
+        FROM gpos),
+      dup AS (
+        SELECT doc_id, p FROM (
+          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY sh) AS occ
+          FROM grams)
+        WHERE occ >= 2),
+      swept AS (
+        SELECT doc_id, p, p + 7 AS e,
+          MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p, e,
+          SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM swept),
+      spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(e) - MIN(p) + 1 AS span_len
+        FROM isl GROUP BY doc_id, island)"""
+
+  /** Corpus-wide ExactSubstr duplicated spans (Lee et al. 2022) — the
+    * pair-free sibling of q107's pair-scoped diagonal islands: which
+    * token ranges of each doc are duplicated ANYWHERE in the corpus.
+    * One gram-key shuffle + one doc_id sweep, no pair enumeration —
+    * the dedup shape that survives 100 TB near-dup cluster blowup. */
+  val q151ExactSubstrSpans = GraftQuery(
+    "q151_exact_substr_spans",
+    "corpus-duplicated token spans per doc (ExactSubstr interval union)",
+    Some(s"""WITH $exactSubstrCte
+      SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        CAST(span_len AS BIGINT) AS span_len
+      FROM spans ORDER BY doc_id, span_start"""),
+    (s, d) => Dedup.duplicatedSpans(documents(s, d), 8)
+      .orderBy(col("doc_id"), col("span_start")))
+
+  /** The removal half of ExactSubstr dedup: drop every token covered by
+    * a q151 span and rebuild the surviving text in position order. All
+    * docs survive (fully-duplicated ones return n_kept=0, empty text).
+    */
+  val q152ExactSubstrCut = GraftQuery(
+    "q152_exact_substr_cut",
+    "ExactSubstr cut: corpus-duplicated spans removed from each doc",
+    Some(s"""WITH $exactSubstrCte,
+      tok2 AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p
+        FROM toks),
+      kept AS (
+        SELECT k.doc_id, k.p, k.tok FROM tok2 k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = k.doc_id
+            AND k.p BETWEEN s.span_start AND s.span_start + s.span_len - 1)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+        COALESCE(a.cleaned_text, '') AS cleaned_text
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+    (s, d) => Dedup.exactSubstrCut(documents(s, d), 8)
+      .orderBy(col("doc_id")))
 }

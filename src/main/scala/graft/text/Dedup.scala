@@ -140,6 +140,85 @@ object Dedup {
         count(lit(1)).as("n_runs"))
   }
 
+  /** Corpus-wide duplicated-span detection — the ExactSubstr view of
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", gram-anchored form): a token position is
+    * duplicated when the length-`n` gram starting there occurs at ≥2
+    * positions anywhere in the corpus (other docs OR elsewhere in the
+    * same doc, matching the suffix-array semantics). Each duplicated
+    * position widens to the interval [pos, pos+n−1]; per doc the
+    * intervals are unioned by a cumulative-max sweep (an island starts
+    * where pos jumps past the running max end + 1 — plain interval
+    * union, NOT the consecutive-position islands of
+    * [[sharedSpanPairs]], whose gaps < n would otherwise split
+    * overlapping intervals into double-counted spans). Emits one row
+    * per maximal span: (doc_id, span_start, span_len).
+    *
+    * Unlike [[sharedSpanPairs]] this never enumerates pairs: cost is
+    * one shuffle on the gram key (occurrence count) + one on doc_id
+    * (sweep), both linear in corpus grams — the shape that survives
+    * 100 TB, where pair-scoped span detection is quadratic in
+    * near-dup cluster size. The gram key is the raw token text so the
+    * oracle replays value-exactly; at 100 TB you would key on
+    * xxhash64(sh) to shrink the exchange (no false merges matter: a
+    * 64-bit collision marks ~n extra tokens, it cannot corrupt spans).
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupPos = positionalShingles(docs, n)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("occ") >= 2)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
+      .withColumn("prev_end", max(col("end"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island")) // doc_id partitioning reused
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("end")) - min(col("pos")) + 1).as("span_len"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
+  /** ExactSubstr CUT — the removal operator the paper actually applies:
+    * drop every token covered by a [[duplicatedSpans]] span and rebuild
+    * the remaining text in position order. All docs survive (a fully
+    * duplicated doc comes back with n_kept=0 and empty text — the
+    * caller decides whether to drop empties). Token drop is a left-anti
+    * range join on (doc_id, pos ∈ span): both sides shuffle once on
+    * doc_id and the per-doc span list is tiny, so the join never goes
+    * corpus-quadratic; the ordered rebuild is a sort inside a per-doc
+    * aggregate (the q78 collect→sort idiom), not a global window.
+    */
+  def exactSubstrCut(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(docs, n)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("pos").between(col("span_start"),
+          col("span_start") + col("span_len") - 1),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"),
+              col("tok").as("t")))),
+            x => x.getField("t")),
+          " ").as("cleaned_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** PPJoin-style prefix-filtered EXACT Jaccard (Xiao et al., WWW'08;
     * Chaudhuri et al., ICDE'06): identical result to [[jaccardPairs]]
     * (q26's oracle covers both), but the self-join only indexes each

@@ -164,4 +164,41 @@ class TextSpec extends AnyFunSuite {
       val q = r.getDouble(1); q >= 0.0 && q <= 1.0
     })
   }
+
+  // ExactSubstr hand corpus (n=3): doc1/doc2 share a 5-token run;
+  // doc3's dup grams sit at positions 0 and 2 (1 is NOT dup) so their
+  // intervals overlap — the cumulative-max sweep must merge them into
+  // ONE span (consecutive-position islands would emit two overlapping
+  // ones); doc4 has two gapped spans; doc5 none; doc6 repeats a gram
+  // WITHIN one doc (the ≥2-occurrences-anywhere semantics).
+  private def substrDocs = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "x y a b c d e q r s"),
+    (3L, "aa bb cc dd ee"),
+    (4L, "aa bb cc zz cc dd ee"),
+    (5L, "k l m n o"),
+    (6L, "r1 r2 r3 q1 r1 r2 r3"))
+    .toDF("doc_id", "text")
+
+  test("duplicatedSpans: interval union over corpus-duplicated grams") {
+    val spans = Dedup.duplicatedSpans(substrDocs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(
+      (1L, 0L, 5L), (2L, 2L, 5L), // cross-doc shared run
+      (3L, 0L, 5L),               // overlapping intervals merged (pos 0 + 2)
+      (4L, 0L, 3L), (4L, 4L, 3L), // gap > 1 past running end splits
+      (6L, 0L, 3L), (6L, 4L, 3L)) // within-doc repetition counts
+    )
+  }
+
+  test("exactSubstrCut removes exactly the spanned tokens, keeps all docs") {
+    val cut = Dedup.exactSubstrCut(substrDocs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(cut(1L) === ((5L, "f g h i j")))
+    assert(cut(2L) === ((5L, "x y q r s")))
+    assert(cut(3L) === ((0L, ""))) // fully duplicated doc survives, empty
+    assert(cut(4L) === ((1L, "zz")))
+    assert(cut(5L) === ((5L, "k l m n o"))) // untouched
+    assert(cut(6L) === ((1L, "q1")))
+  }
 }
