@@ -164,12 +164,12 @@ object CorpusQueries {
       FROM corp ORDER BY doc_id"""),
     (s, d) => {
       // the shingle table feeds BOTH the benchmark set and the corpus
-      // side — localCheckpoint it once so the explode+window pipeline
-      // runs once, not per branch (the q27/q34 multi-use-subtree
-      // lesson); Bench/Verify unpersist between queries
-      val sh = graft.text.Dedup.shingleRows(documents(s, d), 3)
+      // side — reading the write-once ShingleLayout twice costs two
+      // cheap parquet scans instead of two explode+window derivations
+      // (the localCheckpoint this replaced existed to avoid exactly
+      // that double derivation)
+      val sh = graft.sources.ShingleLayout.shingles(s, d)
         .select(col("doc_id"), col("sh"))
-        .localCheckpoint(true)
       val bench = broadcast(sh.filter(col("doc_id") % 20 === 0)
         .select(col("sh")).distinct())
       val corp = sh.filter(col("doc_id") % 20 =!= 0)
@@ -381,7 +381,7 @@ object CorpusQueries {
         COUNT(*) AS n_runs
       FROM runs GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, d) => graft.text.Dedup.sharedSpanPairs(documents(s, d), 0.4,
-      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
+      pairTable = Some(graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** BPE tokenizer training on the corpus + re-encoding with the

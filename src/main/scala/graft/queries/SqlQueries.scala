@@ -171,11 +171,13 @@ object SqlQueries {
         CAST(MAX(depth) AS INT) AS chain_len
       FROM chain GROUP BY start ORDER BY doc_id"""),
     (s, d) => {
-      // Materialize the pair table ONCE (q27/q89 multi-use lesson):
-      // the recursive plan re-reads its non-recursive inputs on every
-      // iteration, and without the checkpoint each step would re-run
-      // the whole shingle self-join (measured 12.2 s → ~2 s at sf0.1).
-      graft.text.Dedup.jaccardPairs(Tables.documents(s, d), 0.4)
+      // The pair table comes from the write-once PairsLayout (q26
+      // measures the live join; this query is about the recursion) and
+      // is checkpointed ONCE: the recursive plan re-reads its
+      // non-recursive inputs every iteration, and without the
+      // checkpoint each step would re-run the pair derivation
+      // (measured 12.2 s → ~2 s at sf0.1 even pre-layout).
+      graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)
         .localCheckpoint(true)
         .createOrReplaceTempView("dup_pairs")
       s.sql("""WITH RECURSIVE edges AS (

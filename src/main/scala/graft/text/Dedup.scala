@@ -107,11 +107,15 @@ object Dedup {
     * source would be [[minHashLshPairs]] — same downstream plan.
     */
   def sharedSpanPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                      shingleTable: Option[DataFrame] = None): DataFrame = {
+                      shingleTable: Option[DataFrame] = None,
+                      pairTable: Option[DataFrame] = None): DataFrame = {
+    // pairTable: a prebuilt (doc_a, doc_b, …) frame — the write-once
+    // graft.sources.PairsLayout — value-identical to deriving pairs
+    // here; None keeps the self-contained form.
     // checkpointed: the pair list feeds the id filter AND the final
     // join (no cross-subtree CSE — rerunning the shingle self-join
     // twice would double the operator's dominant cost)
-    val pairs = jaccardPairs(docs, threshold, n, shingleTable)
+    val pairs = pairTable.getOrElse(jaccardPairs(docs, threshold, n, shingleTable))
       .select("doc_a", "doc_b")
       .localCheckpoint(true)
     // only docs that appear in some pair can contribute a shared span —

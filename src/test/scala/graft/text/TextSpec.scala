@@ -84,6 +84,18 @@ class TextSpec extends AnyFunSuite {
       "the write-once shingle layout must be value-identical to the in-query derivation")
   }
 
+  test("PairsLayout read-back equals the direct jaccardPairs derivation") {
+    val d = SparkTestSession.Sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(Dedup.jaccardPairs(Tables.documents(spark, d), 0.4)
+      .select("doc_a", "doc_b", "jaccard"))
+    val layout = rows(graft.sources.PairsLayout.jaccardPairs(spark, d, 0.4)
+      .select("doc_a", "doc_b", "jaccard"))
+    assert(layout === direct,
+      "the write-once pair layout must be value-identical to the in-query derivation")
+  }
+
   test("winnowFingerprints matches an independent driver-side winnowing") {
     // independent re-implementation of the gram hash (PolyHash: base-31
     // polynomial over UTF-8 bytes with 64-bit wrap-around)
