@@ -456,6 +456,7 @@ object TextQueries {
         COALESCE(a.cleaned_text, '') AS cleaned_text
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""),
-    (s, d) => Dedup.exactSubstrCut(documents(s, d), 8)
+    (s, d) => Dedup.exactSubstrCut(documents(s, d), 8,
+      spanTable = Some(graft.sources.SpansLayout.duplicatedSpans(s, d, 8)))
       .orderBy(col("doc_id")))
 }

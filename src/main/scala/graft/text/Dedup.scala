@@ -198,8 +198,12 @@ object Dedup {
     * corpus-quadratic; the ordered rebuild is a sort inside a per-doc
     * aggregate (the q78 collect→sort idiom), not a global window.
     */
-  def exactSubstrCut(docs: DataFrame, n: Int = 8): DataFrame = {
-    val spans = duplicatedSpans(docs, n)
+  def exactSubstrCut(docs: DataFrame, n: Int = 8,
+                     spanTable: Option[DataFrame] = None): DataFrame = {
+    // spanTable: a prebuilt (doc_id, span_start, span_len) frame — the
+    // write-once graft.sources.SpansLayout — value-identical to the
+    // in-query derivation; None keeps the self-contained form.
+    val spans = spanTable.getOrElse(duplicatedSpans(docs, n))
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val kept = toks.join(spans,

@@ -203,6 +203,16 @@ class TextSpec extends AnyFunSuite {
     )
   }
 
+  test("SpansLayout read-back equals the direct duplicatedSpans derivation") {
+    val d = SparkTestSession.Sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(Dedup.duplicatedSpans(Tables.documents(spark, d), 8))
+    val layout = rows(graft.sources.SpansLayout.duplicatedSpans(spark, d, 8))
+    assert(layout === direct,
+      "the write-once span layout must be value-identical to the in-query derivation")
+  }
+
   test("exactSubstrCut removes exactly the spanned tokens, keeps all docs") {
     val cut = Dedup.exactSubstrCut(substrDocs, 3).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
