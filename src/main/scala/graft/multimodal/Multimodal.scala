@@ -276,6 +276,57 @@ object Multimodal {
       }
   }
 
+  case class SpectralWindow(id: Long, win_idx: Int, n_samples: Int,
+                            dc: Long, nyq_pow: Long, quarter_pow: Long)
+
+  /** Per-frame spectral features at the three exactly-representable
+    * DFT bins — k = 0 (DC), k = N/4 (quarter band) and k = N/2
+    * (Nyquist), whose twiddle factors are all in {0, ±1}: the framed
+    * decomposition stays pure 64-bit integer arithmetic end to end,
+    * so the oracle replays it value-exactly (a general-bin DFT would
+    * ride on floating-point sum order — un-oracle-able; these three
+    * bins are the standard cheap triage for silence / DC offset /
+    * alternation artifacts in audio curation). Frame phase is LOCAL
+    * (t = position within the frame), matching a per-frame transform.
+    * Same typed-flatMap batch shape as [[pcmWindows]]: one pass over
+    * the payload bytes, no per-sample rows ever hit a shuffle.
+    */
+  def spectralWindows(spark: SparkSession, media: DataFrame,
+                      frame: Int = 64): Dataset[SpectralWindow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        parsePcm(p) match {
+          case Some((_, off, nBytes)) =>
+            val n = nBytes / 2
+            (0 until (n + frame - 1) / frame).iterator.map { k =>
+              val start = k * frame
+              val end = math.min(n, start + frame)
+              var dc = 0L; var ny = 0L; var qc = 0L; var qs = 0L
+              var t = 0
+              while (start + t < end) {
+                val i = start + t
+                val lo = java.lang.Byte.toUnsignedInt(p(off + 2 * i))
+                val hi = p(off + 2 * i + 1).toInt // sign-extends
+                val s = ((hi << 8) | lo).toLong
+                dc += s
+                ny += (if ((t & 1) == 0) s else -s)
+                (t & 3) match { // e^(-i·π·t/2): cos {1,0,-1,0}, -sin {0,-1,0,1}
+                  case 0 => qc += s
+                  case 1 => qs -= s
+                  case 2 => qc -= s
+                  case 3 => qs += s
+                }
+                t += 1
+              }
+              SpectralWindow(id, k, end - start, dc, ny * ny, qc * qc + qs * qs)
+            }
+          case None => Iterator.empty
+        }
+      }
+  }
+
   case class AudioInfo(id: Long, format: String, sample_rate: Int,
                        channels: Int, bits: Int)
 

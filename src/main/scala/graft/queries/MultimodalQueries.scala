@@ -29,7 +29,7 @@ object MultimodalQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample,
-      q149AudioEnergy, q150ImageAhash)
+      q149AudioEnergy, q150ImageAhash, q153AudioSpectral)
 
   /** Pixel path: decode each image payload (the full PNG codec) and
     * emit per-image pixel sum / mean / first / last. The oracle
@@ -143,6 +143,56 @@ object MultimodalQueries {
           s, Multimodal.syntheticPngMedia(s, documents(s, d)), window = 100)
         .select(col("id").as("doc_id"), col("win_idx"), col("n_samples"),
           col("energy"))
+        .orderBy(col("doc_id"), col("win_idx")))
+
+  /** Spectral triage over the same real PCM chunk q149 parses:
+    * per-64-sample frame, the three integer-exact DFT bins (DC,
+    * quarter band, Nyquist — twiddles in {0,±1}; see
+    * [[Multimodal.spectralWindows]]). The oracle rebuilds each frame
+    * from the doc text ((byte−128)·256 samples) and replays the
+    * signed basis sums in BIGINT arithmetic — a framing, phase, or
+    * sign-extension defect in the decode path breaks it exactly. */
+  val q153AudioSpectral = GraftQuery(
+    "q153_audio_spectral",
+    "integer-exact DFT-bin triple (DC/quarter/Nyquist) per PCM frame",
+    Some("""WITH aud AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          list_transform(range(length(text)),
+            i -> CAST(ascii(text[i+1]) - 128 AS BIGINT) * 256) AS s
+        FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+      w AS (
+        SELECT doc_id, n, s,
+          unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS k
+        FROM aud),
+      f AS (
+        SELECT doc_id, k,
+          s[CAST(k * 64 + 1 AS INT):CAST(least(n, (k + 1) * 64) AS INT)] AS fr
+        FROM w),
+      b AS (
+        SELECT doc_id, k, len(fr) AS ns,
+          list_aggregate(fr, 'sum') AS dc,
+          list_aggregate(list_transform(range(len(fr)),
+            t -> CASE WHEN t % 2 = 0 THEN fr[t+1] ELSE -fr[t+1] END),
+            'sum') AS ny,
+          list_aggregate(list_transform(range(len(fr)),
+            t -> CASE WHEN t % 4 = 0 THEN fr[t+1]
+                      WHEN t % 4 = 2 THEN -fr[t+1] ELSE 0 END),
+            'sum') AS qc,
+          list_aggregate(list_transform(range(len(fr)),
+            t -> CASE WHEN t % 4 = 1 THEN -fr[t+1]
+                      WHEN t % 4 = 3 THEN fr[t+1] ELSE 0 END),
+            'sum') AS qs
+        FROM f)
+      SELECT doc_id, CAST(k AS INT) AS win_idx, CAST(ns AS INT) AS n_samples,
+        CAST(dc AS BIGINT) AS dc,
+        CAST(ny * ny AS BIGINT) AS nyq_pow,
+        CAST(qc * qc + qs * qs AS BIGINT) AS quarter_pow
+      FROM b ORDER BY doc_id, win_idx"""),
+    (s, d) =>
+      Multimodal.spectralWindows(
+          s, Multimodal.syntheticPngMedia(s, documents(s, d)), frame = 64)
+        .select(col("id").as("doc_id"), col("win_idx"), col("n_samples"),
+          col("dc"), col("nyq_pow"), col("quarter_pow"))
         .orderBy(col("doc_id"), col("win_idx")))
 
   /** Image near-dup fingerprint: average-hash (aHash) over DECODED

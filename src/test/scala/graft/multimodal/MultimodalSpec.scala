@@ -123,6 +123,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWavInfo(huge) === None)
   }
 
+  test("spectralWindows: basis signals land in exactly one integer bin each") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def wav(samples: Seq[Int]) =
+      "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(samples.length * 2) ++
+        samples.flatMap(le16).toArray
+    val m = Seq(
+      (1L, "audio", wav(Seq(5, 5, 5, 5, 9, 0))),   // DC + a partial frame
+      (2L, "audio", wav(Seq(7, -7, 7, -7))),       // Nyquist (alternation)
+      (3L, "audio", wav(Seq(9, 0, -9, 0))),        // quarter-band cosine
+      (4L, "image", Array[Byte](1, 2, 3)))         // filtered out
+      .toDF("id", "kind", "payload")
+    val out = Multimodal.spectralWindows(spark, m, frame = 4).collect()
+      .map(w => (w.id, w.win_idx) -> ((w.n_samples, w.dc, w.nyq_pow, w.quarter_pow)))
+      .toMap
+    assert(out((1L, 0)) === ((4, 20L, 0L, 0L)))    // pure DC: other bins silent
+    // partial frame restarts LOCAL phase: [9,0] -> dc 9, ny 9^2, q (9,0)
+    assert(out((1L, 1)) === ((2, 9L, 81L, 81L)))
+    assert(out((2L, 0)) === ((4, 0L, 784L, 0L)))   // alternation: Nyquist only
+    assert(out((3L, 0)) === ((4, 0L, 0L, 324L)))   // period-4: quarter only
+    assert(!out.keySet.exists(_._1 == 4L))         // non-audio rows filtered
+  }
+
   test("audioInfo decodes every synthetic audio's WAV header to its metadata rate") {
     val infos = Multimodal.audioInfo(spark, media).collect()
     val meta = media
