@@ -169,9 +169,20 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dupPos = positionalShingles(docs, n)
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("occ") >= 2)
+    // Occurrence counts via groupBy + join-back, NOT a count-over-
+    // window on sh: a window partition cannot be split, so one
+    // boilerplate gram with huge df would serialize into a single
+    // task at 100 TB, while the aggregate form collapses heavy grams
+    // map-side (partial agg) and leaves the join-back skew to AQE.
+    // The ≥2 filter also shrinks the join's build side to just the
+    // duplicated grams — typically a small fraction of the corpus.
+    // pos feeds BOTH the count and the probe side — checkpointed once
+    // (the q27/q89 multi-use-subtree lesson).
+    val pos = positionalShingles(docs, n).localCheckpoint(true)
+    val dupGrams = pos.groupBy(col("sh"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+      .select(col("sh"))
+    val dupPos = pos.join(dupGrams, Seq("sh"), "left_semi")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
