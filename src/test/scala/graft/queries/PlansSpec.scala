@@ -316,4 +316,28 @@ class PlansSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(p).length === 1,
       s"only the centroid build may explode:\n$p")
   }
+
+  test("q151 counts gram occurrences through partial aggregation, not a window") {
+    val p = plan("q151_exact_substr_spans")
+    // the gram-df count must be a splittable aggregate (map-side
+    // partial agg collapses boilerplate grams; AQE can split the
+    // join-back) — a count-over-window on sh would serialize each
+    // heavy gram into one task. The only windows allowed are the
+    // per-doc ones (shingle lead + sweep), never one keyed on sh.
+    assert(!p.contains("windowspecdefinition(sh"),
+      s"q151 must not window-partition on the gram key:\n$p")
+    assert(p.contains("LeftSemi"), s"dup grams must semi-join back:\n$p")
+  }
+
+  test("q152 reads the span layout and anti-joins tokens out") {
+    val p = plan("q152_exact_substr_cut")
+    assert(p.contains("graft_substr_spans"), "q152 must read SpansLayout")
+    assert(p.contains("LeftAnti"),
+      s"covered tokens must leave via an anti join:\n$p")
+    // exactly one Generate — the TOKEN explode (the cut's own input);
+    // a second one would mean the span side re-derived its grams from
+    // text instead of reading the layout
+    assert("Generate".r.findAllIn(p).length === 1,
+      s"only the token explode may generate:\n$p")
+  }
 }
