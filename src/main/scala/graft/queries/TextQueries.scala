@@ -19,7 +19,7 @@ object TextQueries {
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
-    q151ExactSubstrSpans, q152ExactSubstrCut)
+    q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -384,13 +384,15 @@ object TextQueries {
         approx_count_distinct(col("event_id")).as("approx_events"),
         count(lit(1)).as("n_rows")))
 
-  /** Shared oracle prefix for the ExactSubstr family: 8-gram positions
-    * → corpus-wide occurrence count → duplicated positions → interval
-    * union per doc via the cumulative-max sweep (islands split where
-    * pos jumps past running-max-end + 1). Mirrors
-    * [[graft.text.Dedup.duplicatedSpans]] step for step. */
-  private val exactSubstrCte = """toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  /** Shared oracle scaffold for the ExactSubstr family: 8-gram
+    * positions → a caller-supplied `dup(doc_id, p)` criterion →
+    * interval union per doc via the cumulative-max sweep (islands
+    * split where pos jumps past running-max-end + 1). Mirrors the
+    * [[graft.text.Dedup]] span operators step for step; q151/q152
+    * plug in the corpus-wide ≥2-occurrences criterion, q154 the
+    * asymmetric incoming-vs-corpus one. */
+  private def substrCtes(dupDef: String) = s"""toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         FROM documents),
       gpos AS (
         SELECT doc_id, t, unnest(range(len(t) - 7)) AS p
@@ -398,11 +400,7 @@ object TextQueries {
       grams AS (
         SELECT doc_id, p, array_to_string(t[p + 1 : p + 8], ' ') AS sh
         FROM gpos),
-      dup AS (
-        SELECT doc_id, p FROM (
-          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY sh) AS occ
-          FROM grams)
-        WHERE occ >= 2),
+      $dupDef,
       swept AS (
         SELECT doc_id, p, p + 7 AS e,
           MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
@@ -416,6 +414,13 @@ object TextQueries {
       spans AS (
         SELECT doc_id, MIN(p) AS span_start, MAX(e) - MIN(p) + 1 AS span_len
         FROM isl GROUP BY doc_id, island)"""
+
+  /** The corpus-wide criterion (q151/q152): ≥2 occurrences anywhere. */
+  private val exactSubstrCte = substrCtes("""dup AS (
+        SELECT doc_id, p FROM (
+          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY sh) AS occ
+          FROM grams)
+        WHERE occ >= 2)""")
 
   /** Corpus-wide ExactSubstr duplicated spans (Lee et al. 2022) — the
     * pair-free sibling of q107's pair-scoped diagonal islands: which
@@ -459,4 +464,30 @@ object TextQueries {
     (s, d) => Dedup.exactSubstrCut(documents(s, d), 8,
       spanTable = Some(graft.sources.SpansLayout.duplicatedSpans(s, d, 8)))
       .orderBy(col("doc_id")))
+
+  /** Admission-time ExactSubstr (the incremental form a pipeline runs
+    * per ingest wave — q134's incremental-admission pattern applied to
+    * spans): incoming docs (doc_id % 17 = 0, the fixture wave-split)
+    * get spans only where a gram already EXISTS in the corpus side —
+    * within-wave duplication deliberately excluded (that's q151's
+    * backfill once admitted). Stream-static semi-join shape: the
+    * corpus appears only through its deduplicated gram index. */
+  val q154IncrementalSubstr = GraftQuery(
+    "q154_incremental_substr",
+    "admission-time ExactSubstr: incoming-wave spans duplicating the corpus",
+    Some(s"""WITH ${substrCtes("""dup AS (
+        SELECT g.doc_id, g.p FROM grams g
+        JOIN (SELECT DISTINCT sh FROM grams WHERE doc_id % 17 <> 0) x
+          USING (sh)
+        WHERE g.doc_id % 17 = 0)""")}
+      SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        CAST(span_len AS BIGINT) AS span_len
+      FROM spans ORDER BY doc_id, span_start"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.duplicatedSpansAgainst(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    })
 }

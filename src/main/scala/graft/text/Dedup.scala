@@ -183,6 +183,16 @@ object Dedup {
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
       .select(col("sh"))
     val dupPos = pos.join(dupGrams, Seq("sh"), "left_semi")
+    sweepSpans(dupPos, n)
+  }
+
+  /** Interval-union sweep shared by [[duplicatedSpans]] and
+    * [[duplicatedSpansAgainst]]: duplicated (doc_id, pos) rows →
+    * maximal merged spans. One doc_id-partitioned window pass; the
+    * island group-by reuses the same partitioning (no extra shuffle).
+    */
+  private def sweepSpans(dupPos: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
       .select(col("doc_id"), col("pos"), (col("pos") + lit(n - 1)).as("end"))
@@ -197,6 +207,28 @@ object Dedup {
         (max(col("end")) - min(col("pos")) + 1).as("span_len"))
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_len").cast("long").as("span_len"))
+  }
+
+  /** Admission-time ExactSubstr: spans of INCOMING docs that duplicate
+    * content already present in the EXISTING corpus — the incremental
+    * form a 100 TB pipeline actually runs per ingest wave (q151's
+    * corpus-wide pass is the backfill; this is the per-wave check).
+    * The dup criterion is asymmetric: a gram needs only EXIST in the
+    * corpus (its index — at scale the write-once gram table — is the
+    * static side of a stream-static semi-join); within-wave
+    * duplication is deliberately NOT counted here, it belongs to the
+    * next corpus-wide pass once the wave is admitted. Cost: one
+    * distinct over corpus grams + one semi-join keyed on the gram +
+    * the per-doc sweep — incoming-wave-linear, corpus appears only
+    * through its (deduplicated) gram index.
+    */
+  def duplicatedSpansAgainst(existing: DataFrame, incoming: DataFrame,
+                             n: Int = 8): DataFrame = {
+    val corpusGrams = positionalShingles(existing, n)
+      .select(col("sh")).distinct()
+    val dupPos = positionalShingles(incoming, n)
+      .join(corpusGrams, Seq("sh"), "left_semi")
+    sweepSpans(dupPos, n)
   }
 
   /** ExactSubstr CUT — the removal operator the paper actually applies:

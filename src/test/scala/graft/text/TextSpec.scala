@@ -213,6 +213,19 @@ class TextSpec extends AnyFunSuite {
       "the write-once span layout must be value-identical to the in-query derivation")
   }
 
+  test("duplicatedSpansAgainst flags only corpus-duplicating spans, not within-wave") {
+    import spark.implicits._
+    val existing = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "x x a b c z z"),  // only 'a b c' exists in the corpus
+      (102L, "q r s t u"),      // nothing shared
+      (103L, "x x a b c z z"))  // identical to 101 — within-wave dup must NOT count
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpansAgainst(existing, incoming, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((101L, 2L, 3L), (103L, 2L, 3L)))
+  }
+
   test("exactSubstrCut removes exactly the spanned tokens, keeps all docs") {
     val cut = Dedup.exactSubstrCut(substrDocs, 3).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
