@@ -29,7 +29,8 @@ object MultimodalQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample,
-      q149AudioEnergy, q150ImageAhash, q153AudioSpectral)
+      q149AudioEnergy, q150ImageAhash, q153AudioSpectral,
+      q155AudioQualityGate)
 
   /** Pixel path: decode each image payload (the full PNG codec) and
     * emit per-image pixel sum / mean / first / last. The oracle
@@ -152,10 +153,10 @@ object MultimodalQueries {
     * from the doc text ((byte−128)·256 samples) and replays the
     * signed basis sums in BIGINT arithmetic — a framing, phase, or
     * sign-extension defect in the decode path breaks it exactly. */
-  val q153AudioSpectral = GraftQuery(
-    "q153_audio_spectral",
-    "integer-exact DFT-bin triple (DC/quarter/Nyquist) per PCM frame",
-    Some("""WITH aud AS (
+  /** Shared oracle scaffold for q153/q155: text-derived samples →
+    * 64-sample frames → the three integer-exact bin sums (`b` carries
+    * per-frame ns/dc/ny/qc/qs). */
+  private val spectralCte = """aud AS (
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
           list_transform(range(length(text)),
             i -> CAST(ascii(text[i+1]) - 128 AS BIGINT) * 256) AS s
@@ -182,7 +183,12 @@ object MultimodalQueries {
             t -> CASE WHEN t % 4 = 1 THEN -fr[t+1]
                       WHEN t % 4 = 3 THEN fr[t+1] ELSE 0 END),
             'sum') AS qs
-        FROM f)
+        FROM f)"""
+
+  val q153AudioSpectral = GraftQuery(
+    "q153_audio_spectral",
+    "integer-exact DFT-bin triple (DC/quarter/Nyquist) per PCM frame",
+    Some(s"""WITH $spectralCte
       SELECT doc_id, CAST(k AS INT) AS win_idx, CAST(ns AS INT) AS n_samples,
         CAST(dc AS BIGINT) AS dc,
         CAST(ny * ny AS BIGINT) AS nyq_pow,
@@ -194,6 +200,50 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("win_idx"), col("n_samples"),
           col("dc"), col("nyq_pow"), col("quarter_pow"))
         .orderBy(col("doc_id"), col("win_idx")))
+
+  /** Audio triage gate — the curation rollup over q153's frames: one
+    * row per audio doc with integer-exact totals and two flags, a DC
+    * offset (mean sample offset beyond 33 byte-units: |Σdc| >
+    * 8448·n_samples — 33 is the fixture corpus's median offset, so the
+    * flag SPLITS the corpus; any gate threshold is corpus-calibrated,
+    * what the oracle pins is the exact integer comparison) and an
+    * alternation artifact (more Nyquist than quarter-band power — the
+    * aliasing smell; splits ~⅓/⅔ here). The multimodal layer doesn't
+    * just decode, it CURATES: q90's gate pattern on decoded media. */
+  val q155AudioQualityGate = GraftQuery(
+    "q155_audio_quality_gate",
+    "per-doc audio triage: spectral totals + DC-offset/alternation flags",
+    Some(s"""WITH $spectralCte,
+      r AS (
+        SELECT doc_id, COUNT(*) AS n_frames, SUM(ns) AS n_samples,
+          SUM(dc) AS total_dc, SUM(ny * ny) AS nyq_tot,
+          SUM(qc * qc + qs * qs) AS quarter_tot
+        FROM b GROUP BY doc_id)
+      SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(n_samples AS BIGINT) AS n_samples,
+        CAST(total_dc AS BIGINT) AS total_dc,
+        CAST(nyq_tot AS BIGINT) AS nyq_tot,
+        CAST(quarter_tot AS BIGINT) AS quarter_tot,
+        CAST(CASE WHEN abs(total_dc) > n_samples * 8448 THEN 1 ELSE 0 END
+          AS INT) AS dc_offset,
+        CAST(CASE WHEN nyq_tot > quarter_tot THEN 1 ELSE 0 END
+          AS INT) AS alternation
+      FROM r ORDER BY doc_id"""),
+    (s, d) =>
+      Multimodal.spectralWindows(
+          s, Multimodal.syntheticPngMedia(s, documents(s, d)), frame = 64)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("dc")).as("total_dc"),
+          sum(col("nyq_pow")).as("nyq_tot"),
+          sum(col("quarter_pow")).as("quarter_tot"))
+        .select(col("id").as("doc_id"), col("n_frames"), col("n_samples"),
+          col("total_dc"), col("nyq_tot"), col("quarter_tot"),
+          (abs(col("total_dc")) > col("n_samples") * 8448).cast("int")
+            .as("dc_offset"),
+          (col("nyq_tot") > col("quarter_tot")).cast("int").as("alternation"))
+        .orderBy(col("doc_id")))
 
   /** Image near-dup fingerprint: average-hash (aHash) over DECODED
     * pixels — decode, 8×8 nearest-neighbor resample, threshold each
