@@ -30,7 +30,7 @@ object MultimodalQueries {
   def queries: Seq[GraftQuery] =
     Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample,
       q149AudioEnergy, q150ImageAhash, q153AudioSpectral,
-      q155AudioQualityGate)
+      q155AudioQualityGate, q156ImageQualityGate)
 
   /** Pixel path: decode each image payload (the full PNG codec) and
     * emit per-image pixel sum / mean / first / last. The oracle
@@ -94,6 +94,81 @@ object MultimodalQueries {
         .select(col("doc_id"), col("w"), col("h"), col("px_sum"),
           round(col("px_sum") / (col("w") * col("h")), 4).as("px_mean"),
           col("px_first"), col("px_last"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Image triage gate — q155's sibling over DECODED pixels: per
+    * image, integer-exact Σpx and Σpx² plus three curation flags —
+    * dim (mean below the corpus median 94.5: 2·Σpx < 189·n),
+    * low_contrast (n²·variance below the median 892: n·Σpx² − (Σpx)²
+    * < 892·n²) and tiny (n < 100 px). Thresholds are corpus-
+    * calibrated so every flag SPLITS the fixture (the q155
+    * discipline); the oracle replays the cycled-byte raster with
+    * cycle arithmetic (q146's scheme) and the same integer
+    * comparisons, so a decode defect flips a verdict. */
+  val q156ImageQualityGate = GraftQuery(
+    "q156_image_quality_gate",
+    "per-image triage: pixel sum/sumsq + dim/low-contrast/tiny flags",
+    Some("""WITH img AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS INT) AS w,
+          CAST(doc_id % 12 + 8 AS INT) AS h,
+          CAST(doc_id % 24 + 8 AS BIGINT) * (doc_id % 12 + 8) AS n,
+          text, CAST(length(text) AS BIGINT) AS len
+        FROM documents WHERE doc_id % 3 = 0),
+      b AS (
+        SELECT doc_id, w, h, n, len,
+          CASE WHEN len = 0 THEN []
+               ELSE list_transform(range(len), i -> CAST(ascii(text[i+1]) AS BIGINT)) END
+            AS bytes
+        FROM img),
+      s AS (
+        SELECT doc_id, w, h, n,
+          CASE WHEN len = 0 THEN 0
+               ELSE (n // len) * list_aggregate(bytes, 'sum')
+                    + COALESCE(list_aggregate(
+                        bytes[1:CAST(n % len AS INT)], 'sum'), 0) END AS s1,
+          CASE WHEN len = 0 THEN 0
+               ELSE (n // len) * list_aggregate(
+                      list_transform(bytes, x -> x * x), 'sum')
+                    + COALESCE(list_aggregate(list_transform(
+                        bytes[1:CAST(n % len AS INT)], x -> x * x), 'sum'), 0)
+               END AS s2
+        FROM b)
+      SELECT doc_id, w, h,
+        CAST(s1 AS BIGINT) AS px_sum, CAST(s2 AS BIGINT) AS px_sumsq,
+        CAST(CASE WHEN 2 * s1 < 189 * n THEN 1 ELSE 0 END AS INT) AS dim,
+        CAST(CASE WHEN n * s2 - s1 * s1 < 892 * n * n THEN 1 ELSE 0 END
+          AS INT) AS low_contrast,
+        CAST(CASE WHEN n < 100 THEN 1 ELSE 0 END AS INT) AS tiny
+      FROM s ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Multimodal.syntheticPngMedia(s, documents(s, d))
+        .filter(col("kind") === "image")
+        .select(col("id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          // .get is deliberate: these are our own encoder's bytes — a
+          // refusal here IS the correctness failure the gate exists for
+          val img = PngCodec.decode(payload).get
+          var s1 = 0L; var s2 = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = java.lang.Byte.toUnsignedInt(img.pixels(i)).toLong
+            s1 += v; s2 += v * v; i += 1
+          }
+          (id, img.width, img.height, s1, s2)
+        })
+        .toDF("doc_id", "w", "h", "px_sum", "px_sumsq")
+        .select(col("doc_id"), col("w"), col("h"),
+          col("px_sum"), col("px_sumsq"),
+          (col("px_sum") * 2 < col("w") * col("h") * 189).cast("int")
+            .as("dim"),
+          (col("w") * col("h") * col("px_sumsq") -
+            col("px_sum") * col("px_sum") <
+            col("w") * col("h") * col("w") * col("h") * lit(892L))
+            .cast("int").as("low_contrast"),
+          (col("w") * col("h") < 100).cast("int").as("tiny"))
         .orderBy(col("doc_id"))
     })
 
