@@ -168,7 +168,6 @@ object Dedup {
     * 64-bit collision marks ~n extra tokens, it cannot corrupt spans).
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Occurrence counts via groupBy + join-back, NOT a count-over-
     // window on sh: a window partition cannot be split, so one
     // boilerplate gram with huge df would serialize into a single
