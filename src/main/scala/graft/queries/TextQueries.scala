@@ -19,7 +19,8 @@ object TextQueries {
     q27MinHashLsh, q28SimHashPairs, q29Fingerprint, q30CosineTopK,
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
-    q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr)
+    q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
+    q157ExactSubstrHashed)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -464,6 +465,25 @@ object TextQueries {
     (s, d) => Dedup.exactSubstrCut(documents(s, d), 8,
       spanTable = Some(graft.sources.SpansLayout.duplicatedSpans(s, d, 8)))
       .orderBy(col("doc_id")))
+
+  /** The executable 100 TB swap-in for q151 (the q143/q144 doctrine:
+    * documented swap-ins must RUN, not live in prose): identical span
+    * derivation but keyed on xxhash64(gram) — the count/join exchange
+    * moves 8 bytes per row instead of ~8 tokens of text. Carries
+    * q151's exact oracle: a 64-bit collision could only add a
+    * spurious duplicated position, so hashed == exact absent
+    * collisions (none at any realistic corpus; a future mismatch here
+    * is a collision to triage, not an engine bug — the q27
+    * banding-note precedent). */
+  val q157ExactSubstrHashed = GraftQuery(
+    "q157_exact_substr_hashed",
+    "q151's spans with the 8-byte hashed gram key (the 100 TB exchange)",
+    Some(s"""WITH $exactSubstrCte
+      SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        CAST(span_len AS BIGINT) AS span_len
+      FROM spans ORDER BY doc_id, span_start"""),
+    (s, d) => Dedup.duplicatedSpans(documents(s, d), 8, hashedKey = true)
+      .orderBy(col("doc_id"), col("span_start")))
 
   /** Admission-time ExactSubstr (the incremental form a pipeline runs
     * per ingest wave — q134's incremental-admission pattern applied to

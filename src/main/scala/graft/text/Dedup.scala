@@ -163,11 +163,17 @@ object Dedup {
     * (sweep), both linear in corpus grams — the shape that survives
     * 100 TB, where pair-scoped span detection is quadratic in
     * near-dup cluster size. The gram key is the raw token text so the
-    * oracle replays value-exactly; at 100 TB you would key on
-    * xxhash64(sh) to shrink the exchange (no false merges matter: a
-    * 64-bit collision marks ~n extra tokens, it cannot corrupt spans).
+    * oracle replays value-exactly; `hashedKey = true` is the 100 TB
+    * form — xxhash64(sh) shrinks the count/join exchange from ~n
+    * tokens of text to 8 bytes per row. A 64-bit collision could only
+    * ADD a spurious duplicated position (marking ~n extra tokens), so
+    * the hashed form equals the exact one absent collisions — q157
+    * carries q151's own oracle on that basis (q27's banding-note
+    * precedent: a future mismatch is a collision to triage, not an
+    * engine bug).
     */
-  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, n: Int = 8,
+                      hashedKey: Boolean = false): DataFrame = {
     // Occurrence counts via groupBy + join-back, NOT a count-over-
     // window on sh: a window partition cannot be split, so one
     // boilerplate gram with huge df would serialize into a single
@@ -177,7 +183,9 @@ object Dedup {
     // duplicated grams — typically a small fraction of the corpus.
     // pos feeds BOTH the count and the probe side — checkpointed once
     // (the q27/q89 multi-use-subtree lesson).
-    val pos = positionalShingles(docs, n).localCheckpoint(true)
+    val pos0 = positionalShingles(docs, n)
+    val pos = (if (hashedKey) pos0.withColumn("sh", xxhash64(col("sh")))
+               else pos0).localCheckpoint(true)
     val dupGrams = pos.groupBy(col("sh"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
       .select(col("sh"))

@@ -213,6 +213,16 @@ class TextSpec extends AnyFunSuite {
       "the write-once span layout must be value-identical to the in-query derivation")
   }
 
+  test("hashed-key duplicatedSpans equals the text-key form (fixture + hand corpus)") {
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans(Dedup.duplicatedSpans(substrDocs, 3, hashedKey = true)) ===
+      spans(Dedup.duplicatedSpans(substrDocs, 3)))
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+    assert(spans(Dedup.duplicatedSpans(fixture, 8, hashedKey = true)) ===
+      spans(Dedup.duplicatedSpans(fixture, 8)))
+  }
+
   test("duplicatedSpansAgainst flags only corpus-duplicating spans, not within-wave") {
     import spark.implicits._
     val existing = Seq((1L, "a b c d e")).toDF("doc_id", "text")
