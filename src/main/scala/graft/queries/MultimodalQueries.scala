@@ -30,7 +30,7 @@ object MultimodalQueries {
   def queries: Seq[GraftQuery] =
     Seq(q146MediaPixelStats, q147AudioHeader, q148FrameSample,
       q149AudioEnergy, q150ImageAhash, q153AudioSpectral,
-      q155AudioQualityGate, q156ImageQualityGate)
+      q155AudioQualityGate, q156ImageQualityGate, q158VideoQualityGate)
 
   /** Pixel path: decode each image payload (the full PNG codec) and
     * emit per-image pixel sum / mean / first / last. The oracle
@@ -408,5 +408,69 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "frame_idx", "frame_len", "frame_sum")
         .orderBy(col("doc_id"), col("frame_idx"))
+    })
+
+  /** Video triage gate — the third modality's q155/q156 sibling, over
+    * FULL frames only (the short tail frame would pollute the
+    * frame-sum variance with a length artifact; sub-frame clips carry
+    * no frame statistics and drop out, both sides): per video, the
+    * frame-sum moments and two flags — static (inter-frame variance
+    * below the corpus median 3695: m·Σf² − (Σf)² < 3695·m²; a
+    * one-frame video is static by definition) and has_dim_frame
+    * (dimmest full frame below the median sum 2923). Median-
+    * calibrated so both flags split the fixture; every comparison is
+    * integer-exact in the oracle. */
+  val q158VideoQualityGate = GraftQuery(
+    "q158_video_quality_gate",
+    "per-video triage: full-frame sum moments + static/dim-frame flags",
+    Some("""WITH vid AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+          list_transform(range(length(text)), i -> ascii(text[i+1])) AS bytes
+        FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+      f AS (
+        SELECT doc_id,
+          unnest(range(CAST(len // 32 AS BIGINT))) AS k, bytes, len
+        FROM vid),
+      s AS (
+        SELECT doc_id, CAST(list_aggregate(
+            bytes[CAST(k * 32 + 1 AS INT):CAST((k + 1) * 32 AS INT)],
+            'sum') AS BIGINT) AS fs
+        FROM f),
+      d AS (
+        SELECT doc_id, COUNT(*) AS m, SUM(fs) AS s1, SUM(fs * fs) AS s2,
+          MIN(fs) AS mn
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, CAST(m AS BIGINT) AS n_full_frames,
+        CAST(s1 AS BIGINT) AS frames_sum,
+        CAST(s2 AS BIGINT) AS frames_sumsq,
+        CAST(mn AS BIGINT) AS min_frame_sum,
+        CAST(CASE WHEN m * s2 - s1 * s1 < 3695 * m * m THEN 1 ELSE 0 END
+          AS INT) AS static,
+        CAST(CASE WHEN mn < 2923 THEN 1 ELSE 0 END AS INT) AS has_dim_frame
+      FROM d ORDER BY doc_id"""),
+    (s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          s, Multimodal.syntheticPngMedia(s, documents(s, d)), stride = 32)
+        .filter(_.frame.length == 32)
+        .map { f =>
+          var sum = 0L
+          f.frame.foreach(b => sum += java.lang.Byte.toUnsignedInt(b))
+          (f.id, sum)
+        }
+        .toDF("doc_id", "frame_sum")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_full_frames"),
+          sum(col("frame_sum")).as("frames_sum"),
+          sum(col("frame_sum") * col("frame_sum")).as("frames_sumsq"),
+          min(col("frame_sum")).as("min_frame_sum"))
+        .select(col("doc_id"), col("n_full_frames"), col("frames_sum"),
+          col("frames_sumsq"), col("min_frame_sum"),
+          (col("n_full_frames") * col("frames_sumsq") -
+            col("frames_sum") * col("frames_sum") <
+            col("n_full_frames") * col("n_full_frames") * 3695)
+            .cast("int").as("static"),
+          (col("min_frame_sum") < 2923).cast("int").as("has_dim_frame"))
+        .orderBy(col("doc_id"))
     })
 }
