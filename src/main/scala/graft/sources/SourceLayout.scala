@@ -15,8 +15,32 @@ object SourceLayout {
 
   def slug(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Content stamp of the fixture dir: CRC over every parquet file's
+    * (name, length, mtime), recursively. Every layout root embeds it,
+    * so a driver-side fixture REGENERATION — same path, new bytes;
+    * round 5's events.ts re-encode proved this happens between rounds
+    * — orphans all derived layouts instead of letting the _SUCCESS
+    * marker silently re-serve shingles/pairs/spans/components of the
+    * OLD corpus. An mtime-only touch costs one harmless rebuild; a
+    * content change costs a rebuild it MUST cost. Walk order is
+    * name-sorted so the stamp is deterministic.
+    */
+  def sourceStamp(sfDir: String): String = {
+    val crc = new java.util.zip.CRC32()
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      else if (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS") {
+        crc.update(f.getName.getBytes("UTF-8"))
+        crc.update(java.nio.ByteBuffer.allocate(16)
+          .putLong(f.length()).putLong(f.lastModified()).array())
+      }
+    val d = new java.io.File(sfDir)
+    if (d.exists()) walk(d)
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   def root(prefix: String, sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/$prefix/${slug(sfDir)}"
+    s"${sys.props("java.io.tmpdir")}/$prefix/${slug(sfDir)}_${sourceStamp(sfDir)}"
 
   /** Run `write` only if `dir` lacks a _SUCCESS marker (i.e. no
     * completed write from this or any previous session). */

@@ -8,6 +8,23 @@ import graft.SparkTestSession
 class BucketedTablesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("sourceStamp tracks fixture content: regeneration orphans layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp_probe")
+    val f = new java.io.File(dir.toFile, "documents.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    f.setLastModified(1700000000000L)
+    val before = SourceLayout.sourceStamp(dir.toString)
+    assert(SourceLayout.sourceStamp(dir.toString) === before, "deterministic")
+    // a regenerated fixture = same path, new bytes/mtime → new stamp,
+    // so every SourceLayout.root-derived dir moves and the old
+    // _SUCCESS markers can't re-serve stale derived data
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    f.setLastModified(1700000001000L)
+    assert(SourceLayout.sourceStamp(dir.toString) !== before)
+    assert(SourceLayout.root("graft_probe", dir.toString) !==
+      s"${sys.props("java.io.tmpdir")}/graft_probe/${SourceLayout.slug(dir.toString)}_$before")
+  }
+
   test("bucket join plan reads bucketed and has no Exchange") {
     val joined = BucketedTables.bucketJoin(spark, SparkTestSession.Sf0001)
     val plan = joined.queryExecution.executedPlan.toString
