@@ -25,7 +25,11 @@ object BucketedTables {
     SourceLayout.root("graft_bucketed", sfDir)
 
   private def tableName(sfDir: String, base: String): String =
-    s"graft_${base}_bucketed_${SourceLayout.slug(sfDir)}"
+    // the source stamp rides along so the catalog entry tracks the
+    // stamped location — a fixture regenerated mid-session gets a new
+    // name + registration instead of the old table's pinned LOCATION
+    s"graft_${base}_bucketed_${SourceLayout.slug(sfDir)}" +
+      s"_${SourceLayout.sourceStamp(sfDir)}"
 
   /** Spec fingerprint baked into the on-disk directory name: if the
     * bucket count, bucket key, or pruned column set ever change across
