@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense global row numbering at scale — the two-phase
+  * range-partition + offset pattern. The naive form,
+  * `row_number().over(Window.orderBy(keys))`, funnels the whole
+  * dataset through ONE window partition (Spark even warns); the
+  * classic distributed shape instead:
+  *
+  *   1. range-repartition by the key (Spark's own sort machinery —
+  *      non-overlapping ordered ranges), materialized ONCE so the
+  *      sampled range boundaries are identical for both consumers
+  *      (two separate jobs would re-sample boundaries and misalign
+  *      the offsets; at 100 TB this materialization is the sorted
+  *      layout write a stable-id assignment persists anyway),
+  *   2. per-partition counts — ≤ `parts` rows of METADATA to the
+  *      driver (the PQ-codebook collect class), scanned into
+  *      cumulative offsets,
+  *   3. partition-LOCAL row_number (each window partition = one range
+  *      partition, never the globe) + broadcast offset join.
+  *
+  * The result is the exact total-order rank whenever `keys` is a
+  * total order (ties would make it partitioning-dependent), so the
+  * oracle replays it as a plain ROW_NUMBER() OVER (ORDER BY keys).
+  */
+object GlobalRank {
+
+  /** Append `global_id` = 1-based dense rank of `keys` (must be a
+    * total order for determinism). */
+  def withGlobalId(df: DataFrame, keys: Seq[Column],
+                   parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    ranged
+      .withColumn("__rn", row_number().over(local))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("global_id", col("__off") + col("__rn"))
+      .drop("__pid", "__off", "__rn")
+  }
+}

@@ -26,7 +26,7 @@ object PipelineQueries {
     q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
     q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
-    q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit)
+    q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit, q159GlobalIds)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold, on the one shared
@@ -547,4 +547,20 @@ object PipelineQueries {
           round((col("n_chars") - col("mu")) / col("sigma") + 1e-9, 4).as("z"))
         .orderBy(col("doc_id"))
     })
+
+  /** Dense global id assignment WITHOUT the single-partition global
+    * window ([[graft.etl.GlobalRank]]: range-repartition → metadata
+    * offsets → partition-local row_number). (lang, doc_id) is a total
+    * order, so the distributed rank equals the oracle's plain
+    * ROW_NUMBER() OVER that order regardless of how the ranges fell. */
+  val q159GlobalIds = GraftQuery(
+    "q159_global_ids",
+    "dense global row numbers via range-partition + offset (no global window)",
+    Some("""SELECT doc_id, lang,
+        ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS global_id
+      FROM documents ORDER BY doc_id"""),
+    (s, d) => graft.etl.GlobalRank.withGlobalId(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        Seq(col("lang"), col("doc_id")))
+      .orderBy(col("doc_id")))
 }

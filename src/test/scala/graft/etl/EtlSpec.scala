@@ -103,4 +103,17 @@ class EtlSpec extends AnyFunSuite {
       Telemetry.assertQuality(obs2, Seq("v"), 0.4))
     assert(e.getMessage.contains("null fraction"))
   }
+
+  test("GlobalRank assigns the exact total-order rank across range partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // shuffled unique keys over more rows than partitions; parts=4 so
+    // several partitions are non-trivially filled AND offsets matter
+    val keys = scala.util.Random.shuffle((1 to 103).toList)
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v").repartition(7)
+    val out = graft.etl.GlobalRank.withGlobalId(df, Seq(col("k")), parts = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    (1 to 103).foreach(k => assert(out(k) === k.toLong,
+      s"key $k got rank ${out(k)}"))
+  }
 }

@@ -317,6 +317,14 @@ class PlansSpec extends AnyFunSuite {
       s"only the centroid build may explode:\n$p")
   }
 
+  test("q159 ranks through partition-local windows, never a global one") {
+    val p = plan("q159_global_ids")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the row_number window must be keyed by the range partition:\n$p")
+    assert(!p.contains("windowspecdefinition(lang"),
+      s"a window keyed only on the sort order would be the global funnel:\n$p")
+  }
+
   test("q151 counts gram occurrences through partial aggregation, not a window") {
     val p = plan("q151_exact_substr_spans")
     // the gram-df count must be a splittable aggregate (map-side
