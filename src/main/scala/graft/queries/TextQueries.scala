@@ -20,7 +20,7 @@ object TextQueries {
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
-    q157ExactSubstrHashed)
+    q157ExactSubstrHashed, q160IncrementalCut)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -509,5 +509,46 @@ object TextQueries {
           docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0), 8)
         .orderBy(col("doc_id"), col("span_start"))
+    })
+
+  /** The admission pass completed: q154's corpus-duplicating spans CUT
+    * from the incoming wave before it lands (detect → remove in one
+    * shape — what the pipeline actually admits is the cleaned text).
+    * Same anti-range-join + ordered-rebuild mechanics as q152, driven
+    * by the asymmetric span source; wave docs that duplicate nothing
+    * pass through untouched, fully-corpus-duplicated ones land empty
+    * (n_kept = 0) for the admission policy to drop. */
+  val q160IncrementalCut = GraftQuery(
+    "q160_incremental_cut",
+    "admission cut: corpus-duplicating spans removed from the incoming wave",
+    Some(s"""WITH ${substrCtes("""dup AS (
+        SELECT g.doc_id, g.p FROM grams g
+        JOIN (SELECT DISTINCT sh FROM grams WHERE doc_id % 17 <> 0) x
+          USING (sh)
+        WHERE g.doc_id % 17 = 0)""")},
+      tok2 AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p
+        FROM toks WHERE doc_id % 17 = 0),
+      kept AS (
+        SELECT k.doc_id, k.p, k.tok FROM tok2 k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = k.doc_id
+            AND k.p BETWEEN s.span_start AND s.span_start + s.span_len - 1)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+        COALESCE(a.cleaned_text, '') AS cleaned_text
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      WHERE d.doc_id % 17 = 0
+      ORDER BY d.doc_id"""),
+    (s, d) => {
+      val docs = documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 17 === 0)
+      Dedup.exactSubstrCut(incoming, 8,
+          spanTable = Some(Dedup.duplicatedSpansAgainst(
+            docs.filter(col("doc_id") % 17 =!= 0), incoming, 8)))
+        .orderBy(col("doc_id"))
     })
 }
