@@ -100,6 +100,24 @@ object Bench {
     val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
     val failedJson = failed.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"metric":"total","value":${j(total)}}""")
+    // Full per-query artifact INTO THE REPO (round-5 verdict #2): the
+    // driver-captured BENCH_r*.json line truncates its head past ~70
+    // queries, so cross-round common-subset sums — the comparison
+    // currency under co-tenant noise — needed tail archaeology. This
+    // file always carries every entry, name-sorted, one per line.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    val detail = results.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${j(v)}""" }
+      .mkString(
+        s"""{\n  "_unit": "sec",\n  "_sf": "$sfDir",\n""" +
+          s"""  "_passed": ${timed.size},\n  "_failed": $failedJson,\n""" +
+          s"""  "_total": ${j(total)},\n""",
+        ",\n", "\n}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

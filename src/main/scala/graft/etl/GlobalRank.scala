@@ -28,13 +28,39 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Checkpoint-RDD ids created by [[withGlobalId]], so [[release]]
+    * can free exactly these blocks and nothing else a caller has
+    * cached. */
+  private val checkpointIds =
+    new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
+  /** Free the storage pinned by past [[withGlobalId]] calls. The
+    * checkpointed range-partition MUST stay alive until the returned
+    * frame is materialized (freeing earlier would re-sample range
+    * boundaries and misalign the offsets), so the contract is: consume
+    * the result, then call this. Bench/Verify's between-query
+    * getPersistentRDDs sweep subsumes it; library callers invoke it
+    * directly. */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    var id: Integer = checkpointIds.poll()
+    while (id != null) {
+      live.get(id.intValue()).foreach(_.unpersist(blocking = false))
+      id = checkpointIds.poll()
+    }
+  }
+
   /** Append `global_id` = 1-based dense rank of `keys` (must be a
     * total order for determinism). */
   def withGlobalId(df: DataFrame, keys: Seq[Column],
                    parts: Int = 32): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    (sc.getPersistentRDDs.keySet -- before)
+      .foreach(i => checkpointIds.add(Integer.valueOf(i)))
     val counts = ranged.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)

@@ -52,6 +52,14 @@ object BucketedTables {
                           key: String, cols: Seq[String]): String = {
     val name = tableName(sfDir, base)
     if (!s.catalog.tableExists(name)) {
+      // a regenerated fixture gets a fresh stamped name; drop the same
+      // slug's OLD stamped registrations first — their tmpdir LOCATIONs
+      // may be gone, and leaving them accumulates dangling catalog
+      // entries that shadow nothing but never die
+      val prefix = s"graft_${base}_bucketed_${SourceLayout.slug(sfDir)}_"
+      s.catalog.listTables().collect()
+        .map(_.name).filter(t => t.startsWith(prefix) && t != name)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       val dir = s"${root(sfDir)}/${base}_${specFingerprint(key, cols)}"
       if (new java.io.File(dir, "_SUCCESS").exists()) {
         val schema = Tables.load(s, sfDir, base).select(cols.map(col): _*).schema

@@ -33,7 +33,12 @@ object PairsLayout {
     * (sfDir, threshold), read from the layout afterwards. */
   def jaccardPairs(s: SparkSession, sfDir: String,
                    threshold: Double): DataFrame = {
-    val spec = s"t${math.round(threshold * 100)}_sh3_v$LayoutVersion"
+    // full threshold value in the key — a rounded form (t40) would let
+    // 0.4 and 0.404 share a directory, silently re-serving pairs
+    // computed at the other threshold
+    val spec =
+      s"t${threshold.toString.replace('.', '_').replace('-', 'm')}" +
+        s"_sh3_v$LayoutVersion"
     val dir = s"${SourceLayout.root("graft_pairs", sfDir)}/$spec"
     SourceLayout.writeOnce(dir) {
       Dedup.jaccardPairs(Tables.documents(s, sfDir), threshold,

@@ -111,9 +111,20 @@ class EtlSpec extends AnyFunSuite {
     // several partitions are non-trivially filled AND offsets matter
     val keys = scala.util.Random.shuffle((1 to 103).toList)
     val df = keys.map(k => (k, s"v$k")).toDF("k", "v").repartition(7)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.etl.GlobalRank.withGlobalId(df, Seq(col("k")), parts = 4)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     (1 to 103).foreach(k => assert(out(k) === k.toLong,
       s"key $k got rank ${out(k)}"))
+    // library-caller cleanup: the internal range-partition checkpoint
+    // is tracked and release() frees those blocks (Bench's
+    // between-query sweep subsumes this; library use must not leak)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(pinned.nonEmpty, "withGlobalId pins its range checkpoint")
+    graft.etl.GlobalRank.release(spark)
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(pinned.forall(id => !live.contains(id) ||
+        !live(id).getStorageLevel.useMemory),
+      "release() must unpersist the GlobalRank checkpoints")
   }
 }

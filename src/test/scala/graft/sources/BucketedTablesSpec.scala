@@ -17,12 +17,33 @@ class BucketedTablesSpec extends AnyFunSuite {
     assert(SourceLayout.sourceStamp(dir.toString) === before, "deterministic")
     // a regenerated fixture = same path, new bytes/mtime → new stamp,
     // so every SourceLayout.root-derived dir moves and the old
-    // _SUCCESS markers can't re-serve stale derived data
+    // _SUCCESS markers can't re-serve stale derived data. The stamp is
+    // memoized per JVM (it's read several times per query), so the
+    // cross-session regeneration is simulated via the test hook.
     java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
     f.setLastModified(1700000001000L)
+    assert(SourceLayout.sourceStamp(dir.toString) === before,
+      "memoized within a JVM — a mid-session regeneration is unsupported")
+    SourceLayout.uncacheStamp(dir.toString)
     assert(SourceLayout.sourceStamp(dir.toString) !== before)
     assert(SourceLayout.root("graft_probe", dir.toString) !==
       s"${sys.props("java.io.tmpdir")}/graft_probe/${SourceLayout.slug(dir.toString)}_$before")
+  }
+
+  test("sourceStamp samples content: same-size same-mtime rewrite changes it") {
+    // the hole an (mtime, length)-only stamp leaves: a regeneration
+    // that lands inside the filesystem's mtime granularity with
+    // size-preserved files. The head+tail sample (parquet footer lives
+    // in the tail) must catch it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp_probe2")
+    val f = new java.io.File(dir.toFile, "documents.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    f.setLastModified(1700000000000L)
+    val before = SourceLayout.sourceStamp(dir.toString)
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 5))
+    f.setLastModified(1700000000000L) // same mtime, same length
+    SourceLayout.uncacheStamp(dir.toString)
+    assert(SourceLayout.sourceStamp(dir.toString) !== before)
   }
 
   test("bucket join plan reads bucketed and has no Exchange") {
