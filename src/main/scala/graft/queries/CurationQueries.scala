@@ -30,7 +30,11 @@ object CurationQueries {
     * no n-grams. At 100 TB the pair source swaps to
     * [[graft.text.Dedup.embeddingDupPairsLsh]] (bucketed) with the
     * same downstream plan; the exact all-pairs form here is the
-    * oracle-checkable ground truth, per the q26/q27 precedent.
+    * oracle-checkable ground truth, per the q26/q27 precedent. The
+    * pairs are read from the write-once
+    * [[graft.sources.EmbeddingPairsLayout]] (round-5 verdict #4) —
+    * value-identical to the live derivation (CurationSpec pin); q46
+    * keeps measuring the exact derivation itself.
     */
   val q132SemanticDedup = GraftQuery(
     "q132_semantic_dedup",
@@ -52,8 +56,8 @@ object CurationQueries {
         CAST(CASE WHEN vec_id = component THEN 1 ELSE 0 END AS INTEGER)
           AS is_keeper
       FROM comp ORDER BY vec_id"""),
-    (s, d) => semanticDedup(embeddings(s, d),
-      Dedup.embeddingDupPairs(embeddings(s, d), 0.4)))
+    (s, d) => semanticDedupFromComponents(embeddings(s, d),
+      graft.sources.EmbeddingPairsLayout.exactComponents(s, d, 0.4)))
 
   /** The shared tail of q132/q144: a (vec_a, vec_b) near-dup pair
     * source through connected components into per-vector
@@ -64,7 +68,17 @@ object CurationQueries {
                     dupPairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val pairs = dupPairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-    val cc = Components.connectedComponents(pairs)
+    semanticDedupFromComponents(emb, Components.connectedComponents(pairs))
+  }
+
+  /** The keeper-labeling tail alone, over a prebuilt (node, component)
+    * assignment — what the catalog queries run against the write-once
+    * [[graft.sources.EmbeddingPairsLayout]] component tables (the
+    * q56/ComponentLayout treatment: component ids are corpus metadata
+    * written once per ingest wave; downstream passes read them). */
+  def semanticDedupFromComponents(emb: org.apache.spark.sql.DataFrame,
+                                  cc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     emb.select(col("vec_id"))
       .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
@@ -72,7 +86,6 @@ object CurationQueries {
       .withColumn("is_keeper",
         (col("vec_id") === col("component")).cast("int"))
       .orderBy(col("vec_id"))
-  }
 
   /** q132's 100 TB form, EXECUTED (round-5 verdict item #1): the pair
     * source swaps from the O(n²) exact cosine join to the multi-table
@@ -91,8 +104,8 @@ object CurationQueries {
     "q144_lsh_semantic_dedup",
     "LSH-bucketed near-dup pairs → components → group + keeper (q132's 100 TB form)",
     None,
-    (s, d) => semanticDedup(embeddings(s, d),
-      Dedup.embeddingDupPairsLsh(embeddings(s, d), 0.4, dim = 64)))
+    (s, d) => semanticDedupFromComponents(embeddings(s, d),
+      graft.sources.EmbeddingPairsLayout.lshComponents(s, d, 0.4, dim = 64)))
 
   /** Cross-corpus LM quality scoring (the CCNet/KenLM pattern): train a
     * Laplace-smoothed unigram LM on a TRUSTED reference slice (every

@@ -32,7 +32,10 @@ object ComponentLayout {
   private val LayoutVersion = 1
 
   private def dir(sfDir: String, threshold: Double): String = {
-    val spec = s"t${math.round(threshold * 100)}_sh3_v$LayoutVersion"
+    // full threshold value in the key (the PairsLayout rule): a rounded
+    // form would let 0.4 and 0.404 share a directory
+    val spec = s"t${threshold.toString.replace('.', '_').replace('-', 'm')}" +
+      s"_sh3_v$LayoutVersion"
     s"${SourceLayout.root("graft_components", sfDir)}/$spec"
   }
 

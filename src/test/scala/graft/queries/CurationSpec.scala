@@ -29,6 +29,32 @@ class CurationSpec extends AnyFunSuite {
         s"pair ${r.getLong(0)},${r.getLong(1)} split across components"))
   }
 
+  test("EmbeddingPairsLayout read-back equals both direct pair derivations") {
+    val d = SparkTestSession.Sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val emb = Tables.embeddings(spark, d)
+    assert(rows(graft.sources.EmbeddingPairsLayout.exactPairs(spark, d, 0.4))
+        === rows(Dedup.embeddingDupPairs(emb, 0.4)),
+      "write-once exact pair layout must be value-identical to the live derivation")
+    assert(rows(graft.sources.EmbeddingPairsLayout.lshPairs(spark, d, 0.4, dim = 64))
+        === rows(Dedup.embeddingDupPairsLsh(emb, 0.4, dim = 64)),
+      "write-once LSH pair layout must be value-identical to the live derivation")
+    // and one level down the chain: the component layouts equal the
+    // star-round fixed point over the live pair derivations
+    def cc(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def direct(pairs: org.apache.spark.sql.DataFrame) =
+      cc(graft.text.Components.connectedComponents(
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))))
+    assert(cc(graft.sources.EmbeddingPairsLayout.exactComponents(spark, d, 0.4))
+        === direct(Dedup.embeddingDupPairs(emb, 0.4)),
+      "exact component layout must equal the live fixed point")
+    assert(cc(graft.sources.EmbeddingPairsLayout.lshComponents(spark, d, 0.4, dim = 64))
+        === direct(Dedup.embeddingDupPairsLsh(emb, 0.4, dim = 64)),
+      "LSH component layout must equal the live fixed point")
+  }
+
   test("q144 LSH semantic dedup: >= 0.9 per-vector parity with the exact twin") {
     import graft.text.ClusteredEmbeddings
     val emb = ClusteredEmbeddings.fixture(spark)
