@@ -16,7 +16,7 @@ object AnalyticsQueries {
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
-    q126Profile, q145ForecastBacktest)
+    q126Profile, q145ForecastBacktest, q161KnnRecommend)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -662,5 +662,78 @@ object AnalyticsQueries {
             .as("mse"),
           round(avg(abs(col("y") - col("actual"))), 4).as("mae"))
         .orderBy(col("key"))
+    })
+
+  /** The SECOND oracle-checked ML-deterministic slice (round-5 verdict
+    * #6, q145's precedent): the M11 KNN cosine recommender's full
+    * scoring + exclusion path through the REAL
+    * [[graft.ml.Recommend.knnRecommend]] code — user–user cosine over
+    * shared items, top-5 neighbors (sim DESC, id ASC tie-break),
+    * candidate scores Σ(sim × neighbor rating), already-read left-anti
+    * exclusion, top-3 by score (ref 豆瓣图书推荐.md:8-21). The ratings
+    * matrix is a deterministic fixture derivation (order-line
+    * quantities folded onto a 60-user × 40-item grid, arithmetically
+    * sparsified to ~40% so the exclusion path has work), so every score
+    * survives an independent DuckDB replay — unlike the ALS/GBT fits,
+    * nothing here is seeded or iterative. Plan: the shared-item
+    * self-join runs on the ~30-user aggregate (the reference's own
+    * core-slice regime); all windows partition by user.
+    */
+  val q161KnnRecommend = GraftQuery(
+    "q161_knn_recommend",
+    "KNN cosine recommender: top-3 unread items per user (M11 path, oracle-checked)",
+    Some("""WITH cells AS (
+        SELECT o_custkey % 60 AS usr, l_partkey % 40 AS item, l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ratings AS (
+        SELECT usr, item, ROUND(AVG(l_quantity), 2) AS rating
+        FROM cells
+        WHERE substr(md5(CAST(usr AS VARCHAR) || '_' ||
+          CAST(item AS VARCHAR)), 1, 1) <= '5'
+        GROUP BY 1, 2),
+      norms AS (
+        SELECT usr, sqrt(SUM(rating * rating)) AS nrm FROM ratings GROUP BY 1),
+      sims AS (
+        SELECT a.usr AS u, b.usr AS v, SUM(a.rating * b.rating) AS dot
+        FROM ratings a JOIN ratings b ON a.item = b.item AND a.usr <> b.usr
+        GROUP BY 1, 2),
+      nb AS (
+        SELECT s.u, s.v, s.dot / (nu.nrm * nv.nrm) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY s.u
+            ORDER BY s.dot / (nu.nrm * nv.nrm) DESC, s.v) AS rk
+        FROM sims s
+        JOIN norms nu ON nu.usr = s.u
+        JOIN norms nv ON nv.usr = s.v),
+      cand AS (
+        SELECT nb.u, r.item, SUM(nb.sim * r.rating) AS score
+        FROM nb JOIN ratings r ON r.usr = nb.v
+        WHERE nb.rk <= 5
+        GROUP BY 1, 2),
+      unread AS (
+        SELECT c.u, c.item, c.score FROM cand c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ratings r WHERE r.usr = c.u AND r.item = c.item)),
+      top AS (
+        SELECT u, item, score,
+          ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, item) AS rk
+        FROM unread)
+      SELECT u AS "user", item, ROUND(score, 4) AS score,
+        CAST(rk AS INTEGER) AS rk
+      FROM top WHERE rk <= 3 ORDER BY 1, 4"""),
+    (s, d) => {
+      val ratings = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") % 60).as("user"),
+          (col("l_partkey") % 40).as("item"), col("l_quantity"))
+        // deterministic ~37% sparsifier (portable md5, the q133 hash-
+        // order precedent — an ARITHMETIC residue pattern would align
+        // user classes to identical item sets and starve the unread
+        // anti-join): a fully-dense grid leaves nothing to recommend
+        .filter(substring(md5(concat(col("user").cast("string"), lit("_"),
+          col("item").cast("string"))), 1, 1) <= "5")
+        .groupBy(col("user"), col("item"))
+        .agg(round(avg(col("l_quantity")), 2).as("rating"))
+      graft.ml.Recommend.knnRecommend(ratings, k = 5, topNItems = 3)
+        .orderBy(col("user"), col("rk"))
     })
 }

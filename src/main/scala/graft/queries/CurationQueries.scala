@@ -105,7 +105,12 @@ object CurationQueries {
     "LSH-bucketed near-dup pairs → components → group + keeper (q132's 100 TB form)",
     None,
     (s, d) => semanticDedupFromComponents(embeddings(s, d),
-      graft.sources.EmbeddingPairsLayout.lshComponents(s, d, 0.4, dim = 64)))
+      graft.sources.EmbeddingPairsLayout.lshComponents(s, d, 0.4, dim = 64,
+        // self-dispatching geometry (parquet-metadata count, no scan):
+        // identical to the fixed 4-plane form at every fixture scale,
+        // 2^⌊log2(n/100)⌋ buckets per table beyond it — see
+        // Dedup.lshPlanesFor and the SCALING.md crossover table
+        planes = Dedup.lshPlanesFor(embeddings(s, d).count()))))
 
   /** Cross-corpus LM quality scoring (the CCNet/KenLM pattern): train a
     * Laplace-smoothed unigram LM on a TRUSTED reference slice (every

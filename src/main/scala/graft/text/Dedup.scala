@@ -529,10 +529,26 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Bucket-count dispatch rule for [[embeddingDupPairsLsh]]: 2^planes
+    * buckets per table must GROW with the corpus or bucket occupancy —
+    * and with it the candidate count, Σ bucket²/2 per table — creeps
+    * back toward the exact join's n²/2 (measured: at 20 k vectors the
+    * 4-plane geometry LOSES to the exact join, 9.9 s vs 6.4 s, while
+    * 8 planes wins — SCALING.md crossover table). planes =
+    * ⌊log2(n / targetBucket)⌋ keeps expected occupancy near
+    * `targetBucket` regardless of n; the floor of 4 reproduces the
+    * fixture-scale geometry exactly (500–2 000 vectors → 4), so the
+    * rule is a pure extension upward. */
+  def lshPlanesFor(n: Long, targetBucket: Int = 100): Int =
+    math.max(4, (math.log(math.max(1L, n).toDouble / targetBucket) /
+      math.log(2)).floor.toInt)
+
   /** Embedding-cosine near-dup pairs via multi-table sign-LSH buckets:
     * candidates only meet inside a shared (table, bucket), then the
     * exact cosine filter runs per candidate — O(Σ bucket²) instead of
     * O(n²). Recall < 1 by construction (spec measures it vs exact).
+    * Size `planes` with [[lshPlanesFor]] when the corpus is not
+    * fixture-sized.
     */
   def embeddingDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
                            planes: Int = 4, tables: Int = 8): DataFrame = {
