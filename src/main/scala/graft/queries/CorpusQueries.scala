@@ -15,7 +15,8 @@ object CorpusQueries {
   def queries: Seq[GraftQuery] = Seq(
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
-    q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain)
+    q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain,
+    q162BigramLm, q163PiiRedact)
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word
@@ -400,5 +401,121 @@ object CorpusQueries {
         graft.text.Bpe.wordCounts(docs), nMerges = 40)
       graft.text.Bpe.tokenCounts(docs, merges)
         .orderBy(col("doc_id"))
+    })
+
+  /** CCNet-style bigram-LM document scoring: train corpus-level bigram
+    * counts in one shuffle, score every document by its add-k-smoothed
+    * average negative log-likelihood in a second. The train artifact is
+    * a distributed TABLE (not a collected model — contrast Bpe's
+    * vocab-capped merge list): at 100 TB the bigram-count relation is
+    * itself TB-scale, and the scoring join shuffles on the bigram key
+    * like any fact-fact join, with AQE handling the head-word skew.
+    * Within-doc repeats are pre-combined (doc, w1, w2, c) so the
+    * scoring join moves distinct-bigram rows, not token occurrences —
+    * the map-side-combine discipline of every aggregate here. The
+    * DuckDB oracle replays the per-occurrence form; Σc·lp / Σc is the
+    * same number (FP association noise ~1e-13, five orders below the
+    * 1e-4 rounding).
+    */
+  val q162BigramLm = GraftQuery(
+    "q162_bigram_lm_score",
+    "bigram-LM avg negative log-likelihood per doc (CCNet-style filter)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+            i -> t[i+1] || ' ' || t[i+2])) AS big
+        FROM toks WHERE len(t) >= 2),
+      cb AS (SELECT big, COUNT(*) AS cb FROM bg GROUP BY 1),
+      cu AS (SELECT split_part(big, ' ', 1) AS w1, COUNT(*) AS cu
+        FROM bg GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)),
+      sc AS (
+        SELECT bg.doc_id,
+          LN((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS lp
+        FROM bg JOIN cb USING (big)
+        JOIN cu ON split_part(bg.big, ' ', 1) = cu.w1
+        CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(lp), 4) AS avg_nll
+      FROM sc GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = words
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .where(col("w2").isNotNull)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val cb = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).as("cb"))
+      val cu = bigrams.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+      val vocab = words.agg(countDistinct(col("tok")).as("v"))
+      bigrams
+        .join(cb, Seq("w1", "w2"))
+        .join(cu, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("c"),
+          log((col("cb") + 0.5) / (col("cu") + lit(0.5) * col("v"))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          round(-(sum(col("c") * col("lp")) / sum(col("c"))), 4).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Structured-PII scrub gate ([[graft.text.Pii]]): the fixture text
+    * carries no PII, so the query PLANTS a deterministic contact tail
+    * (email/phone/IP derived from doc_id + source — the q146-q150
+    * multimodal-gate pattern: DuckDB replays the plant and the regex
+    * analytics verbatim, so a pattern-semantics drift between the
+    * engine and RE2 fails Verify, not just a spec). The operator
+    * itself is generic: counts + redaction over any text column,
+    * map-only in the scan stage.
+    */
+  val q163PiiRedact = GraftQuery(
+    "q163_pii_redact",
+    "plant + detect + redact structured PII per source (scrub gate)",
+    Some("""WITH planted AS (
+        SELECT doc_id, source,
+          text || ' contact user' || doc_id || '@' || source ||
+            '.net tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS txt
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(txt,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS emails,
+        CAST(SUM(len(regexp_extract_all(txt,
+          '\b555-[0-9]{4}\b'))) AS BIGINT) AS phones,
+        CAST(SUM(len(regexp_extract_all(txt,
+          '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS ips,
+        CAST(SUM(length(txt) - length(
+          regexp_replace(regexp_replace(regexp_replace(txt,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+            '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+            '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')))
+          AS BIGINT) AS chars_redacted
+      FROM planted GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import graft.text.Pii
+      val planted = documents(s, d).select(col("source"),
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+          col("source"), lit(".net tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1")).as("txt"))
+      planted
+        .select(col("source"),
+          Pii.piiCount(col("txt"), "email").as("e"),
+          Pii.piiCount(col("txt"), "phone").as("p"),
+          Pii.piiCount(col("txt"), "ip").as("i"),
+          (length(col("txt")) - length(Pii.redact(col("txt")))).as("shrink"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("e")).as("emails"),
+          sum(col("p")).as("phones"), sum(col("i")).as("ips"),
+          sum(col("shrink")).as("chars_redacted"))
+        .orderBy(col("source"))
     })
 }
