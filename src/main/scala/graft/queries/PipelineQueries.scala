@@ -26,7 +26,8 @@ object PipelineQueries {
     q56DedupComponents, q57Tfidf, q58Bm25, q59HashSample, q60WeightedMix,
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
     q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
-    q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit, q159GlobalIds)
+    q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit, q159GlobalIds,
+    q164IncrementalComponents)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold, on the one shared
@@ -563,4 +564,51 @@ object PipelineQueries {
         documents(s, d).select(col("doc_id"), col("lang")),
         Seq(col("lang"), col("doc_id")))
       .orderBy(col("doc_id")))
+
+  /** Incremental component maintenance
+    * ([[graft.text.Components.incrementalComponents]]): 80% of the
+    * corpus plays "yesterday" (its assignment computed over its own
+    * pairs — standing in for the persisted ComponentLayout), the
+    * doc_id%10 ∈ {8,9} slice arrives as today's wave, and the star
+    * fixpoint runs ONLY over the contracted wave graph. Contraction
+    * preserves the min-id invariant exactly, so the oracle is the
+    * same full-corpus recursive CTE as q56 — the incremental path
+    * must be byte-identical to the batch recompute it avoids. At
+    * 100 TB this is the admission-time companion to q154/q160:
+    * detect (ExactSubstr/LSH) → maintain (this) → keeper-select,
+    * without ever rebuilding yesterday's transitive closure.
+    */
+  val q164IncrementalComponents = GraftQuery(
+    "q164_incremental_components",
+    "wave pairs merged into yesterday's components == batch recompute",
+    Some(s"""WITH RECURSIVE ${pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n)
+      SELECT n AS doc_id, MIN(r) AS component
+      FROM walk GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import graft.text.Components
+      val docs = documents(s, d)
+      val pairs = graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)
+      val waveA = pmod(col("doc_a"), lit(10)) >= 8
+      val waveB = pmod(col("doc_b"), lit(10)) >= 8
+      // yesterday's assignment is a persisted layout (that IS the
+      // operational contract); only the wave merge runs here
+      val yesterday =
+        graft.sources.ComponentLayout.yesterdayComponents(s, d, 0.4)
+      val merged = Components.incrementalComponents(yesterday,
+        pairs.filter(waveA || waveB)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      docs.select(col("doc_id"))
+        .join(merged.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    })
 }

@@ -54,4 +54,29 @@ object ComponentLayout {
     }
     s.read.parquet(d)
   }
+
+  /** "Yesterday's" assignment for the incremental-maintenance path
+    * (q164): the corpus minus the doc_id%10 ∈ {8,9} admission wave,
+    * components over its OWN pairs only. Persisted write-once because
+    * that is the operational semantics being modeled — yesterday's
+    * assignment IS a stored table (this very layout after yesterday's
+    * ingest); only the wave merge runs at admission time.
+    */
+  def yesterdayComponents(s: SparkSession, sfDir: String,
+                          threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = dir(sfDir, threshold) + "_wave8"
+    SourceLayout.writeOnce(d) {
+      val docs = Tables.documents(s, sfDir)
+        .filter(pmod(col("doc_id"), lit(10)) < 8)
+      val pairs = PairsLayout.jaccardPairs(s, sfDir, threshold)
+        .filter(pmod(col("doc_a"), lit(10)) < 8 &&
+          pmod(col("doc_b"), lit(10)) < 8)
+      Components.componentsOver(docs,
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("doc_id").as("node"), col("component"))
+        .write.mode("overwrite").parquet(d)
+    }
+    s.read.parquet(d)
+  }
 }

@@ -142,4 +142,58 @@ object Components {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
   }
+
+  /** Incremental component maintenance under corpus growth — the
+    * operational mode at 100 TB, where recomputing yesterday's
+    * transitive closure for today's admission wave is the one cost the
+    * layout chain exists to avoid. `assignments` is yesterday's
+    * (node, component) table (component = min node id, the invariant
+    * every producer here upholds); `newEdges` is the wave's pair list
+    * and may touch old nodes, new nodes, or both.
+    *
+    * The star-forest fixpoint runs over the CONTRACTED graph: every
+    * old endpoint is first replaced by its component id, so the
+    * iteration's input is ∝ |wave edges| + |touched components| — the
+    * existing corpus is never rescanned. Contraction preserves the
+    * min-id invariant exactly (old component ids ARE their clusters'
+    * minima, so the contracted minimum equals the global minimum), so
+    * the result is byte-identical to a full batch recompute — which is
+    * what IncrementalComponentsSpec and the q164 oracle pin.
+    *
+    * Output covers every node in `assignments` plus every node
+    * incident to `newEdges`; brand-new singletons (in the wave's
+    * corpus but in no edge) are the caller's corpus join-back, same as
+    * [[componentsOver]].
+    */
+  def incrementalComponents(assignments: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val asg = assignments.select(col("node"), col("component"))
+    val bySrc = asg.select(col("node").as("src"), col("component").as("csrc"))
+    val byDst = asg.select(col("node").as("dst"), col("component").as("cdst"))
+    val contracted = newEdges.select(col("src"), col("dst"))
+      .join(bySrc, Seq("src"), "left_outer")
+      .join(byDst, Seq("dst"), "left_outer")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val cc = connectedComponents(contracted)
+    // expand: old nodes re-map through their (possibly merged) old
+    // component; untouched components pass through unchanged
+    val remap = cc.select(col("node").as("component"),
+      col("component").as("merged"))
+    val updatedOld = asg.join(remap, Seq("component"), "left_outer")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+    // wave nodes unseen by yesterday's table map directly (or stay
+    // their own component when the contraction removed their only
+    // edge as a self-loop into an existing component... which cannot
+    // happen: a new node is never a component id, so its edges
+    // survive contraction unless it only links to itself)
+    val newNodes = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node"))).distinct()
+      .join(asg.select(col("node")), Seq("node"), "left_anti")
+    val newAssigned = newNodes.join(cc, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    updatedOld.union(newAssigned)
+  }
 }

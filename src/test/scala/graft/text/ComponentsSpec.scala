@@ -82,4 +82,66 @@ class ComponentsSpec extends AnyFunSuite {
       assert(comp <= doc, "component id must be the min member")
     }
   }
+
+  private def incrOf(assignments: Seq[(Long, Long)],
+                     waveEdges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.incrementalComponents(
+        assignments.toDF("node", "component"),
+        waveEdges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incrementalComponents: wave node bridges two old components") {
+    // yesterday: {1,2} (comp 1), {5,6} (comp 5), singleton 9
+    val yesterday = Seq(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+    // wave node 13 links both clusters; they must merge to comp 1
+    val got = incrOf(yesterday, Seq(13L -> 2L, 13L -> 6L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 9L,
+      13L -> 1L))
+  }
+
+  test("incrementalComponents: smaller-id wave node becomes the new min") {
+    val yesterday = Seq(9L -> 9L, 11L -> 9L, 20L -> 20L)
+    val got = incrOf(yesterday, Seq(0L -> 9L))
+    assert(got === Map(0L -> 0L, 9L -> 0L, 11L -> 0L, 20L -> 20L))
+  }
+
+  test("incrementalComponents: wave-only edges leave old components alone") {
+    val yesterday = Seq(1L -> 1L, 2L -> 1L)
+    val got = incrOf(yesterday, Seq(30L -> 31L, 31L -> 32L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 31L -> 30L,
+      32L -> 30L))
+  }
+
+  test("yesterdayComponents layout == live derivation (and q164 path == batch)") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val sf = SparkTestSession.Sf0001
+    val docs = graft.model.Tables.documents(spark, sf)
+    val pairs = graft.sources.PairsLayout.jaccardPairs(spark, sf, 0.4)
+    val live = Components.componentsOver(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        pairs.filter(pmod(col("doc_a"), lit(10)) < 8 &&
+            pmod(col("doc_b"), lit(10)) < 8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layout = graft.sources.ComponentLayout
+      .yesterdayComponents(spark, sf, 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout === live)
+  }
+
+  test("incrementalComponents == batch recompute on a random split") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rng.nextInt(120).toLong,
+      rng.nextInt(120).toLong)).filter(e => e._1 != e._2)
+    val isWave = (n: Long) => n % 5 == 0
+    val oldEdges = edges.filterNot(e => isWave(e._1) || isWave(e._2))
+    val waveEdges = edges.filter(e => isWave(e._1) || isWave(e._2))
+    val yesterday = ccOf(oldEdges)
+    // nodes in no old edge are absent from yesterday's table — the
+    // operator must treat them as new, same as the corpus join-back
+    val got = incrOf(yesterday.toSeq, waveEdges)
+    val batch = ccOf(edges)
+    // compare on nodes incident to any edge (singletons are join-back)
+    assert(got.view.filterKeys(batch.contains).toMap === batch)
+  }
 }
