@@ -20,7 +20,7 @@ object TextQueries {
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
-    q157ExactSubstrHashed, q160IncrementalCut)
+    q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -550,5 +550,70 @@ object TextQueries {
           spanTable = Some(Dedup.duplicatedSpansAgainst(
             docs.filter(col("doc_id") % 17 =!= 0), incoming, 8)))
         .orderBy(col("doc_id"))
+    })
+
+  /** Sorted-neighborhood blocking (Hernández-Stolfo SNM) — the
+    * SORT-based candidate generator, completing the blocking-strategy
+    * set next to hash blocking (q25), LSH banding (q27) and prefix
+    * filtering (q54): sort the corpus by a normalized key, compare
+    * each record only to its w-1 successors. Here blocks are the
+    * 2-char key prefix, rank is a per-block window (never a global
+    * one — PlanLint's rule; at 100 TB the same shape runs as
+    * repartitionByRange + per-partition rank with boundary overlap),
+    * and candidates come from two `lead`s, so the pair set is
+    * O(n·w) BY CONSTRUCTION — no similarity-skew blowup possible.
+    * Verification is token-set Jaccard on the candidate, replayed
+    * verbatim by the oracle.
+    */
+  val q165SnmBlocking = GraftQuery(
+    "q165_snm_blocking",
+    "sorted-neighborhood (w=3) candidate pairs verified at token-Jaccard 0.5",
+    Some("""WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS k,
+          list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, k, toks, substr(k, 1, 2) AS blk,
+          ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 2)
+            ORDER BY k, doc_id) AS rn
+        FROM t),
+      cand AS (
+        SELECT a.doc_id AS ia, c.doc_id AS ib, a.toks AS ta, c.toks AS tb
+        FROM b a JOIN b c ON a.blk = c.blk
+          AND c.rn - a.rn BETWEEN 1 AND 2),
+      sim AS (
+        SELECT LEAST(ia, ib) AS doc_a, GREATEST(ia, ib) AS doc_b,
+          len(list_intersect(ta, tb)) * 1.0 /
+            (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS j
+        FROM cand)
+      SELECT doc_a, doc_b, ROUND(j, 4) AS sim
+      FROM sim WHERE j >= 0.5 ORDER BY 1, 2"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d).select(col("doc_id"),
+        lower(trim(col("text"))).as("k"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+      val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+      val b = t.withColumn("blk", substring(col("k"), 1, 2))
+      val leads = b.select(col("doc_id"), col("toks"),
+        lead(col("doc_id"), 1).over(w).as("id1"),
+        lead(col("toks"), 1).over(w).as("tk1"),
+        lead(col("doc_id"), 2).over(w).as("id2"),
+        lead(col("toks"), 2).over(w).as("tk2"))
+      val cand = leads
+        .select(col("doc_id").as("ia"), col("toks").as("ta"),
+          col("id1").as("ib"), col("tk1").as("tb"))
+        .union(leads.select(col("doc_id"), col("toks"),
+          col("id2"), col("tk2")))
+        .where(col("ib").isNotNull)
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      val j = inter * lit(1.0) /
+        (size(col("ta")) + size(col("tb")) - inter)
+      cand
+        .select(least(col("ia"), col("ib")).as("doc_a"),
+          greatest(col("ia"), col("ib")).as("doc_b"), j.as("j"))
+        .where(col("j") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 }
