@@ -75,4 +75,53 @@ object GlobalRank {
       .withColumn("global_id", col("__off") + col("__rn"))
       .drop("__pid", "__off", "__rn")
   }
+
+  /** Append `per_key_id` = 1-based dense rank of `order` WITHIN each
+    * value of `key` — the [[withGlobalId]] two-phase shape with the
+    * count/offset bookkeeping carried per key. The naive form,
+    * `row_number().over(Window.partitionBy(key))`, gives each key ONE
+    * window partition — at 100 TB a 10-bucket curriculum would sort
+    * 10 TB per task; here the data is range-partitioned by
+    * (key, order…) so every partition stays byte-bounded regardless of
+    * key skew, and only (partition × key) COUNT rows reach the driver.
+    * `key` must therefore be low-cardinality (buckets, deciles,
+    * shards — the driver collect is parts × |keys| rows of metadata);
+    * (key, order…) must be a total order for determinism.
+    */
+  def withPerKeyId(df: DataFrame, key: Column, order: Seq[Column],
+                   parts: Int = 32): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ranged = df.repartitionByRange(parts, key +: order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    (sc.getPersistentRDDs.keySet -- before)
+      .foreach(i => checkpointIds.add(Integer.valueOf(i)))
+    val counts = ranged.groupBy(col("__pid"), key.as("__k")).count()
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // cumulative within key, in pid order — ranges are sorted by
+    // (key, order…) so pid order IS rank order within each key
+    val offsets = counts.sortBy(_._1).groupBy(_._2).toSeq.flatMap {
+      case (k, rows) =>
+        rows.map(_._1).zip(rows.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, k, off) }
+    }
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map {
+        case (pid, k, off) => org.apache.spark.sql.Row(pid, k, off) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__opid",
+          org.apache.spark.sql.types.IntegerType),
+        ranged.select(key.as("__ok")).schema.fields.head.copy(name = "__ok"),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    val local = Window.partitionBy(col("__pid"), key).orderBy(order: _*)
+    ranged
+      .withColumn("__rn", row_number().over(local))
+      .join(broadcast(offDf),
+        col("__pid") === col("__opid") && key === col("__ok"))
+      .withColumn("per_key_id", col("__off") + col("__rn"))
+      .drop("__pid", "__opid", "__ok", "__off", "__rn")
+  }
 }

@@ -16,7 +16,7 @@ object AnalyticsQueries {
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
-    q126Profile, q145ForecastBacktest, q161KnnRecommend)
+    q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -331,6 +331,77 @@ object AnalyticsQueries {
         .orderBy(round(col("pr"), 8).desc, col("node"))
         .limit(20)
     })
+
+  /** Two-round semi-supervised label propagation over the
+    * supplier–part bipartite graph (q119's edge set) — the
+    * graph-side label-denoising primitive (propagate trusted labels
+    * through co-occurrence links, then ask whether each seed's
+    * neighborhood agrees with its recorded label; confident-learning's
+    * graph analog, the link-based complement of q141's geometric
+    * test). Seeds are suppliers labeled by nation; round 1 assigns
+    * each part the MODE of its suppliers' labels, round 2 predicts
+    * each supplier back from its parts' round-1 labels; ties break to
+    * the smaller label so both rounds are fully deterministic. The
+    * mode is `max(struct(count, −label))` — a plain aggregate with
+    * map-side combine, no per-node window, so each round is one keyed
+    * shuffle whose width is (nodes × distinct-labels-per-node),
+    * bounded by the label vocabulary, never the edge count. The
+    * distinct edge set is checkpointed once and read by both rounds
+    * (the q119 lesson).
+    */
+  val q167LabelProp = GraftQuery(
+    "q167_label_propagation",
+    "2-round label propagation: does the graph agree with each seed label?",
+    Some("""WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      seeds AS (SELECT s_suppkey AS s, s_nationkey AS lab FROM supplier),
+      v1 AS (
+        SELECT e.p, sd.lab, COUNT(*) AS c
+        FROM edges e JOIN seeds sd ON e.s = sd.s GROUP BY 1, 2),
+      p1 AS (SELECT p, lab FROM (
+        SELECT p, lab, ROW_NUMBER() OVER (PARTITION BY p
+          ORDER BY c DESC, lab) AS rk FROM v1) WHERE rk = 1),
+      v2 AS (
+        SELECT e.s, p1.lab, COUNT(*) AS c
+        FROM edges e JOIN p1 ON e.p = p1.p GROUP BY 1, 2),
+      p2 AS (SELECT s, lab, c FROM (
+        SELECT s, lab, c, ROW_NUMBER() OVER (PARTITION BY s
+          ORDER BY c DESC, lab) AS rk FROM v2) WHERE rk = 1)
+      SELECT sd.s AS s_suppkey, sd.lab AS seed_label,
+        p2.lab AS predicted_label, p2.c AS votes,
+        CAST(CASE WHEN p2.lab = sd.lab THEN 1 ELSE 0 END AS INTEGER)
+          AS agree
+      FROM seeds sd LEFT JOIN p2 ON sd.s = p2.s ORDER BY 1"""),
+    (s, d) => {
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      val seeds = supplier(s, d)
+        .select(col("s_suppkey").as("s"), col("s_nationkey").as("lab"))
+      val partLabels = propagateMode(edges.join(seeds, "s"), col("p"))
+        .select(col("p"), col("lab"))
+      val predicted = propagateMode(edges.join(partLabels, "p"), col("s"))
+      seeds.join(predicted, Seq("s"), "left")
+        .select(col("s").as("s_suppkey"), seeds("lab").as("seed_label"),
+          predicted("lab").as("predicted_label"), col("votes"),
+          when(predicted("lab") === seeds("lab"), 1).otherwise(0)
+            .as("agree"))
+        .orderBy(col("s_suppkey"))
+    })
+
+  /** One propagation round: the deterministic neighbourhood mode of
+    * `lab` per `node` (max count, ties to the smaller label) as a pure
+    * two-level aggregate. */
+  private[queries] def propagateMode(labeledEdges: org.apache.spark.sql.DataFrame,
+                            node: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame =
+    labeledEdges
+      .groupBy(node.as("n"), col("lab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("n").as(node.toString), (-col("m.nl")).as("lab"),
+        col("m.c").as("votes"))
 
   /** PageRank over any (src, dst) edge frame (every node must carry at
     * least one out-edge — true for any symmetrized graph). The degree

@@ -20,7 +20,8 @@ import graft.text.{Similarity => Sim}
 object LabelQualityQueries {
 
   def queries: Seq[GraftQuery] =
-    Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement)
+    Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement,
+      q166HardNegatives)
 
   /** k-NN label agreement (k = 10): for each vector, the fraction of
     * its cosine nearest neighbors sharing its label; low agreement
@@ -170,6 +171,91 @@ object LabelQualityQueries {
             .otherwise(lit(-1.0)).as("cos"),
           (col("vec_id") * lit(1L << 32) + col("label")).as("pl")),
       k)
+  }
+
+  /** Hard-example (triplet) mining for contrastive training — for each
+    * anchor: its most-similar SAME-label vector (the anchoring
+    * positive) and its most-similar OTHER-label vector (the hard
+    * negative, batch-hard style). `margin = pos_sim − neg_sim`; a
+    * non-positive margin is a hard triplet — the negative sits closer
+    * than the nearest positive, exactly the examples a metric-learning
+    * pass needs. Plan: the q141 all-pairs candidate stream (the
+    * oracle-checkable ground truth; the 100 TB candidate source swaps
+    * to the IVF cells of q143 with this identical downstream) into TWO
+    * bounded 1-element heaps per anchor — a `when` routes each pair to
+    * its class heap and nulls never enter ([[graft.functions.TopKByScore]]
+    * skips them), so one aggregate pass computes both sides with
+    * map-side combine; the shuffle carries ≤ 2 rows per
+    * (anchor × partition), never the O(n²) stream.
+    */
+  val q166HardNegatives = GraftQuery(
+    "q166_hard_negatives",
+    "triplet mining: nearest same-label + nearest other-label per anchor",
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS nb, b.label AS lb,
+          list_cosine_similarity(a.v, b.v) AS sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      pos AS (
+        SELECT qa, nb, sim FROM (
+          SELECT qa, nb, sim, ROW_NUMBER() OVER (PARTITION BY qa
+            ORDER BY sim DESC, nb) AS rk
+          FROM p WHERE lb = la) WHERE rk = 1),
+      neg AS (
+        SELECT qa, nb, sim FROM (
+          SELECT qa, nb, sim, ROW_NUMBER() OVER (PARTITION BY qa
+            ORDER BY sim DESC, nb) AS rk
+          FROM p WHERE lb <> la) WHERE rk = 1)
+      SELECT e.vec_id, e.label,
+        pos.nb AS pos_id, ROUND(pos.sim, 4) AS pos_sim,
+        neg.nb AS neg_id, ROUND(neg.sim, 4) AS neg_sim,
+        ROUND(pos.sim - neg.sim, 4) AS margin,
+        CAST(CASE WHEN pos.sim - neg.sim <= 0 THEN 1 ELSE 0 END
+          AS INTEGER) AS is_hard
+      FROM e LEFT JOIN pos ON e.vec_id = pos.qa
+        LEFT JOIN neg ON e.vec_id = neg.qa
+      ORDER BY e.vec_id"""),
+    (s, d) => hardNegatives(embeddings(s, d)).orderBy(col("vec_id")))
+
+  /** The q166 plan over any (vec_id, embedding, label) frame. Same
+    * norm-precompute + zero-vector −1.0 convention as
+    * [[knnLabelAgreement]] (so degenerate vectors are RANKED like the
+    * oracle ranks them, not dropped). */
+  def hardNegatives(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKByScore.top_k_by
+    val e = emb.select(col("vec_id"), col("label"),
+      Sim.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Sim.norm2(col("v")))
+    val q = e.select(col("vec_id").as("q_id"), col("label").as("la"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val np = col("qnrm") * col("nrm")
+    val pairs = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("la"), col("vec_id").as("nb"),
+        col("label").as("lb"),
+        when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
+          .otherwise(lit(-1.0)).as("cos"))
+    val best = pairs
+      .groupBy(col("q_id"), col("la"))
+      .agg(
+        top_k_by(when(col("lb") === col("la"), col("cos")), col("nb"), 1)
+          .as("tp"),
+        top_k_by(when(col("lb") =!= col("la"), col("cos")), col("nb"), 1)
+          .as("tn"))
+    // get() (0-based) returns NULL on an empty heap; element_at would
+    // THROW under ANSI for a label with no candidates in a class
+    val tp = get(col("tp"), lit(0))
+    val tn = get(col("tn"), lit(0))
+    val margin = tp.getField("score") - tn.getField("score")
+    best.select(col("q_id").as("vec_id"), col("la").as("label"),
+      tp.getField("payload").as("pos_id"),
+      round(tp.getField("score"), 4).as("pos_sim"),
+      tn.getField("payload").as("neg_id"),
+      round(tn.getField("score"), 4).as("neg_sim"),
+      round(margin, 4).as("margin"),
+      when(margin <= 0, 1).otherwise(0).as("is_hard"))
   }
 
   /** Centroid-distance outliers: cosine of each vector to its LABEL

@@ -27,7 +27,8 @@ object PipelineQueries {
     q61KeeperSelect, q62DecileBucket, q63MovingAvg, q64GroupSample,
     q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
     q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit, q159GlobalIds,
-    q164IncrementalComponents)
+    q164IncrementalComponents, q168CurriculumOrder, q170QualityKeeper,
+    q171BalancedShards)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold, on the one shared
@@ -610,5 +611,142 @@ object PipelineQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy(col("doc_id"))
+    })
+
+  /** Curriculum ordering for training-set emission: bucket documents
+    * by length band (static 200-char bins — a pure map, never a
+    * global quantile pass), rank each bucket shortest-first, and
+    * interleave buckets round-robin so consecutive training batches
+    * mix difficulty bands — `curriculum_pos = (rank−1)·10 + bucket`
+    * is the interleaved total order (positions are sparse where
+    * buckets exhaust; an ordering key, not a dense id). The per-bucket
+    * rank is [[graft.etl.GlobalRank.withPerKeyId]] — range-partition
+    * by (bucket, length, id) then partition-LOCAL row_number + per-key
+    * metadata offsets — because the naive
+    * `row_number over (partition by bucket)` gives each of the 10
+    * buckets ONE window partition: a 10-task sort at any corpus size
+    * (the q159 argument, per key).
+    */
+  val q168CurriculumOrder = GraftQuery(
+    "q168_curriculum_order",
+    "length-bucketed curriculum: distributed per-bucket rank, round-robin interleave",
+    Some("""WITH b AS (
+        SELECT doc_id, n_chars,
+          LEAST(CAST(FLOOR(n_chars / 200.0) AS INTEGER), 9) AS bucket
+        FROM documents),
+      r AS (
+        SELECT doc_id, bucket,
+          ROW_NUMBER() OVER (PARTITION BY bucket
+            ORDER BY n_chars, doc_id) AS rank_in_bucket
+        FROM b)
+      SELECT doc_id, bucket, rank_in_bucket,
+        (rank_in_bucket - 1) * 10 + bucket AS curriculum_pos
+      FROM r ORDER BY doc_id"""),
+    (s, d) => {
+      val b = documents(s, d).select(col("doc_id"), col("n_chars"),
+        least(floor(col("n_chars") / 200.0), lit(9)).cast("int")
+          .as("bucket"))
+      graft.etl.GlobalRank
+        .withPerKeyId(b, col("bucket"), Seq(col("n_chars"), col("doc_id")))
+        .select(col("doc_id"), col("bucket"),
+          col("per_key_id").as("rank_in_bucket"),
+          ((col("per_key_id") - 1) * 10 + col("bucket"))
+            .as("curriculum_pos"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Quality-aware canonical selection: one keeper per NEAR-dup
+    * component (q56's clusters), chosen by a content-quality score —
+    * alpha-character density × ln(1 + tokens) — instead of q61's
+    * min-id/longest-exact-dup policy. This is the curation pass that
+    * emits the canonical corpus after clustering (keep the cleanest,
+    * longest-signal variant; drop the OCR-damaged/truncated twins).
+    * The argmax is `max(struct(score, −doc_id))` — a plain aggregate
+    * with map-side combine (ties to the smaller id), no per-component
+    * window — and the component assignment is the write-once
+    * ComponentLayout, so the live work is one scan + one keyed
+    * aggregate. Score selection compares raw doubles; near-dup
+    * variants differ at ≥1e-3 (a token or character), five orders
+    * above any libm ulp drift, and exact twins tie out by id.
+    */
+  val q170QualityKeeper = GraftQuery(
+    "q170_quality_keeper",
+    "per-component canonical keeper by alpha-density × ln(1+tokens) score",
+    Some(s"""WITH RECURSIVE ${pairsCtes(0.4)},
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n),
+      comp AS (SELECT n AS doc_id, MIN(r) AS component
+        FROM walk GROUP BY 1),
+      sc AS (
+        SELECT doc_id,
+          (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+             / n_chars)
+            * ln(1 + len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+            AS score
+        FROM documents),
+      r AS (
+        SELECT c.component, c.doc_id, sc.score,
+          ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY sc.score DESC, c.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+        FROM comp c JOIN sc USING (doc_id))
+      SELECT component, doc_id AS keep_id,
+        ROUND(score + 1e-9, 4) AS keep_score, n_docs
+      FROM r WHERE rn = 1 ORDER BY component"""),
+    (s, d) => {
+      val score =
+        (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          * lit(1.0) / col("n_chars")) *
+          log(lit(1) + size(split(lower(trim(col("text"))), "\\s+")))
+      val scored = documents(s, d)
+        .select(col("doc_id"), score.as("score"))
+        .join(graft.sources.ComponentLayout.dedupComponents(s, d, 0.4),
+          Seq("doc_id"))
+      scored.groupBy(col("component"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
+          count(lit(1)).as("n_docs"))
+        .select(col("component"), (-col("m.nid")).as("keep_id"),
+          round(col("m.score") + 1e-9, 4).as("keep_score"), col("n_docs"))
+        .orderBy(col("component"))
+    })
+
+  /** Token-balanced output sharding: rank documents by token count
+    * (largest first) with the distributed global rank (q159's
+    * machinery — no single-partition window), then stripe rank r to
+    * shard (r−1) mod 8. Striping is the deterministic, one-pass
+    * alternative to greedy bin-packing: consecutive ranks land on
+    * different shards, so every shard gets one doc from each size
+    * stratum and the shard token sums differ by at most one document
+    * per stratum — the property a training-file writer needs (equal
+    * work per output file) without any driver-side packing loop.
+    */
+  val q171BalancedShards = GraftQuery(
+    "q171_balanced_shards",
+    "size-striped 8-way sharding: per-shard doc and token totals",
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(regexp_split_to_array(lower(trim(text)), '\s+')) AS tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, tokens,
+          ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS rk
+        FROM t)
+      SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard,
+        COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM r GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("tokens"))
+      graft.etl.GlobalRank
+        .withGlobalId(t, Seq(col("tokens").desc, col("doc_id")))
+        .groupBy(((col("global_id") - 1) % 8).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("shard"))
     })
 }

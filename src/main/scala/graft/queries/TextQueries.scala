@@ -20,7 +20,8 @@ object TextQueries {
     q31EmbeddingNorms, q32ApproxDistinct, q46EmbeddingDups, q53Winnowing,
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
-    q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking)
+    q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
+    q169ContainmentDedup)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -191,6 +192,27 @@ object TextQueries {
     (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4,
       shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("doc_a"), col("doc_b")))
+
+  /** Asymmetric containment ([[graft.text.Dedup.containmentPairs]]):
+    * catches the engulfed-document duplicate Jaccard structurally
+    * misses (a doc quoted inside a longer one scores |A∩B|/|A| ≈ 1
+    * but tiny Jaccard). Reads the same write-once ShingleLayout as
+    * q26/q54; the oracle derives both directions from the shared
+    * pairs CTE, proving the one-aggregate-two-projections plan. */
+  val q169ContainmentDedup = GraftQuery(
+    "q169_containment_dedup",
+    "asymmetric 3-gram containment pairs (|A∩B|/|A| ≥ 0.6)",
+    Some(s"""WITH ${OracleCtes.shinglePairs},
+      c AS (
+        SELECT doc_a AS contained, doc_b AS container,
+          inter * 1.0 / n_a AS cont FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a, inter * 1.0 / n_b FROM pairs)
+      SELECT contained, container, ROUND(cont, 4) AS containment
+      FROM c WHERE cont >= 0.6 ORDER BY 1, 2"""),
+    (s, d) => Dedup.containmentPairs(documents(s, d), 0.6,
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
+      .orderBy(col("contained"), col("container")))
 
   /** Rows-only: simhash values are xxhash64-specific. */
   val q28SimHashPairs = GraftQuery(

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Components
+
+/** Streaming incremental connected-component maintenance — the
+  * operational twin of q164 (`Components.incrementalComponents`): an
+  * admission stream keeps the corpus' near-dup clustering CURRENT as
+  * pair batches arrive, instead of recomputing the transitive closure
+  * nightly.
+  *
+  * The (node, component) assignment is kept as an epoch-versioned
+  * parquet TABLE, not in executor memory: each micro-batch contracts
+  * its edges against the current epoch (work ∝ wave, never corpus —
+  * the q164 guarantee) and writes the next epoch dir. That is exactly
+  * the production shape at 100 TB — the state is a layout-chain table
+  * a failure can re-open at the last epoch, the epoch write is the
+  * only full-assignment pass, and the merge itself never rescans the
+  * existing corpus. Replayed edges contract to self-loops and are
+  * filtered before the fixpoint, so updates are idempotent (pinned by
+  * ComponentStreamSpec).
+  *
+  * Wire it as `edgeStream.writeStream.foreachBatch(m.sink)` — the
+  * contraction needs a general join against the state table, which is
+  * precisely the case Structured Streaming delegates to foreachBatch
+  * rather than to continuous stateful operators.
+  */
+final class ComponentMaintainer(spark: SparkSession, stateDir: String,
+                                initial: DataFrame) {
+
+  @volatile private var epoch = 0
+  initial.select(col("node"), col("component"))
+    .write.mode("overwrite").parquet(s"$stateDir/epoch0")
+
+  /** The live (node, component) assignment (current epoch read-back). */
+  def current: DataFrame = spark.read.parquet(s"$stateDir/epoch$epoch")
+
+  /** Merge one batch of (src, dst) pairs; advances the epoch. */
+  def update(edges: DataFrame): Unit = synchronized {
+    val next = Components.incrementalComponents(current,
+      edges.select(col("src"), col("dst")))
+    next.write.mode("overwrite").parquet(s"$stateDir/epoch${epoch + 1}")
+    epoch += 1
+  }
+
+  /** foreachBatch adapter. */
+  def sink: (DataFrame, Long) => Unit = (batch, _) => update(batch)
+}

@@ -93,6 +93,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥
+    * threshold emits (contained = A, container = B). Jaccard misses
+    * the quote/subset duplicate — a short doc wholly embedded in a
+    * long one has tiny |A∩B|/|A∪B| but containment ≈ 1 — so corpus
+    * curation runs BOTH: Jaccard for near-twins, containment for
+    * engulfed docs (the "article + its syndicated excerpt" case).
+    * Same single shingle self-join and per-pair aggregate as
+    * [[jaccardPairs]] (one pass computes inter/n_a/n_b; both
+    * directions are projections of the same aggregated row, no second
+    * join), so the same scale story applies: this exact form is the
+    * oracle-checkable ground truth; at 100 TB the candidate source
+    * swaps to [[minHashLshPairs]] banding — containment-biased
+    * banding just lowers the effective threshold to
+    * t·|A|/(|A|+|B|−inter) on the Jaccard scale.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       shingleTable: Option[DataFrame] = None): DataFrame = {
+    val ex = shingleTable.getOrElse(shingleRows(docs, n))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    val agg = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), min(col("n_a")).as("n_a"),
+           min(col("n_b")).as("n_b"))
+    val fwd = agg.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"), (col("inter") / col("n_a")).as("cont"))
+    val bwd = agg.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"), (col("inter") / col("n_b")).as("cont"))
+    fwd.unionAll(bwd)
+      .filter(col("cont") >= threshold)
+      .select(col("contained"), col("container"),
+        round(col("cont"), 4).as("containment"))
+  }
+
   /** Longest shared n-gram RUN per near-dup pair — the exact-substring
     * duplication measure (the span view of dedup: Lee et al.'s
     * "Deduplicating Training Data" removes repeated spans, not whole

@@ -127,4 +127,27 @@ class EtlSpec extends AnyFunSuite {
         !live(id).getStorageLevel.useMemory),
       "release() must unpersist the GlobalRank checkpoints")
   }
+
+  test("withPerKeyId equals the per-key window rank under key skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // heavily skewed keys (80/20/3 rows) shuffled, so range partitions
+    // split the big key across several partitions and per-key offsets
+    // genuinely matter
+    val rows = scala.util.Random.shuffle(
+      (1 to 80).map(v => (0, v * 7 % 97)) ++   // distinct order values
+        (1 to 20).map(v => (1, v)) ++
+        (1 to 3).map(v => (2, v)))
+    val df = rows.toDF("bucket", "v").repartition(5)
+    val out = graft.etl.GlobalRank
+      .withPerKeyId(df, col("bucket"), Seq(col("v")), parts = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+      vs.map(_._2).sorted.zipWithIndex.map { case (v, i) =>
+        (k, v) -> (i + 1L) }
+    }
+    expected.foreach { case (kv, rk) =>
+      assert(out(kv) === rk, s"per-key rank mismatch at $kv") }
+    graft.etl.GlobalRank.release(spark)
+  }
 }

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand-graph pins for the q167 propagation round — the oracle row
+  * proves the full 2-round query on the fixture; these pin the mode
+  * semantics (count-majority, deterministic min-label tie-break) on
+  * graphs small enough to verify by eye.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("propagateMode takes the neighbourhood majority and breaks ties to the smaller label") {
+    import spark.implicits._
+    // p1: labels {5, 7, 7} -> majority 7; p2: {5, 7} -> tie -> 5;
+    // p3: single neighbour {9} -> 9
+    val edges = Seq(
+      (1L, 101L, 5L), (2L, 101L, 7L), (3L, 101L, 7L),
+      (1L, 102L, 5L), (2L, 102L, 7L),
+      (4L, 103L, 9L))
+      .toDF("s", "p", "lab")
+    val out = AnalyticsQueries.propagateMode(edges, col("p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(101L) === ((7L, 2L)))
+    assert(out(102L) === ((5L, 1L)))
+    assert(out(103L) === ((9L, 1L)))
+  }
+
+  test("propagateMode counts parallel edges once each (vote weight = edge multiplicity)") {
+    import spark.implicits._
+    // two distinct suppliers with label 5 vs three with label 8
+    val edges = Seq(
+      (1L, 200L, 5L), (2L, 200L, 5L),
+      (3L, 200L, 8L), (4L, 200L, 8L), (5L, 200L, 8L))
+      .toDF("s", "p", "lab")
+    val out = AnalyticsQueries.propagateMode(edges, col("p")).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 8L && out.head.getLong(2) === 3L)
+  }
+}

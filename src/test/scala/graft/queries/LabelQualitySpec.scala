@@ -97,4 +97,53 @@ class LabelQualitySpec extends AnyFunSuite {
     val farRate = rows.count(_._4 == 1).toDouble / rows.length
     assert(farRate <= 0.1, s"far-flag rate $farRate implausibly high")
   }
+
+  test("q166 hand triplet: exact pos/neg ids, null positive for a singleton label") {
+    import spark.implicits._
+    // v0,v1 share label 0; v2 is the only label-1 vector and sits much
+    // closer to v0 than v1 does -> v0's triplet is HARD (neg beats pos)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(1.0f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = LabelQualityQueries.hardNegatives(emb)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(7)))
+      .toMap
+    assert(rows(0L) === ((1L, 2L, 1)),  // neg v2 (cos≈.999) > pos v1 (.8)
+      s"v0 triplet wrong: ${rows(0L)}")
+    assert(rows(1L) === ((0L, 2L, 1)),  // neg v2 (.829) > pos v0 (.8)
+      s"v1 triplet wrong: ${rows(1L)}")
+    // singleton label: no same-label candidate -> pos side NULL, and
+    // is_hard stays 0 (a null margin is not a hard triplet)
+    assert(rows(2L) === ((-1L, 0L, 0)), s"v2 triplet wrong: ${rows(2L)}")
+  }
+
+  test("q166 on planted clusters: corrupted labels yield hard triplets, clean far clusters do not") {
+    val rows = LabelQualityQueries.hardNegatives(labeled)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6), r.getInt(7)))
+    assert(rows.length === ClusteredEmbeddings.NumClusters *
+      ClusteredEmbeddings.PerCluster)
+    rows.foreach { case (id, margin, isHard) =>
+      if (corrupted(id))
+        // the nearest same-claimed-label vector sits in ANOTHER planted
+        // cluster while the nearest other-label vector is a same-cluster
+        // twin: the margin must be decisively negative
+        assert(isHard === 1 && margin < -0.1,
+          s"corrupted $id not a hard triplet (margin=$margin)")
+      else if (id % ClusteredEmbeddings.NumClusters >= 4)
+        // clusters 4..19 contain no mislabeled member and no corrupted
+        // point claims them -> positives are same-cluster (sim~1),
+        // negatives cross-cluster: never hard (margin strictly
+        // positive; the sin-pattern centroids are not orthogonal, so
+        // cross-cluster sims can run close — the SIGN is the invariant)
+        assert(isHard === 0 && margin > 0,
+          s"clean $id in an untouched cluster looks hard (margin=$margin)")
+    }
+  }
 }

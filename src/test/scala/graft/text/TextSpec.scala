@@ -34,6 +34,30 @@ class TextSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs catches the engulfed doc that Jaccard misses") {
+    import spark.implicits._
+    // doc 10 is wholly quoted inside doc 11 (every 3-gram of 10 appears
+    // in 11), doc 12 is unrelated
+    val quoted = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(quoted, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((10L, 11L, 1.0)),
+      s"expected exactly the engulfed direction, got ${cont.toSeq}")
+    // the same pair sits BELOW a 0.6 Jaccard: containment is the only
+    // detector that fires (3 shared grams / 8 union = 0.375)
+    val jac = Dedup.jaccardPairs(quoted, 0.6).collect()
+    assert(jac.isEmpty, "Jaccard at 0.6 should miss the engulfed pair")
+    // symmetric duplicates emit both directions
+    val twin = Seq((20L, "a b c d"), (21L, "a b c d")).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(twin, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(both === Set((20L, 21L, 1.0), (21L, 20L, 1.0)))
+  }
+
   test("minHashLshPairs ⊆ exact pairs with full recall on fixture docs") {
     val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
     val exact = Dedup.jaccardPairs(fixture, 0.4).collect()
