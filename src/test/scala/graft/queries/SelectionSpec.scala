@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+/** Invariants for the selection/retrieval wave (q172–q176) that the
+  * DuckDB oracles can't phrase directly — split exactness, fusion
+  * monotonicity, chunk accounting. Value-level equality is the
+  * oracle's job. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  test("q176 split is disjoint, exhaustive, and exactly floor-cut per source") {
+    val out = SelectionQueries.q176StratifiedSplit.run(spark, sf).collect()
+    val perSource = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grouped = out.groupBy(_.getString(0))
+    grouped.foreach { case (src, rows) =>
+      val n = perSource(src)
+      val bySplit = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(bySplit.values.sum === n, s"$src not exhaustive")
+      val train = math.floor(n * 8 / 10.0).toLong
+      val vl = math.floor(n * 9 / 10.0).toLong - train
+      assert(bySplit.getOrElse("train", 0L) === train, s"$src train cut")
+      assert(bySplit.getOrElse("val", 0L) === vl, s"$src val cut")
+      assert(bySplit.getOrElse("test", 0L) === n - train - vl, s"$src test cut")
+    }
+    assert(grouped.keySet === perSource.keySet)
+  }
+
+  test("q176 is reproducible run-to-run (salted hash, no RNG)") {
+    val a = SelectionQueries.q176StratifiedSplit.run(spark, sf).collect().toSeq
+    val b = SelectionQueries.q176StratifiedSplit.run(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("q172 emits exactly the analytic chunk count per doc") {
+    val out = SelectionQueries.q172RagChunks.run(spark, sf)
+      .groupBy(col("doc_id")).count()
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .select(col("doc_id"),
+        when(col("n") <= 16, 1L)
+          .otherwise(ceil((col("n") - 16) / lit(12.0)).cast("long") + 1)
+          .as("expected"))
+    val mismatched = out.join(expected, "doc_id")
+      .where(col("count") =!= col("expected")).count()
+    assert(mismatched === 0)
+  }
+
+  test("q174 fusion output is rank-consistent") {
+    val rows = SelectionQueries.q174RrfFusion.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every fused doc is in at least one list; rrf strictly matches the
+    // reciprocal-rank formula; output is rrf-descending
+    val rrfs = rows.map { r =>
+      val rb = r.getAs[Int]("r_bm"); val rv = r.getAs[Int]("r_vec")
+      assert(rb > 0 || rv > 0)
+      val exp = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      val got = r.getAs[Double]("rrf")
+      assert(math.abs(got - exp) < 1e-6)
+      got
+    }
+    assert(rrfs.sameElements(rrfs.sorted(Ordering[Double].reverse)))
+    // a doc ranked well in BOTH lists must outscore one ranked in a
+    // single list at the same depth — the point of fusion
+    val both = rows.filter(r => r.getAs[Int]("r_bm") > 0 && r.getAs[Int]("r_vec") > 0)
+    if (both.nonEmpty) assert(rrfs.head >= rrfs.last)
+  }
+
+  test("q175 scores only non-target docs and never selects the target lang") {
+    val rows = SelectionQueries.q175DsirSelect.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1) != "zh"))
+  }
+}
