@@ -21,7 +21,7 @@ object LabelQualityQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement,
-      q166HardNegatives)
+      q166HardNegatives, q177CentroidConfusion)
 
   /** k-NN label agreement (k = 10): for each vector, the fraction of
     * its cosine nearest neighbors sharing its label; low agreement
@@ -292,6 +292,64 @@ object LabelQualityQueries {
         CAST(CASE WHEN prk <= 0.05 THEN 1 ELSE 0 END AS INTEGER) AS is_far
       FROM pr ORDER BY vec_id"""),
     (s, d) => centroidOutliers(embeddings(s, d)).orderBy(col("vec_id")))
+
+  /** Nearest-centroid confusion matrix — the k-means E-step run once
+    * with class means as the codebook (nearest-class-mean
+    * classification): every vector is assigned to its highest-cosine
+    * label centroid and the (label, assigned) counts say how
+    * separable the labeling is in embedding space (diagonal mass ≈
+    * coherence; the fixture's random labels faithfully read as
+    * chance). Centroids are the q142 derivation (dim-exploded
+    * distributed AVG, re-assembled sorted); the assignment is a
+    * 10-row broadcast against the corpus with a per-vector (never
+    * global) argmax window. Ties broken by centroid label asc on
+    * both engines; FP noise from summation order sits ~1e-15, nine
+    * orders under the 1e-4 round and microscopic against argmax
+    * gaps.
+    */
+  val q177CentroidConfusion = GraftQuery(
+    "q177_centroid_confusion",
+    "nearest-label-centroid assignment confusion counts + mean cosine",
+    Some("""WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      ev AS (
+        SELECT vec_id, label, t.i AS pos, v[t.i] AS x
+        FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+      centd AS (SELECT label AS clabel, pos, AVG(x) AS c FROM ev GROUP BY 1, 2),
+      cent AS (SELECT clabel, list(c ORDER BY pos) AS cv FROM centd GROUP BY 1),
+      s AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+          list_cosine_similarity(e.v, cent.cv) AS cos
+        FROM e CROSS JOIN cent),
+      r AS (
+        SELECT vec_id, label, clabel, cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, clabel) AS rk
+        FROM s)
+      SELECT label, clabel AS assigned, COUNT(*) AS n,
+        ROUND(AVG(cos), 4) AS avg_cos
+      FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        Sim.toDouble(col("embedding")).as("v"))
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+        .groupBy(col("label").as("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          f => f.getField("c")).as("cv"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          Sim.cosine(col("v"), col("cv")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("clabel"))))
+        .where(col("rk") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned"))
+        .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("avg_cos"))
+        .orderBy(col("label"), col("assigned"))
+    })
 
   /** The q142 plan over any (vec_id, embedding, label) frame. */
   def centroidOutliers(emb: org.apache.spark.sql.DataFrame)

@@ -19,7 +19,7 @@ object SelectionQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q172RagChunks, q173VocabOov, q174RrfFusion, q175DsirSelect,
-    q176StratifiedSplit)
+    q176StratifiedSplit, q178RougeOverlap, q179SubwordSegment)
 
   /** RAG-style chunking ([[graft.text.Chunker]]): 16-token windows,
     * stride 12 (4-token overlap). Shuffle-free scan-stage fan-out —
@@ -280,5 +280,159 @@ object SelectionQueries {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("source"), col("split"))
+    })
+
+  /** ROUGE-2-style overlap between paired documents (candidate = even
+    * doc_id, reference = the following odd id — the model-output-
+    * vs-reference shape of an eval harness, set semantics on distinct
+    * bigrams): precision, recall, F1 per pair. The intersection is an
+    * equi-join on (pair, bigram) — per-pair-bounded work, the same
+    * discipline as every pair aggregate here; pairs with zero overlap
+    * survive via the left join (P=R=F1=0). Pairs where either side
+    * has no bigram (under-2-token doc) are excluded by construction.
+    */
+  val q178RougeOverlap = GraftQuery(
+    "q178_rouge_overlap",
+    "bigram precision/recall/F1 between paired docs (ROUGE-2 set form)",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      bgall AS (
+        SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+            i -> t[i+1] || ' ' || t[i+2])) AS big
+        FROM toks WHERE len(t) >= 2),
+      bg AS (SELECT DISTINCT doc_id, big FROM bgall),
+      nb AS (SELECT doc_id, COUNT(*) AS nb FROM bg GROUP BY 1),
+      cand AS (SELECT doc_id // 2 AS pair, big FROM bg WHERE doc_id % 2 = 0),
+      ref AS (SELECT doc_id // 2 AS pair, big FROM bg WHERE doc_id % 2 = 1),
+      inter AS (
+        SELECT c.pair, COUNT(*) AS n_inter
+        FROM cand c JOIN ref r ON c.pair = r.pair AND c.big = r.big
+        GROUP BY 1),
+      u AS (
+        SELECT a.doc_id // 2 AS pair, a.doc_id AS cand_id,
+          b.doc_id AS ref_id, a.nb AS nc, b.nb AS nr
+        FROM nb a JOIN nb b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0)
+      SELECT u.pair, u.cand_id, u.ref_id,
+        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+        ROUND(COALESCE(i.n_inter, 0) / (u.nc * 1.0), 4) AS p,
+        ROUND(COALESCE(i.n_inter, 0) / (u.nr * 1.0), 4) AS r,
+        ROUND(CASE WHEN COALESCE(i.n_inter, 0) = 0 THEN 0.0
+          ELSE 2.0 * (i.n_inter / (u.nc * 1.0)) * (i.n_inter / (u.nr * 1.0))
+             / ((i.n_inter / (u.nc * 1.0)) + (i.n_inter / (u.nr * 1.0))) END, 4)
+          AS f1
+      FROM u LEFT JOIN inter i USING (pair) ORDER BY 1"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = words
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .where(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("big"))
+        .distinct()
+        .localCheckpoint(true) // three consumers below
+      val nb = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      val cand = bg.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(shiftright(col("doc_id"), 1).as("pair"), col("big"))
+      val ref = bg.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(shiftright(col("doc_id"), 1).as("pair"), col("big"))
+      val inter = cand.join(ref, Seq("pair", "big"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n_inter"))
+      val u = nb.select(col("doc_id").as("cand_id"), col("nb").as("nc"))
+        .where(pmod(col("cand_id"), lit(2)) === 0)
+        .join(nb.select(col("doc_id").as("ref_id"), col("nb").as("nr")),
+          col("ref_id") === col("cand_id") + 1)
+        .select(shiftright(col("cand_id"), 1).as("pair"),
+          col("cand_id"), col("ref_id"), col("nc"), col("nr"))
+      val ni = coalesce(col("n_inter"), lit(0L))
+      val pCol = ni / (col("nc") * lit(1.0))
+      val rCol = ni / (col("nr") * lit(1.0))
+      u.join(inter, Seq("pair"), "left")
+        .select(col("pair"), col("cand_id"), col("ref_id"),
+          ni.as("n_inter"),
+          round(pCol, 4).as("p"), round(rCol, 4).as("r"),
+          round(when(ni === 0, 0.0)
+            .otherwise(lit(2.0) * pCol * rCol / (pCol + rCol)), 4).as("f1"))
+        .orderBy(col("pair"))
+    })
+
+  /** Frozen subword vocabulary for q179 — the single definition both
+    * the Spark expression and the DuckDB oracle literals derive from
+    * (interpolated into the SQL below, so the two sides cannot
+    * drift). Single chars cover a–z EXCEPT 'k', and no piece ends
+    * with 'k', so every 'k' (spark, key) exercises the counted
+    * single-char fallback path. */
+  private val Pieces4 = Seq("spar", "tabl", "wind", "filt", "cust", "valu",
+    "quer", "orde", "merg", "batc", "stre", "vect", "colu")
+  private val Pieces3 = Seq("row", "agg", "the", "ash", "can", "ine", "oin",
+    "oup", "ort")
+  private val Pieces2 = Seq("ta", "le", "ow", "er", "an", "in", "ar", "or",
+    "sm", "da", "jo", "gr", "st", "ha", "pa", "li", "so", "du", "fa", "sl",
+    "bi", "up")
+  private val Pieces1 = ('a' to 'z').filter(_ != 'k').map(_.toString)
+  private def sqlList(ps: Seq[String]): String =
+    ps.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** Greedy longest-match subword segmentation with the frozen vocab
+    * ([[graft.functions.Subword]]) — "tokenizer apply", the step the
+    * BPE family (q128) could only rows-only-check because TRAINING is
+    * iterative; applying a frozen vocab is deterministic, so this
+    * entry carries a full value oracle (a recursive CTE replays the
+    * greedy scan per word). Scale shape: the codegen'd expression
+    * runs on DISTINCT words only (standard memoization — at 100 TB
+    * the distinct-word table is orders smaller than the token
+    * stream), then broadcast-joins back to occurrences for the
+    * per-doc fertility rollup.
+    */
+  val q179SubwordSegment = GraftQuery(
+    "q179_subword_segment",
+    "per-doc subword fertility under a frozen greedy-longest-match vocab",
+    Some(s"""WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      words AS (SELECT DISTINCT w FROM occ),
+      seg AS (
+        SELECT w, 0 AS pos, 0 AS np, 0 AS nf FROM words
+        UNION ALL
+        SELECT w,
+          pos + CASE
+            WHEN list_contains(${sqlList(Pieces4)}, substr(w, pos + 1, 4)) THEN 4
+            WHEN list_contains(${sqlList(Pieces3)}, substr(w, pos + 1, 3)) THEN 3
+            WHEN list_contains(${sqlList(Pieces2)}, substr(w, pos + 1, 2)) THEN 2
+            ELSE 1 END,
+          np + 1,
+          nf + CASE
+            WHEN list_contains(${sqlList(Pieces4)}, substr(w, pos + 1, 4))
+              OR list_contains(${sqlList(Pieces3)}, substr(w, pos + 1, 3))
+              OR list_contains(${sqlList(Pieces2)}, substr(w, pos + 1, 2))
+              OR list_contains(${sqlList(Pieces1)}, substr(w, pos + 1, 1))
+            THEN 0 ELSE 1 END
+        FROM seg WHERE pos < len(w)),
+      done AS (SELECT w, np, nf FROM seg WHERE pos = len(w))
+      SELECT o.doc_id, COUNT(*) AS n_words,
+        CAST(SUM(d.np) AS BIGINT) AS n_pieces,
+        CAST(SUM(d.nf) AS BIGINT) AS n_fallback,
+        ROUND(SUM(d.np) * 1.0 / COUNT(*), 4) AS fertility
+      FROM occ o JOIN done d USING (w) GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import graft.functions.Subword
+      val vocab = Pieces4 ++ Pieces3 ++ Pieces2 ++ Pieces1
+      val occ = documents(s, d).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val seg = occ.select(col("w")).distinct()
+        .select(col("w"),
+          Subword.subword_stats(col("w"), vocab, maxLen = 4).as("packed"))
+        .select(col("w"), shiftright(col("packed"), 32).as("np"),
+          col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("nf"))
+      occ.join(broadcast(seg), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(col("nf")).as("n_fallback"),
+          round(sum(col("np")) * lit(1.0) / count(lit(1)), 4).as("fertility"))
+        .orderBy(col("doc_id"))
     })
 }

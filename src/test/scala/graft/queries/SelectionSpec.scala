@@ -80,4 +80,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getString(1) != "zh"))
   }
+
+  test("q178 precision/recall/F1 are bounded and F1 is the harmonic mean") {
+    val rows = SelectionQueries.q178RougeOverlap.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p"); val rc = r.getAs[Double]("r")
+      val f1 = r.getAs[Double]("f1"); val ni = r.getAs[Long]("n_inter")
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1 && f1 >= 0 && f1 <= 1)
+      if (ni == 0) assert(f1 === 0.0)
+      else assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 2e-4)
+    }
+  }
+
+  test("q179 fertility >= 1 and docs containing 'spark' or 'key' have fallbacks") {
+    val out = SelectionQueries.q179SubwordSegment.run(spark, sf)
+    assert(out.where(col("fertility") < 1.0).count() === 0)
+    val kDocs = graft.model.Tables.documents(spark, sf)
+      .where(col("text").rlike("\\b(spark|key)\\b"))
+      .select(col("doc_id"))
+    val noFallback = out.join(kDocs, "doc_id")
+      .where(col("n_fallback") === 0).count()
+    assert(noFallback === 0)
+  }
 }
