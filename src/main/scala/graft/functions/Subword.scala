@@ -55,6 +55,49 @@ case class SubwordStats(child: Expression, vocab: Seq[String], maxLen: Int)
     copy(child = newChild)
 }
 
+/** Array-of-pieces variant of [[SubwordStats]] — same greedy scan,
+  * but materializes the piece strings (fallback single chars emit
+  * as themselves), for vocabulary-utilization analysis. Split from
+  * SubwordStats rather than parameterized: the counting form stays a
+  * single packed long on the hot path; this form pays the array
+  * allocation only where the pieces are actually consumed.
+  */
+case class SubwordPieces(child: Expression, vocab: Seq[String], maxLen: Int)
+    extends UnaryExpression {
+
+  require(vocab.forall(p => p.nonEmpty && p.length <= maxLen),
+    s"vocab pieces must be 1..$maxLen chars")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "subword_pieces"
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Subword.pieces(input.asInstanceOf[UTF8String].toString, vocabSet, maxLen)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("subwordVocab", vocabSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.Subword.pieces($c.toString(), $setRef, $maxLen));
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordPieces =
+    copy(child = newChild)
+}
+
 object Subword {
 
   /** Greedy longest-match over `word`: at each position try piece
@@ -81,8 +124,35 @@ object Subword {
     (nPieces << 32) | nFallback
   }
 
+  /** The same greedy scan as [[segment]], materializing the pieces.
+    * One scan definition would force the counting path to allocate;
+    * SubwordSpec pins the two paths against each other instead. */
+  def pieces(word: String, vocab: java.util.HashSet[String], maxLen: Int)
+      : Array[UTF8String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    val n = word.length
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var matched = 0
+      while (l >= 1 && matched == 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) matched = l
+        l -= 1
+      }
+      if (matched == 0) matched = 1 // fallback char emits as itself
+      out += UTF8String.fromString(word.substring(pos, pos + matched))
+      pos += matched
+    }
+    out.toArray
+  }
+
   /** Column facade: packed (n_pieces << 32 | n_fallback). */
   def subword_stats(c: Column, vocab: Seq[String], maxLen: Int): Column =
     GraftShims.column(SubwordStats(GraftShims.expression(c.cast("string")),
+      vocab, maxLen))
+
+  /** Column facade: the ordered piece array. */
+  def subword_pieces(c: Column, vocab: Seq[String], maxLen: Int): Column =
+    GraftShims.column(SubwordPieces(GraftShims.expression(c.cast("string")),
       vocab, maxLen))
 }

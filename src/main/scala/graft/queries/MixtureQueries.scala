@@ -18,7 +18,55 @@ import graft.text.{TextAnalysis => TA}
 object MixtureQueries {
 
   def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking,
-    q120WeightedSample)
+    q120WeightedSample, q180TemperatureMix)
+
+  /** Temperature-scaled mixture weights (the multilingual/multi-source
+    * sampling scheme of the big LM corpora: w_s ∝ p_s^α, α = 0.7):
+    * per-source token mass → raw share → tempered, renormalized
+    * sampling weight → effective epochs at a token budget of half the
+    * corpus. Three tiny aggregates (per-source rollup + two broadcast
+    * scalars); the only FP surface is POWER and the 20-row
+    * normalization sum, both rounded well above ulp noise. At 100 TB
+    * the per-source rollup is the one shuffle and the weight table
+    * stays |sources| rows — the artifact a weighted sampler (q120)
+    * then consumes.
+    */
+  val q180TemperatureMix = GraftQuery(
+    "q180_temperature_mix",
+    "per-source temperature-scaled (alpha=0.7) sampling weights + epochs",
+    Some("""WITH toks AS (
+        SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nt
+        FROM documents),
+      s AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s),
+      w AS (SELECT source, n_tokens, total,
+          n_tokens / (total * 1.0) AS p_raw,
+          POWER(n_tokens / (total * 1.0), 0.7) AS pw
+        FROM s CROSS JOIN t),
+      z AS (SELECT SUM(pw) AS zz FROM w)
+      SELECT source, n_tokens, ROUND(p_raw, 6) AS p_raw,
+        ROUND(pw / zz, 6) AS w,
+        ROUND((pw / zz) * (total * 0.5) / n_tokens, 4) AS epochs
+      FROM w CROSS JOIN z ORDER BY 1"""),
+    (s, d) => {
+      val perSrc = documents(s, d)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), "\\s+")).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val t = perSrc.agg(sum(col("n_tokens")).as("total"))
+      val w = perSrc.crossJoin(broadcast(t))
+        .withColumn("p_raw", col("n_tokens") / (col("total") * lit(1.0)))
+        .withColumn("pw", pow(col("p_raw"), lit(0.7)))
+      val z = w.agg(sum(col("pw")).as("zz"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("pw") / col("zz"), 6).as("w"),
+          round((col("pw") / col("zz")) * (col("total") * lit(0.5))
+            / col("n_tokens"), 4).as("epochs"))
+        .orderBy(col("source"))
+    })
 
   /** Deterministic stratified mixture sampling (data mixing): each
     * source keeps a target fraction of its documents, membership

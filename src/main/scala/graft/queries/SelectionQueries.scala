@@ -19,7 +19,8 @@ object SelectionQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q172RagChunks, q173VocabOov, q174RrfFusion, q175DsirSelect,
-    q176StratifiedSplit, q178RougeOverlap, q179SubwordSegment)
+    q176StratifiedSplit, q178RougeOverlap, q179SubwordSegment,
+    q181PieceUtilization)
 
   /** RAG-style chunking ([[graft.text.Chunker]]): 16-token windows,
     * stride 12 (4-token overlap). Shuffle-free scan-stage fan-out —
@@ -434,5 +435,54 @@ object SelectionQueries {
           sum(col("nf")).as("n_fallback"),
           round(sum(col("np")) * lit(1.0) / count(lit(1)), 4).as("fertility"))
         .orderBy(col("doc_id"))
+    })
+
+  /** Vocabulary utilization under the q179 segmentation: corpus-wide
+    * occurrence mass per PIECE (which vocabulary slots earn their
+    * keep — the tokenizer-eval that decides vocab pruning). Same
+    * distinct-word memoization: [[graft.functions.SubwordPieces]]
+    * materializes each distinct word's piece sequence once, the
+    * per-word occurrence counts ride the same row, and one explode +
+    * aggregate yields piece mass. The result is ≤ |vocab| + |alphabet|
+    * rows; fallback single chars appear as themselves (e.g. 'k'
+    * here, which no vocab piece covers — its mass is the q179
+    * n_fallback total).
+    */
+  val q181PieceUtilization = GraftQuery(
+    "q181_piece_utilization",
+    "occurrence mass + distinct-word reach per subword vocab piece",
+    Some(s"""WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      wocc AS (SELECT w, COUNT(*) AS c FROM occ GROUP BY 1),
+      seg AS (
+        SELECT w, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+        FROM (SELECT DISTINCT w FROM occ)
+        UNION ALL
+        SELECT w, pos + plen, substr(w, pos + 1, plen) AS piece FROM (
+          SELECT w, pos, CASE
+            WHEN list_contains(${sqlList(Pieces4)}, substr(w, pos + 1, 4)) THEN 4
+            WHEN list_contains(${sqlList(Pieces3)}, substr(w, pos + 1, 3)) THEN 3
+            WHEN list_contains(${sqlList(Pieces2)}, substr(w, pos + 1, 2)) THEN 2
+            ELSE 1 END AS plen
+          FROM seg WHERE pos < len(w))),
+      p AS (SELECT w, piece FROM seg WHERE piece IS NOT NULL)
+      SELECT p.piece, CAST(SUM(wocc.c) AS BIGINT) AS n_occ,
+        COUNT(DISTINCT p.w) AS n_words
+      FROM p JOIN wocc USING (w) GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      import graft.functions.Subword
+      val vocab = Pieces4 ++ Pieces3 ++ Pieces2 ++ Pieces1
+      val wocc = documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      wocc
+        .select(col("w"), col("c"),
+          explode(Subword.subword_pieces(col("w"), vocab, maxLen = 4))
+            .as("piece"))
+        .groupBy(col("piece"))
+        .agg(sum(col("c")).as("n_occ"), countDistinct(col("w")).as("n_words"))
+        .orderBy(col("piece"))
     })
 }

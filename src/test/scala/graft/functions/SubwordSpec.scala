@@ -55,6 +55,27 @@ class SubwordSpec extends AnyFunSuite {
     }
   }
 
+  test("pieces path agrees with the counting path and reconstructs the word") {
+    Seq("spark", "window", "kab", "abcabd", "the", "kk").foreach { w =>
+      val ps = Subword.pieces(w, set, 4).map(_.toString)
+      val (np, nf) = seg(w)
+      assert(ps.length === np, s"piece count for $w")
+      assert(ps.mkString("") === w, s"pieces must concatenate to $w")
+      // fallback pieces are exactly the emitted pieces not in the vocab
+      assert(ps.count(p => !vocab.contains(p)) === nf, s"fallbacks for $w")
+    }
+  }
+
+  test("codegen'd pieces column agrees with the direct call") {
+    val words = Seq("spark", "window", "kab").toDF("w")
+    val got = words.select(col("w"),
+        Subword.subword_pieces(col("w"), vocab, 4).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    got.foreach { case (w, ps) =>
+      assert(ps === Subword.pieces(w, set, 4).map(_.toString).toSeq)
+    }
+  }
+
   test("a piece longer than maxLen is refused") {
     intercept[IllegalArgumentException] {
       SubwordStats(null, Seq("abcde"), 4)

@@ -93,6 +93,14 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q181 piece mass equals q179's total piece count (two paths, one scan)") {
+    val totalPieces = SelectionQueries.q179SubwordSegment.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("n_pieces"))).collect()(0).getLong(0)
+    val pieceMass = SelectionQueries.q181PieceUtilization.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("n_occ"))).collect()(0).getLong(0)
+    assert(totalPieces === pieceMass)
+  }
+
   test("q179 fertility >= 1 and docs containing 'spark' or 'key' have fallbacks") {
     val out = SelectionQueries.q179SubwordSegment.run(spark, sf)
     assert(out.where(col("fertility") < 1.0).count() === 0)
