@@ -18,7 +18,87 @@ import graft.text.{TextAnalysis => TA}
 object MixtureQueries {
 
   def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking,
-    q120WeightedSample, q180TemperatureMix)
+    q120WeightedSample, q180TemperatureMix, q182SpanCorruption)
+
+  /** Span-corruption accounting (the T5 denoising-objective prep):
+    * deterministic mask-span starts (pure integer hash of
+    * (doc_id, pos) — no RNG, rerun-identical on any cluster),
+    * fixed raw span length 3 clipped at the doc end, OVERLAPPING
+    * spans merged by the classic gaps-and-islands sweep (per-doc
+    * window — the same interval-union shape as the ExactSubstr
+    * family, never a global window), then per-doc: merged span
+    * count, masked-token mass, corruption rate, and the
+    * sentinel-adjusted encoder/decoder lengths (input = kept +
+    * one sentinel per span; target = masked + sentinels + EOS).
+    * Docs drawing no spans survive with zeros via the left join —
+    * the length accounting a packing stage (q102) consumes.
+    */
+  val q182SpanCorruption = GraftQuery(
+    "q182_span_corruption",
+    "T5-style deterministic span-corruption mass + seq-length accounting",
+    Some("""WITH toks AS (
+        SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+        FROM documents),
+      pos AS (SELECT doc_id, n, unnest(range(n)) AS p FROM toks),
+      st AS (
+        SELECT doc_id, n, p AS s, LEAST(p + 3, n) AS e
+        FROM pos WHERE (doc_id * 1000003 + p * 7919) % 20 = 0),
+      g AS (
+        SELECT doc_id, n, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM st),
+      g2 AS (
+        SELECT doc_id, n, s, e,
+          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM g),
+      isl AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+              FROM g2 GROUP BY 1, 2),
+      agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+              CAST(SUM(me - ms) AS BIGINT) AS n_masked
+              FROM isl GROUP BY 1)
+      SELECT t.doc_id, t.n AS n_toks,
+        CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+        ROUND(COALESCE(a.n_masked, 0) / (t.n * 1.0), 4) AS corruption,
+        CAST(t.n - COALESCE(a.n_masked, 0) + COALESCE(a.n_spans, 0) AS BIGINT)
+          AS input_len,
+        CAST(COALESCE(a.n_masked, 0) + COALESCE(a.n_spans, 0) + 1 AS BIGINT)
+          AS target_len
+      FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY 1"""),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      val starts = toks
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), col("n") - 1)).as("p"))
+        .where(pmod(col("doc_id") * 1000003L + col("p") * 7919L, lit(20L)) === 0)
+        .select(col("doc_id"), col("p").as("s"),
+          least(col("p") + 3, col("n")).as("e"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = starts
+        .withColumn("pm", max(col("e")).over(wPrev))
+        .withColumn("gid", sum(
+          (col("pm").isNull || col("s") > col("pm")).cast("int")).over(wRun))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("me") - col("ms")).as("n_masked"))
+      val sp = coalesce(col("n_spans"), lit(0L))
+      val mk = coalesce(col("n_masked"), lit(0L))
+      toks.join(isl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_toks"),
+          sp.as("n_spans"), mk.as("n_masked"),
+          round(mk / (col("n") * lit(1.0)), 4).as("corruption"),
+          (col("n") - mk + sp).cast("long").as("input_len"),
+          (mk + sp + 1).cast("long").as("target_len"))
+        .orderBy(col("doc_id"))
+    })
 
   /** Temperature-scaled mixture weights (the multilingual/multi-source
     * sampling scheme of the big LM corpora: w_s ∝ p_s^α, α = 0.7):
