@@ -51,7 +51,8 @@ object Catalog {
         SurfaceQueries.queries ++ CorpusQueries.queries ++
         AnalyticsQueries.queries ++ MixtureQueries.queries ++
         CurationQueries.queries ++ LabelQualityQueries.queries ++
-        MultimodalQueries.queries ++ SelectionQueries.queries
+        MultimodalQueries.queries ++ SelectionQueries.queries ++
+        StructureQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

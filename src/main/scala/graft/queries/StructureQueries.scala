@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** Corpus-structure wave: the positional-inverted-index phrase
+  * intersection, source-pair set/distribution matrices, co-occurrence
+  * graph triangles and the multi-criteria skyline — the operators that
+  * look ACROSS documents/sources/nodes rather than within one
+  * (cross-doc family precedent: q89 decontamination, q119 PageRank,
+  * q123 co-purchase, q136 boilerplate; SURVEY.md §7.6).
+  */
+object StructureQueries {
+
+  def queries: Seq[GraftQuery] = Seq(
+    q183PhraseSearch, q184SourceOverlap, q185JsDivergence,
+    q186TriangleCount, q187ParetoFront)
+
+  /** Exact phrase search via positional-postings intersection — the IR
+    * primitive behind quoted-query retrieval and n-gram
+    * decontamination probes. The phrase is data-driven (the corpus's
+    * most frequent 3-gram, ties broken lexicographically) so the query
+    * survives fixture regeneration; it attaches as a broadcast 1-row
+    * frame, never a driver collect. The postings table (term, doc,
+    * pos) is filtered to the phrase's three terms BEFORE any join —
+    * the shuffle ships only those postings lists, the IR cost model's
+    * bound — and the occurrence test is the classic position-adjacency
+    * equi-join (pos, pos-1, pos-2 on the doc key), which generalizes
+    * to any phrase length without materializing all n-grams the way
+    * the lead-window gram form (q80/q136) must. Posting lists of
+    * degenerate stopword-ish terms skew the join key; AQE skew split
+    * handles that, and the per-term lists are the data's own size —
+    * no quadratic blowup exists in this plan.
+    */
+  val q183PhraseSearch = GraftQuery(
+    "q183_phrase_search",
+    "positional-index phrase intersection for the corpus's top 3-gram",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram,
+          unnest(range(len(t) - 2)) AS pos
+        FROM toks WHERE len(t) >= 3),
+      top1 AS (
+        SELECT gram FROM g GROUP BY 1
+        ORDER BY COUNT(*) DESC, gram LIMIT 1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(MIN(pos) AS BIGINT) AS first_pos
+      FROM g JOIN top1 USING (gram)
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = words
+        .withColumn("t2", lead(col("tok"), 1).over(wl))
+        .withColumn("t3", lead(col("tok"), 2).over(wl))
+        .where(col("t3").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+      val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(1)
+        .select(split(col("gram"), " ").as("ts"))
+      // postings restricted to the phrase's terms, checkpointed once:
+      // three match branches below reuse it (q27/q89 lesson)
+      val hits = words.crossJoin(broadcast(top))
+        .where(col("tok") === col("ts")(0) || col("tok") === col("ts")(1) ||
+          col("tok") === col("ts")(2))
+        .select(col("doc_id"), col("pos"), col("tok"),
+          col("ts")(0).as("t1"), col("ts")(1).as("t2"), col("ts")(2).as("t3"))
+        .localCheckpoint(true)
+      val m0 = hits.where(col("tok") === col("t1"))
+        .select(col("doc_id"), col("pos"))
+      val m1 = hits.where(col("tok") === col("t2"))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      val m2 = hits.where(col("tok") === col("t3"))
+        .select(col("doc_id"), (col("pos") - 2).as("pos"))
+      m0.join(m1, Seq("doc_id", "pos")).join(m2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Source-pair shingle overlap matrix — the corpus-audit view of
+    * cross-source contamination (which crawl dumps duplicate which):
+    * distinct (source, 3-gram) rows self-join on the gram and roll up
+    * to per-pair intersection sizes, then containment both ways +
+    * Jaccard. Per-gram fan-out is |sources(g)|² — bounded by the
+    * SOURCE count (a catalog-scale number), not the corpus, so the
+    * join never goes quadratic in documents; output is one row per
+    * source pair. The doc-level twin of this shape is q26/q89.
+    */
+  val q184SourceOverlap = GraftQuery(
+    "q184_source_overlap",
+    "source-pair 3-gram containment/Jaccard matrix",
+    Some("""WITH toks AS (
+        SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      sg AS (
+        SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
+        FROM toks WHERE len(t) >= 3),
+      ns AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(i AS BIGINT) AS n_common,
+        ROUND(i * 1.0 / na.n, 4) AS contain_a,
+        ROUND(i * 1.0 / nb.n, 4) AS contain_b,
+        ROUND(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+      FROM inter JOIN ns na ON na.source = src_a
+      JOIN ns nb ON nb.source = src_b
+      ORDER BY 1, 2"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("source"), col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // distinct source-gram rows feed three subtrees (both join sides
+      // + the per-source sizes): checkpoint once
+      val sg = words
+        .withColumn("t2", lead(col("tok"), 1).over(wl))
+        .withColumn("t3", lead(col("tok"), 2).over(wl))
+        .where(col("t3").isNotNull)
+        .select(col("source"),
+          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+        .distinct()
+        .localCheckpoint(true)
+      val ns = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sg.toDF("src_a", "gram")
+        .join(sg.toDF("src_b", "gram"),
+          Seq("gram")).where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+      inter
+        .join(ns.toDF("src_a", "n_a"), Seq("src_a"))
+        .join(ns.toDF("src_b", "n_b"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("i").as("n_common"),
+          round(col("i") / col("n_a"), 4).as("contain_a"),
+          round(col("i") / col("n_b"), 4).as("contain_b"),
+          round(col("i") / (col("n_a") + col("n_b") - col("i")), 4)
+            .as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    })
+
+  /** Jensen–Shannon divergence between per-source unigram
+    * distributions — the mixture-design statistic (how redundant are
+    * two sources' token distributions; feeds temperature weighting,
+    * q180). The union-of-support sum is rewritten so ONLY the
+    * intersection join is needed: tokens in A\B contribute
+    * ½·p·log₂2 = ½·p, so
+    * JSD = ½·[Σ_{A∩B}(p·log₂(2p/(p+q)) + q·log₂(2q/(p+q)))
+    *        + (1−Σ_{A∩B}p) + (1−Σ_{A∩B}q)]
+    * — no full-outer per-pair support union, no zero-fill explosion;
+    * the inner join on the token key is the whole shuffle, and each
+    * token fans out at most |sources|² pair rows (catalog-bounded,
+    * same argument as q184).
+    */
+  val q185JsDivergence = GraftQuery(
+    "q185_js_divergence",
+    "pairwise Jensen-Shannon divergence of source unigram distributions",
+    Some("""WITH w AS (
+        SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      tot AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1),
+      p AS (SELECT tc.source, tok, c * 1.0 / n AS p
+            FROM tc JOIN tot ON tc.source = tot.source),
+      pr AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+          SUM(a.p * log2(2 * a.p / (a.p + b.p))
+            + b.p * log2(2 * b.p / (a.p + b.p))) AS s1,
+          SUM(a.p) AS spa, SUM(b.p) AS spb
+        FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b,
+        ROUND(0.5 * (s1 + (1 - spa) + (1 - spb)), 4) AS jsd
+      FROM pr ORDER BY 1, 2"""),
+    (s, d) => {
+      val w = documents(s, d).select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val tc = w.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      // per-source token probabilities feed both join sides
+      val p = tc.join(tot, Seq("source"))
+        .select(col("source"), col("tok"), (col("c") / col("n")).as("p"))
+        .localCheckpoint(true)
+      val a = p.toDF("src_a", "tok", "pa")
+      val b = p.toDF("src_b", "tok", "pb")
+      val m = col("pa") + col("pb")
+      a.join(b, Seq("tok")).where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(
+          sum(col("pa") * log(2.0, lit(2) * col("pa") / m) +
+            col("pb") * log(2.0, lit(2) * col("pb") / m)).as("s1"),
+          sum(col("pa")).as("spa"), sum(col("pb")).as("spb"))
+        .select(col("src_a"), col("src_b"),
+          round(lit(0.5) * (col("s1") + (lit(1) - col("spa")) +
+            (lit(1) - col("spb"))), 4).as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
+    })
+
+  /** Triangle enumeration on the co-purchase graph — the graph-mining
+    * primitive (clustering coefficient, community seeds) over the same
+    * edge derivation as q123, support-pruned at co-occurrence ≥ 2 (the
+    * association-mining min-support cut that keeps the edge set
+    * catalog-scale as orders grow). Edges are oriented low→high by the
+    * (degree, id) total order — Schank–Wagner — so every wedge is
+    * built at its LOWEST-degree endpoint: per-node wedge fan-out is
+    * O(out-deg²) with out-degrees bounded ~√m under this orientation,
+    * the standard defense against the hub-node wedge explosion an
+    * id-ordered enumeration hits at scale. The closure check is one
+    * more equi-join; output rows are the id-sorted triple, which is
+    * exactly what the oracle's plain id-ordered enumeration yields.
+    */
+  val q186TriangleCount = GraftQuery(
+    "q186_triangle_count",
+    "triangles in the support-pruned co-purchase graph (degree-ordered)",
+    Some("""WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ORDER BY 1, 2, 3"""),
+    (s, d) => {
+      val li = lineitem(s, d)
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+      // the support-pruned edge set is tiny but its derivation (the
+      // per-order pair fan-out + groupBy) is the query's real cost —
+      // checkpoint once, it feeds the degree count AND the orientation
+      val e0 = a.join(b, col("l_orderkey") === col("ok_b") &&
+          col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val deg = e0.select(col("u").as("node"))
+        .union(e0.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // (deg, id) total order; orient every edge low→high under it.
+      // The oriented edge list feeds three join sides: checkpoint once.
+      val er = e0
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+      val ru = struct(col("du").as("d"), col("u").as("i"))
+      val rv = struct(col("dv").as("d"), col("v").as("i"))
+      val oriented = er.select(
+          when(ru < rv, col("u")).otherwise(col("v")).as("x"),
+          when(ru < rv, col("v")).otherwise(col("u")).as("y"),
+          when(ru < rv, rv).otherwise(ru).as("ry"))
+        .localCheckpoint(true)
+      val wedges = oriented.toDF("x", "y1", "r1")
+        .join(oriented.toDF("x", "y2", "r2"), Seq("x"))
+        .where(col("r1") < col("r2"))
+      val closed = wedges.join(
+        oriented.select(col("x").as("y1"), col("y").as("y2")),
+        Seq("y1", "y2"))
+      closed.select(array_sort(array(col("x"), col("y1"), col("y2"))).as("t"))
+        .select(col("t")(0).as("part_a"), col("t")(1).as("part_b"),
+          col("t")(2).as("part_c"))
+        .orderBy(col("part_a"), col("part_b"), col("part_c"))
+    })
+
+  /** Per-source Pareto front (skyline) on (n_chars, distinct tokens) —
+    * the multi-criteria document-selection primitive (keep documents
+    * no other dominates on length AND lexical richness; the
+    * one-criterion cousins are q61/q170's keeper rules). Criteria are
+    * INTEGERS so dominance never hinges on a float ulp across engines.
+    * The 2-D skyline needs no pairwise dominance join: sorted by
+    * n_chars within the source, a doc is dominated iff the max d_tok
+    * over strictly-longer docs (value-range window, integer +1 offset)
+    * reaches its d_tok, or an equal-length doc strictly beats it
+    * (per-(source,len) max) — two partitioned windows, zero self-join,
+    * the O(n log n) sweep instead of the O(n²) NOT-EXISTS the oracle
+    * deliberately replays for independence.
+    */
+  val q187ParetoFront = GraftQuery(
+    "q187_pareto_front",
+    "per-source skyline docs on (n_chars, distinct-token count)",
+    Some("""WITH t AS (
+        SELECT source, doc_id, n_chars,
+          len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+            AS d_tok
+        FROM documents)
+      SELECT source, doc_id, n_chars, CAST(d_tok AS BIGINT) AS d_tok
+      FROM t i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t j WHERE j.source = i.source AND
+          ((j.n_chars > i.n_chars AND j.d_tok >= i.d_tok) OR
+           (j.n_chars >= i.n_chars AND j.d_tok > i.d_tok)))
+      ORDER BY 1, 2"""),
+    (s, d) => {
+      val t = documents(s, d).select(col("source"), col("doc_id"),
+          col("n_chars"),
+          size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+            .cast("long").as("d_tok"))
+      val wGt = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy(col("source"), col("n_chars"))
+      t.withColumn("m_longer", max(col("d_tok")).over(wGt))
+        .withColumn("m_equal", max(col("d_tok")).over(wEq))
+        .where((col("m_longer").isNull || col("m_longer") < col("d_tok")) &&
+          col("m_equal") === col("d_tok"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("d_tok"))
+        .orderBy(col("source"), col("doc_id"))
+    })
+}

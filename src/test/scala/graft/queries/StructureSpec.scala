@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.model.Tables
+
+/** Invariants for the corpus-structure wave (q183–q187) beyond the
+  * DuckDB value-equality the oracles already enforce: the phrase
+  * intersection must agree with the naive gram scan, the triangle
+  * enumeration with a brute-force closure check, the skyline with a
+  * pairwise dominance sweep, and JSD with its mathematical bounds. */
+class StructureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  test("q183 postings intersection equals the naive gram-equality scan") {
+    // independent derivation: materialize every 3-gram, count matches
+    // of the top gram per doc — the form the postings join avoids
+    val words = Tables.documents(spark, sf).select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = words
+      .withColumn("g", concat_ws(" ", col("tok"),
+        lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
+      .where(size(split(col("g"), " ")) === 3)
+    val top = grams.groupBy(col("g")).count()
+      .orderBy(col("count").desc, col("g")).limit(1)
+      .collect()(0).getString(0)
+    val naive = grams.where(col("g") === top)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet
+    val out = StructureQueries.q183PhraseSearch.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(out === naive)
+    assert(out.nonEmpty)
+  }
+
+  test("q186 equals brute-force triangle closure on the same edge set") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.toDF("ok", "u").join(li.toDF("ok", "v"), Seq("ok"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).count().where(col("count") >= 2)
+      .select(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val brute = (for {
+      (a, b) <- e
+      c <- adj.getOrElse(b, Set.empty)
+      if e.contains((a, c))
+    } yield (a, b, c)).toSet
+    val out = StructureQueries.q186TriangleCount.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === brute)
+  }
+
+  test("q187 equals the pairwise dominance sweep, ties kept") {
+    val t = Tables.documents(spark, sf).select(col("source"), col("doc_id"),
+        col("n_chars"),
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .cast("long").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val front = t.filter { case (s0, _, x, y) =>
+      !t.exists { case (s1, _, x1, y1) =>
+        s1 == s0 && ((x1 > x && y1 >= y) || (x1 >= x && y1 > y))
+      }
+    }.map(r => (r._1, r._2)).toSet
+    val out = StructureQueries.q187ParetoFront.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === front)
+    assert(out.nonEmpty)
+  }
+
+  test("q185 JSD is within (0, 1] for distinct sources and symmetric in formulation") {
+    val rows = StructureQueries.q185JsDivergence.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j > 0.0 && j <= 1.0, s"${r.getString(0)}/${r.getString(1)} jsd=$j")
+    }
+    // the pair list is the strict upper triangle: no (a,a), no swapped dup
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("q184 containment/Jaccard are consistent with the intersection count") {
+    val ns = {
+      val words = Tables.documents(spark, sf).select(col("source"), col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      words
+        .withColumn("g", concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
+        .where(size(split(col("g"), " ")) === 3)
+        .select(col("source"), col("g")).distinct()
+        .groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val rows = StructureQueries.q184SourceOverlap.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, i) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (na, nb) = (ns(a), ns(b))
+      assert(math.abs(r.getDouble(3) - i.toDouble / na) < 5e-5)
+      assert(math.abs(r.getDouble(4) - i.toDouble / nb) < 5e-5)
+      assert(math.abs(r.getDouble(5) - i.toDouble / (na + nb - i)) < 5e-5)
+      assert(i <= math.min(na, nb))
+    }
+  }
+}
