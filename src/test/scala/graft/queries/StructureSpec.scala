@@ -76,6 +76,43 @@ class StructureSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("CopurchaseLayout round-trips the live derivation exactly") {
+    val live = graft.sources.CopurchaseLayout
+      .derivePairCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val layout = graft.sources.CopurchaseLayout.pairCounts(spark, sf)
+      .select(col("u"), col("v"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(layout === live)
+    assert(live.nonEmpty)
+  }
+
+  test("q188 coefficients equal the brute-force per-node triangle count") {
+    val e = graft.sources.CopurchaseLayout.pairCounts(spark, sf)
+      .where(col("c") >= 2).select(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val adj = e.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- e
+      c <- adj.getOrElse(b, Set.empty)
+      if e.contains((a, c))
+    } { triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1 }
+    val expected = deg.filter(_._2 >= 2).map { case (n, dg) =>
+      (n, dg, triPerNode(n),
+        BigDecimal(2.0 * triPerNode(n) / (dg * (dg - 1)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val out = StructureQueries.q188ClusteringCoeff.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === expected)
+    assert(out.exists(_._3 > 0))
+  }
+
   test("q185 JSD is within (0, 1] for distinct sources and symmetric in formulation") {
     val rows = StructureQueries.q185JsDivergence.run(spark, sf).collect()
     assert(rows.nonEmpty)
