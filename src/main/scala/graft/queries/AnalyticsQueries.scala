@@ -16,7 +16,8 @@ object AnalyticsQueries {
   def queries: Seq[GraftQuery] = Seq(q85GapFill, q86Funnel, q87Retention,
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
-    q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp)
+    q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
+    q189NeymanAlloc, q190SeasonalDecompose)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -806,5 +807,107 @@ object AnalyticsQueries {
         .agg(round(avg(col("l_quantity")), 2).as("rating"))
       graft.ml.Recommend.knnRecommend(ratings, k = 5, topNItems = 3)
         .orderBy(col("user"), col("rk"))
+    })
+
+  /** Neyman-optimal stratified sampling allocation — the survey-
+    * sampling primitive behind variance-minimal corpus subsampling
+    * (which stratum deserves how much of a fixed labeling/eval
+    * budget): n_h ∝ N_h·S_h. Stratum stats are one shuffle; the
+    * stratum TABLE is catalog-bounded (event types / sources / shards
+    * — never corpus rows), so the scalar total attaches as a 1-row
+    * broadcast and the largest-remainder integerization ranks peers
+    * via a broadcast non-equi self-count (BroadcastNestedLoopJoin on
+    * k² bounded rows) instead of a global window — the q34/q159
+    * discipline. Integer allocations sum exactly to the budget by
+    * construction.
+    */
+  val q189NeymanAlloc = GraftQuery(
+    "q189_neyman_alloc",
+    "Neyman stratified-sampling allocation of a 1000-sample budget",
+    Some("""WITH st AS (
+        SELECT event_type, COUNT(*) AS nh, STDDEV_SAMP(value) AS sh
+        FROM events GROUP BY 1),
+      t AS (SELECT SUM(nh * sh) AS tot FROM st),
+      ex AS (
+        SELECT event_type, nh, sh, 1000 * nh * sh / tot AS ex,
+          FLOOR(1000 * nh * sh / tot) AS base
+        FROM st, t),
+      lo AS (SELECT 1000 - SUM(base) AS leftover FROM ex),
+      pos AS (
+        SELECT a.event_type, COUNT(b.event_type) AS p
+        FROM ex a LEFT JOIN ex b ON
+          (b.ex - b.base > a.ex - a.base) OR
+          (b.ex - b.base = a.ex - a.base AND b.event_type < a.event_type)
+        GROUP BY 1)
+      SELECT a.event_type, CAST(a.nh AS BIGINT) AS n_h,
+        ROUND(a.sh, 4) AS s_h, ROUND(a.ex, 4) AS alloc_frac,
+        CAST(a.base + CASE WHEN pos.p < lo.leftover THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM ex a JOIN pos USING (event_type), lo ORDER BY 1"""),
+    (s, d) => {
+      val st = events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"), stddev_samp(col("value")).as("sh"))
+      val tot = st.agg(sum(col("nh") * col("sh")).as("tot"))
+      val ex = st.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("nh"), col("sh"),
+          (lit(1000) * col("nh") * col("sh") / col("tot")).as("ex"))
+        .withColumn("base", floor(col("ex")))
+        .localCheckpoint(true) // feeds leftover, both rank sides, output
+      val leftover = ex.agg((lit(1000) - sum(col("base"))).as("leftover"))
+      val peers = ex.select(col("event_type").as("pe"),
+        (col("ex") - col("base")).as("prem"))
+      val rem = col("ex") - col("base")
+      val pos = ex.join(broadcast(peers),
+          col("prem") > rem ||
+            (col("prem") === rem && col("pe") < col("event_type")), "left")
+        .groupBy(col("event_type")).agg(count(col("pe")).as("p"))
+      ex.join(pos, Seq("event_type")).crossJoin(broadcast(leftover))
+        .select(col("event_type"), col("nh").as("n_h"),
+          round(col("sh"), 4).as("s_h"),
+          round(col("ex"), 4).as("alloc_frac"),
+          (col("base") +
+            when(col("p") < col("leftover"), 1).otherwise(0))
+            .cast("long").as("alloc"))
+        .orderBy(col("event_type"))
+    })
+
+  /** Weekly seasonal decomposition of the daily event-value series —
+    * the STL-lite every ops/forecast pipeline runs before modeling
+    * (M12's autoregression assumes a deseasonalized input; this is
+    * the op that produces one). Daily totals are one shuffle on
+    * (event_type, day); the seasonal profile is a second aggregate
+    * over the DAY table (weeks × types rows, never events), joined
+    * back broadcast-sized. Residual = observed − day-of-week mean.
+    */
+  val q190SeasonalDecompose = GraftQuery(
+    "q190_seasonal_decompose",
+    "day-of-week seasonal means + residuals for daily event values",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS v
+        FROM events GROUP BY 1, 2),
+      seas AS (
+        SELECT event_type, dayofweek(ds) + 1 AS dow, AVG(v) AS s
+        FROM daily GROUP BY 1, 2)
+      SELECT daily.event_type, ds, dayofweek(ds) + 1 AS dow,
+        ROUND(v, 4) AS v, ROUND(s, 4) AS seasonal,
+        ROUND(v - s, 4) AS residual
+      FROM daily JOIN seas
+        ON daily.event_type = seas.event_type
+        AND dayofweek(ds) + 1 = seas.dow
+      ORDER BY 1, 2"""),
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+        .agg(sum(col("value")).as("v"))
+        .localCheckpoint(true) // feeds the profile AND the join-back
+      val seas = daily
+        .groupBy(col("event_type"), dayofweek(col("ds")).as("dow"))
+        .agg(avg(col("v")).as("s"))
+      daily.withColumn("dow", dayofweek(col("ds")))
+        .join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("ds"), col("dow"),
+          round(col("v"), 4).as("v"), round(col("s"), 4).as("seasonal"),
+          round(col("v") - col("s"), 4).as("residual"))
+        .orderBy(col("event_type"), col("ds"))
     })
 }

@@ -40,4 +40,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getLong(1) === 8L && out.head.getLong(2) === 3L)
   }
+
+  test("q189 integer allocations sum exactly to the 1000 budget") {
+    val out = AnalyticsQueries.q189NeymanAlloc
+      .run(spark, graft.SparkTestSession.Sf0001).collect()
+    assert(out.map(_.getLong(4)).sum === 1000L)
+    // largest-remainder never moves an allocation by more than 1
+    out.foreach { r =>
+      assert(math.abs(r.getLong(4) - r.getDouble(3)) < 1.0 + 1e-9)
+    }
+  }
+
+  test("q190 residuals average to zero within each (event_type, dow) cell") {
+    val out = AnalyticsQueries.q190SeasonalDecompose
+      .run(spark, graft.SparkTestSession.Sf0001).collect()
+    out.groupBy(r => (r.getString(0), r.getInt(2))).foreach {
+      case (cell, rows) =>
+        val meanResid = rows.map(_.getDouble(5)).sum / rows.size
+        assert(math.abs(meanResid) < 1e-3, s"$cell mean residual $meanResid")
+    }
+  }
 }
