@@ -15,7 +15,7 @@ import graft.model.Tables._
 object StructureQueries {
 
   def queries: Seq[GraftQuery] = Seq(
-    q183PhraseSearch, q184SourceOverlap, q185JsDivergence,
+    q183PhraseSearch, q184ZipfFit, q185JsDivergence,
     q186TriangleCount, q187ParetoFront, q188ClusteringCoeff)
 
   /** Exact phrase search via positional-postings intersection — the IR
@@ -85,65 +85,65 @@ object StructureQueries {
         .orderBy(col("doc_id"))
     })
 
-  /** Source-pair shingle overlap matrix — the corpus-audit view of
-    * cross-source contamination (which crawl dumps duplicate which):
-    * distinct (source, 3-gram) rows self-join on the gram and roll up
-    * to per-pair intersection sizes, then containment both ways +
-    * Jaccard. Per-gram fan-out is |sources(g)|² — bounded by the
-    * SOURCE count (a catalog-scale number), not the corpus, so the
-    * join never goes quadratic in documents; output is one row per
-    * source pair. The doc-level twin of this shape is q26/q89.
+  /** Per-source Zipf fit — OLS slope of the log-log rank-frequency
+    * curve over each source's top-100 tokens, the corpus-health
+    * statistic (natural text sits near slope −1; template/boilerplate
+    * dumps flatten it, spam steepens it — a triage signal next to the
+    * q23/q80 quality family). Ranking is a row_number window
+    * PARTITIONED by source (the per-source sort, never a global
+    * funnel — q34/q159 discipline), ties broken (count desc, token
+    * asc) so both engines rank identically; the regression collapses
+    * to one closed-form aggregate per source (Σx, Σy, Σxy, Σx²) —
+    * no iteration, no driver math.
     */
-  val q184SourceOverlap = GraftQuery(
-    "q184_source_overlap",
-    "source-pair 3-gram containment/Jaccard matrix",
-    Some("""WITH toks AS (
-        SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  val q184ZipfFit = GraftQuery(
+    "q184_zipf_fit",
+    "per-source log-log Zipf slope/intercept/r2 over top-100 tokens",
+    Some("""WITH w AS (
+        SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         FROM documents),
-      sg AS (
-        SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
-            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
-        FROM toks WHERE len(t) >= 3),
-      ns AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
-      inter AS (
-        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
-        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
-        GROUP BY 1, 2)
-      SELECT src_a, src_b, CAST(i AS BIGINT) AS n_common,
-        ROUND(i * 1.0 / na.n, 4) AS contain_a,
-        ROUND(i * 1.0 / nb.n, 4) AS contain_b,
-        ROUND(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
-      FROM inter JOIN ns na ON na.source = src_a
-      JOIN ns nb ON nb.source = src_b
-      ORDER BY 1, 2"""),
+      tc AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      rk AS (
+        SELECT source, c, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY c DESC, tok) AS r
+        FROM tc),
+      xy AS (
+        SELECT source, ln(r) AS x, ln(c) AS y FROM rk WHERE r <= 100),
+      s AS (
+        SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n_toks,
+        ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+        ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 4)
+          AS intercept,
+        ROUND(POW(sxy - sx * sy / n, 2) /
+          ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+      FROM s ORDER BY 1"""),
     (s, d) => {
-      val words = documents(s, d).select(col("source"), col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      // distinct source-gram rows feed three subtrees (both join sides
-      // + the per-source sizes): checkpoint once
-      val sg = words
-        .withColumn("t2", lead(col("tok"), 1).over(wl))
-        .withColumn("t3", lead(col("tok"), 2).over(wl))
-        .where(col("t3").isNotNull)
-        .select(col("source"),
-          concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
-        .distinct()
-        .localCheckpoint(true)
-      val ns = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = sg.toDF("src_a", "gram")
-        .join(sg.toDF("src_b", "gram"),
-          Seq("gram")).where(col("src_a") < col("src_b"))
-        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
-      inter
-        .join(ns.toDF("src_a", "n_a"), Seq("src_a"))
-        .join(ns.toDF("src_b", "n_b"), Seq("src_b"))
-        .select(col("src_a"), col("src_b"), col("i").as("n_common"),
-          round(col("i") / col("n_a"), 4).as("contain_a"),
-          round(col("i") / col("n_b"), 4).as("contain_b"),
-          round(col("i") / (col("n_a") + col("n_b") - col("i")), 4)
-            .as("jaccard"))
-        .orderBy(col("src_a"), col("src_b"))
+      val w = documents(s, d).select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val tc = w.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("tok"))
+      val xy = tc.withColumn("r", row_number().over(wr))
+        .where(col("r") <= 100)
+        .select(col("source"), log(col("r")).as("x"), log(col("c")).as("y"))
+      val st = xy.groupBy(col("source")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val cxx = col("sxx") - col("sx") * col("sx") / col("n")
+      val cxy = col("sxy") - col("sx") * col("sy") / col("n")
+      val cyy = col("syy") - col("sy") * col("sy") / col("n")
+      val slope = cxy / cxx
+      st.select(col("source"), col("n").as("n_toks"),
+          round(slope, 4).as("slope"),
+          round(col("sy") / col("n") - slope * col("sx") / col("n"), 4)
+            .as("intercept"),
+          round(pow(cxy, 2) / (cxx * cyy), 4).as("r2"))
+        .orderBy(col("source"))
     })
 
   /** Jensen–Shannon divergence between per-source unigram

@@ -126,29 +126,34 @@ class StructureSpec extends AnyFunSuite {
     assert(pairs.distinct.length === pairs.length)
   }
 
-  test("q184 containment/Jaccard are consistent with the intersection count") {
-    val ns = {
-      val words = Tables.documents(spark, sf).select(col("source"), col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      words
-        .withColumn("g", concat_ws(" ", col("tok"),
-          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
-        .where(size(split(col("g"), " ")) === 3)
-        .select(col("source"), col("g")).distinct()
-        .groupBy(col("source")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q184 matches a driver-side OLS replay of the log-log fit") {
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (src, rows) =>
+      val top = rows.sortBy(t => (-t._3, t._2)).take(100)
+      val xy = top.zipWithIndex.map { case ((_, _, c), i) =>
+        (math.log(i + 1.0), math.log(c.toDouble))
+      }
+      val n = xy.length
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(t => t._1 * t._2).sum
+      val sxx = xy.map(t => t._1 * t._1).sum
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      src -> (n.toLong, slope)
     }
-    val rows = StructureQueries.q184SourceOverlap.run(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (a, b, i) = (r.getString(0), r.getString(1), r.getLong(2))
-      val (na, nb) = (ns(a), ns(b))
-      assert(math.abs(r.getDouble(3) - i.toDouble / na) < 5e-5)
-      assert(math.abs(r.getDouble(4) - i.toDouble / nb) < 5e-5)
-      assert(math.abs(r.getDouble(5) - i.toDouble / (na + nb - i)) < 5e-5)
-      assert(i <= math.min(na, nb))
+    val out = StructureQueries.q184ZipfFit.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, n, slope, r2) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4))
+      val (en, eslope) = expected(src)
+      assert(n === en, s"$src n")
+      assert(math.abs(slope - eslope) < 5e-4, s"$src slope $slope vs $eslope")
+      assert(slope < 0, s"$src slope must be negative")
+      assert(r2 > 0 && r2 <= 1, s"$src r2 $r2")
     }
   }
 }
