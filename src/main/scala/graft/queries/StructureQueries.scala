@@ -16,7 +16,56 @@ object StructureQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q183PhraseSearch, q184ZipfFit, q185JsDivergence,
-    q186TriangleCount, q187ParetoFront, q188ClusteringCoeff)
+    q186TriangleCount, q187ParetoFront, q188ClusteringCoeff,
+    q191IncrementalTriangles)
+
+  /** Incremental triangle maintenance under corpus growth — the graph
+    * family's q164: yesterday's persisted pair counts + triangle table
+    * ([[graft.sources.CopurchaseLayout]] yesterday layouts, orderkey
+    * %10 ≤ 7 by the wave convention) absorb today's order wave by an
+    * additive count merge (union + sum — co-occurrence counts are a
+    * mergeable aggregate), and ONLY the delta triangles — those with
+    * ≥1 edge newly past the support threshold — are enumerated
+    * ([[graft.etl.Graphs.deltaTriangles]]: every join starts from the
+    * delta edge set; old-old wedges are built per delta closure edge,
+    * never in full). Counts only grow, so pruned edges never vanish
+    * and batch = old ∪ delta exactly — which is why the oracle is the
+    * SAME full-corpus enumeration as q186: the incremental path must
+    * be row-identical to the recompute it avoids. At 100 TB this is
+    * nightly graph refresh without touching yesterday's wedge space.
+    */
+  val q191IncrementalTriangles = GraftQuery(
+    "q191_incremental_triangles",
+    "wave-merged triangle maintenance == batch recompute",
+    Some("""WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ORDER BY 1, 2, 3"""),
+    (s, d) => {
+      val yCounts = graft.sources.CopurchaseLayout.yesterdayPairCounts(s, d)
+      val yTri = graft.sources.CopurchaseLayout.yesterdayTriangles(s, d)
+      val li = lineitem(s, d)
+        .where(pmod(col("l_orderkey"), lit(10)) >= 8)
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+      val waveCounts = a.join(b, col("l_orderkey") === col("ok_b") &&
+          col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val merged = yCounts.union(waveCounts)
+        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
+        .localCheckpoint(true) // feeds the pruned graph AND the delta
+      val mergedE = merged.where(col("c") >= 2).select(col("u"), col("v"))
+      val yesterdayE = yCounts.where(col("c") >= 2)
+        .select(col("u"), col("v"))
+      val delta = mergedE.join(yesterdayE, Seq("u", "v"), "left_anti")
+      yTri.union(graft.etl.Graphs.deltaTriangles(mergedE, delta))
+        .orderBy(col("part_a"), col("part_b"), col("part_c"))
+    })
 
   /** Exact phrase search via positional-postings intersection — the IR
     * primitive behind quoted-query retrieval and n-gram
@@ -231,35 +280,11 @@ object StructureQueries {
     (s, d) => {
       // edge derivation reads the write-once co-purchase layout
       // (support prune pushes down to the layout scan); q123 keeps
-      // measuring the live derivation. Checkpointed once: the pruned
-      // edge set feeds the degree count AND the orientation.
+      // measuring the live derivation; enumeration machinery shared
+      // with q188/q191 in [[graft.etl.Graphs]]
       val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val deg = e0.select(col("u").as("node"))
-        .union(e0.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      // (deg, id) total order; orient every edge low→high under it.
-      // The oriented edge list feeds three join sides: checkpoint once.
-      val er = e0
-        .join(deg.toDF("u", "du"), Seq("u"))
-        .join(deg.toDF("v", "dv"), Seq("v"))
-      val ru = struct(col("du").as("d"), col("u").as("i"))
-      val rv = struct(col("dv").as("d"), col("v").as("i"))
-      val oriented = er.select(
-          when(ru < rv, col("u")).otherwise(col("v")).as("x"),
-          when(ru < rv, col("v")).otherwise(col("u")).as("y"),
-          when(ru < rv, rv).otherwise(ru).as("ry"))
-        .localCheckpoint(true)
-      val wedges = oriented.toDF("x", "y1", "r1")
-        .join(oriented.toDF("x", "y2", "r2"), Seq("x"))
-        .where(col("r1") < col("r2"))
-      val closed = wedges.join(
-        oriented.select(col("x").as("y1"), col("y").as("y2")),
-        Seq("y1", "y2"))
-      closed.select(array_sort(array(col("x"), col("y1"), col("y2"))).as("t"))
-        .select(col("t")(0).as("part_a"), col("t")(1).as("part_b"),
-          col("t")(2).as("part_c"))
+      graft.etl.Graphs.triangles(e0)
         .orderBy(col("part_a"), col("part_b"), col("part_c"))
     })
 
@@ -308,23 +333,9 @@ object StructureQueries {
       val deg = e0.select(col("u").as("node"))
         .union(e0.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val er = e0
-        .join(deg.toDF("u", "du"), Seq("u"))
-        .join(deg.toDF("v", "dv"), Seq("v"))
-      val ru = struct(col("du").as("d"), col("u").as("i"))
-      val rv = struct(col("dv").as("d"), col("v").as("i"))
-      val oriented = er.select(
-          when(ru < rv, col("u")).otherwise(col("v")).as("x"),
-          when(ru < rv, col("v")).otherwise(col("u")).as("y"),
-          when(ru < rv, rv).otherwise(ru).as("ry"))
-        .localCheckpoint(true)
-      val wedges = oriented.toDF("x", "y1", "r1")
-        .join(oriented.toDF("x", "y2", "r2"), Seq("x"))
-        .where(col("r1") < col("r2"))
-      val triNodes = wedges.join(
-          oriented.select(col("x").as("y1"), col("y").as("y2")),
-          Seq("y1", "y2"))
-        .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      val triNodes = graft.etl.Graphs.triangles(e0)
+        .select(explode(array(col("part_a"), col("part_b"), col("part_c")))
+          .as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("t"))
       deg.where(col("deg") >= 2)
         .join(triNodes, Seq("node"), "left")

@@ -44,4 +44,40 @@ object CopurchaseLayout {
     }
     s.read.parquet(dir)
   }
+
+  /** "Yesterday's" persisted pair counts: the l_orderkey%10 ≤ 7 slice
+    * plays the previously-ingested corpus (the q164 wave convention).
+    * Stored UNPRUNED — counts are additive, so today's wave merges by
+    * union+sum and the support prune is applied to the MERGED counts;
+    * a pruned snapshot would lose the sub-threshold mass the wave can
+    * push over the line. */
+  def yesterdayPairCounts(s: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_copurchase", sfDir)}/yesterday_v$LayoutVersion"
+    SourceLayout.writeOnce(dir) {
+      val li = Tables.lineitem(s, sfDir)
+        .where(pmod(col("l_orderkey"), lit(10)) <= 7)
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+      a.join(b, col("l_orderkey") === col("ok_b") && col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** "Yesterday's" persisted triangle table over the support-pruned
+    * (c ≥ 2) yesterday graph — the result q191's incremental path
+    * extends instead of recomputing. */
+  def yesterdayTriangles(s: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_copurchase", sfDir)}/yesterday_tri_v$LayoutVersion"
+    SourceLayout.writeOnce(dir) {
+      graft.etl.Graphs.triangles(
+          yesterdayPairCounts(s, sfDir).where(col("c") >= 2)
+            .select(col("u"), col("v")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
 }

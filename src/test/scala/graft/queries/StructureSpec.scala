@@ -113,6 +113,22 @@ class StructureSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0))
   }
 
+  test("q191 incremental triangles equal the q186 batch enumeration, non-vacuously") {
+    val batch = StructureQueries.q186TriangleCount.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = StructureQueries.q191IncrementalTriangles.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === batch)
+    // non-vacuous: the wave must actually add triangles beyond
+    // yesterday's persisted table, and yesterday must have some
+    val yTri = graft.sources.CopurchaseLayout
+      .yesterdayTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(yTri.nonEmpty, "yesterday graph has no triangles — vacuous")
+    assert((batch -- yTri).nonEmpty, "wave adds no triangles — vacuous")
+    assert(yTri.subsetOf(batch), "monotonicity: old triangles must survive")
+  }
+
   test("q185 JSD is within (0, 1] for distinct sources and symmetric in formulation") {
     val rows = StructureQueries.q185JsDivergence.run(spark, sf).collect()
     assert(rows.nonEmpty)
