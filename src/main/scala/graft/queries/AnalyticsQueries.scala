@@ -17,7 +17,7 @@ object AnalyticsQueries {
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
-    q189NeymanAlloc, q190SeasonalDecompose)
+    q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -869,6 +869,114 @@ object AnalyticsQueries {
             when(col("p") < col("leftover"), 1).otherwise(0))
             .cast("long").as("alloc"))
         .orderBy(col("event_type"))
+    })
+
+  /** Two-sample Kolmogorov–Smirnov statistic per event_type for the
+    * q124 hash-assigned A/B split — the NONPARAMETRIC companion to
+    * q124's Welch t (detects distribution-shape drift a mean test
+    * misses; the drift-family sibling of q125's categorical χ²). Both
+    * ECDFs come from ONE conditional aggregate over (event_type,
+    * value) and one cumulative window PARTITIONED by event_type (the
+    * per-stratum sort — never a global funnel); D = max |F₀−F₁| is
+    * exact because the cumulative counts are integers and IEEE
+    * division is deterministic across engines.
+    */
+  val q192KsTest = GraftQuery(
+    "q192_ks_test",
+    "two-sample KS statistic per event_type for the hash A/B split",
+    Some("""WITH e AS (
+        SELECT event_type, value, user_id % 2 AS arm FROM events),
+      c AS (
+        SELECT event_type, value,
+          COUNT(CASE WHEN arm = 0 THEN 1 END) AS c0,
+          COUNT(CASE WHEN arm = 1 THEN 1 END) AS c1
+        FROM e GROUP BY 1, 2),
+      n AS (
+        SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1
+        FROM c GROUP BY 1),
+      f AS (
+        SELECT c.event_type,
+          SUM(c0) OVER (PARTITION BY c.event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n0
+          - SUM(c1) OVER (PARTITION BY c.event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n1
+            AS diff,
+          n0, n1
+        FROM c JOIN n USING (event_type))
+      SELECT event_type, CAST(MAX(n0) AS BIGINT) AS n0,
+        CAST(MAX(n1) AS BIGINT) AS n1,
+        ROUND(MAX(ABS(diff)), 4) AS ks_d,
+        ROUND(SQRT(MAX(n0) * MAX(n1) / (MAX(n0) + MAX(n1) * 1.0))
+          * MAX(ABS(diff)), 4) AS ks_stat
+      FROM f GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val arm = col("user_id") % 2
+      val c = events(s, d)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(when(arm === 0, 1)).as("c0"),
+          count(when(arm === 1, 1)).as("c1"))
+      val n = c.groupBy(col("event_type"))
+        .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.join(broadcast(n), Seq("event_type"))
+        .withColumn("diff",
+          sum(col("c0")).over(w) * lit(1.0) / col("n0") -
+            sum(col("c1")).over(w) * lit(1.0) / col("n1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("diff"))).as("d"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          round(col("d"), 4).as("ks_d"),
+          round(sqrt(col("n0") * col("n1") /
+            (col("n0") + col("n1") * lit(1.0))) * col("d"), 4).as("ks_stat"))
+        .orderBy(col("event_type"))
+    })
+
+  /** Per-user inter-arrival burstiness — the point-process triage
+    * signal (bots are periodic, humans bursty; feeds the q90-style
+    * gates for behavioral data). Gaps come from one lag window
+    * PARTITIONED by user over exact integer microseconds (epoch_us on
+    * both engines — the Tables.events timestamp discipline), so the
+    * only FP is the final moments. Burstiness B = (σ−μ)/(σ+μ)
+    * (Goh–Barabási): −1 periodic, 0 Poisson, →1 bursty. One shuffle
+    * on user_id; output is per-user with ≥3 events (≥2 gaps, so the
+    * sample σ exists).
+    */
+  val q194Interarrival = GraftQuery(
+    "q194_interarrival",
+    "per-user inter-arrival mean/CV/burstiness from event timestamps",
+    Some("""WITH g AS (
+        SELECT user_id,
+          (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap
+        FROM events),
+      s AS (
+        SELECT user_id, COUNT(gap) AS n_gaps,
+          AVG(gap) AS mu, STDDEV_SAMP(gap) AS sigma
+        FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        ROUND(mu, 4) AS mean_gap_s,
+        ROUND(sigma / mu, 4) AS cv,
+        ROUND((sigma - mu) / (sigma + mu), 4) AS burstiness
+      FROM s WHERE n_gaps >= 2 ORDER BY 1"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", (col("us") - lag(col("us"), 1).over(w)) / lit(1e6))
+        .where(col("gap").isNotNull)
+      g.groupBy(col("user_id"))
+        .agg(count(col("gap")).as("n_gaps"), avg(col("gap")).as("mu"),
+          stddev_samp(col("gap")).as("sigma"))
+        .where(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("mu"), 4).as("mean_gap_s"),
+          round(col("sigma") / col("mu"), 4).as("cv"),
+          round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 4)
+            .as("burstiness"))
+        .orderBy(col("user_id"))
     })
 
   /** Weekly seasonal decomposition of the daily event-value series —

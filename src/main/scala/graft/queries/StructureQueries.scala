@@ -17,7 +17,65 @@ object StructureQueries {
   def queries: Seq[GraftQuery] = Seq(
     q183PhraseSearch, q184ZipfFit, q185JsDivergence,
     q186TriangleCount, q187ParetoFront, q188ClusteringCoeff,
-    q191IncrementalTriangles)
+    q191IncrementalTriangles, q193DegreeAssortativity)
+
+  /** Degree assortativity of the co-purchase graph (Newman r: the
+    * Pearson correlation of endpoint degrees over edges) plus the
+    * degree-distribution summary — the one-row graph-health readout
+    * (hub-and-spoke retail graphs are disassortative; r near 0 says
+    * the support prune left no degree structure). Both directions of
+    * every edge enter the correlation (the standard symmetric
+    * treatment, and Pearson's normalization makes sample-vs-population
+    * factors cancel identically in both engines). Reads the
+    * write-once [[graft.sources.CopurchaseLayout]]; one shuffle for
+    * degrees, one broadcast-scale join back to edges, one scalar
+    * aggregate (the lint-allowlisted 1-row funnel).
+    */
+  val q193DegreeAssortativity = GraftQuery(
+    "q193_degree_assortativity",
+    "degree assortativity + degree summary of the co-purchase graph",
+    Some("""WITH e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      both_dirs AS (
+        SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+      dd AS (
+        SELECT ds.deg AS x, dt.deg AS y
+        FROM both_dirs JOIN deg ds ON ds.node = s
+        JOIN deg dt ON dt.node = t)
+      SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+        CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        CAST((SELECT MAX(deg) FROM deg) AS BIGINT) AS max_deg,
+        ROUND((SELECT AVG(deg) FROM deg), 4) AS mean_deg,
+        ROUND((SELECT corr(x, y) FROM dd), 4) AS assortativity"""),
+    (s, d) => {
+      val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
+        .where(col("c") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true) // feeds degrees, both_dirs, edge count
+      val deg = e0.select(col("u").as("node"))
+        .union(e0.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // feeds summary agg + two join sides
+      val bothDirs = e0.select(col("u").as("s"), col("v").as("t"))
+        .union(e0.select(col("v").as("s"), col("u").as("t")))
+      val dd = bothDirs
+        .join(deg.toDF("s", "x"), Seq("s"))
+        .join(deg.toDF("t", "y"), Seq("t"))
+      val summary = deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("deg")).as("max_deg"),
+        round(avg(col("deg")), 4).as("mean_deg"))
+      val edges = e0.agg(count(lit(1)).as("n_edges"))
+      val r = dd.agg(round(corr(col("x"), col("y")), 4).as("assortativity"))
+      summary.crossJoin(broadcast(edges)).crossJoin(broadcast(r))
+        .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+          col("mean_deg"), col("assortativity"))
+    })
 
   /** Incremental triangle maintenance under corpus growth — the graph
     * family's q164: yesterday's persisted pair counts + triangle table

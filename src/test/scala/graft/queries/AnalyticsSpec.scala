@@ -51,6 +51,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 KS statistic is a valid sup-norm: D in [0,1], n0+n1 covers the stratum") {
+    val sf = graft.SparkTestSession.Sf0001
+    val out = AnalyticsQueries.q192KsTest.run(spark, sf).collect()
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+      assert(r.getLong(1) + r.getLong(2) === totals(r.getString(0)))
+    }
+  }
+
+  test("q194 burstiness lands in (-1, 1) and CV is sigma/mu") {
+    val out = AnalyticsQueries.q194Interarrival
+      .run(spark, graft.SparkTestSession.Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cv, b) = (r.getDouble(3), r.getDouble(4))
+      assert(b > -1 && b < 1, s"user ${r.getLong(0)} burstiness $b")
+      // B = (cv-1)/(cv+1) algebraically; 4dp rounding on each side
+      assert(math.abs(b - (cv - 1) / (cv + 1)) < 5e-4)
+    }
+  }
+
   test("q190 residuals average to zero within each (event_type, dow) cell") {
     val out = AnalyticsQueries.q190SeasonalDecompose
       .run(spark, graft.SparkTestSession.Sf0001).collect()

@@ -113,6 +113,16 @@ class StructureSpec extends AnyFunSuite {
     assert(out.exists(_._3 > 0))
   }
 
+  test("q193 assortativity is a correlation in [-1,1] over the layout's graph") {
+    val r = StructureQueries.q193DegreeAssortativity.run(spark, sf)
+      .collect()(0)
+    val e = graft.sources.CopurchaseLayout.pairCounts(spark, sf)
+      .where(col("c") >= 2).count()
+    assert(r.getLong(1) === e)
+    assert(r.getDouble(4) >= -1 && r.getDouble(4) <= 1)
+    assert(r.getLong(2) >= math.ceil(r.getDouble(3)).toLong) // max >= mean
+  }
+
   test("q191 incremental triangles equal the q186 batch enumeration, non-vacuously") {
     val batch = StructureQueries.q186TriangleCount.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
