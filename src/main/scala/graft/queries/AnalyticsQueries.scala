@@ -18,7 +18,7 @@ object AnalyticsQueries {
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
-    q195EventPaths, q196MarkovTransitions)
+    q195EventPaths, q196MarkovTransitions, q199AssociationRules)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -808,6 +808,59 @@ object AnalyticsQueries {
         .agg(round(avg(col("l_quantity")), 2).as("rating"))
       graft.ml.Recommend.knnRecommend(ratings, k = 5, topNItems = 3)
         .orderBy(col("user"), col("rk"))
+    })
+
+  /** Association rules over order baskets — support / confidence both
+    * directions / lift, the full market-basket readout q123's raw
+    * counts feed. Derived from DISTINCT (order, part) pairs, NOT the
+    * CopurchaseLayout: the layout counts lineitem-level pair
+    * instances (a part twice in one order double-counts), while rule
+    * semantics are set-of-orders — the 55-duplicate delta in this
+    * fixture would silently inflate support. Marginals (orders per
+    * part) join broadcast-sized onto the pair counts; the order total
+    * attaches as a 1-row scalar. Per-order fan-out is basket-bounded,
+    * the q123 argument.
+    */
+  val q199AssociationRules = GraftQuery(
+    "q199_association_rules",
+    "support/confidence/lift for co-purchased part pairs (min support 2)",
+    Some("""WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+      pc AS (SELECT p, COUNT(*) AS po FROM op GROUP BY 1),
+      pairs AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT u, v, CAST(c AS BIGINT) AS n_both,
+        ROUND(c * 1.0 / n_orders, 6) AS support,
+        ROUND(c * 1.0 / pu.po, 4) AS conf_uv,
+        ROUND(c * 1.0 / pv.po, 4) AS conf_vu,
+        ROUND(c * 1.0 * n_orders / (pu.po * pv.po), 4) AS lift
+      FROM pairs JOIN pc pu ON pu.p = u JOIN pc pv ON pv.p = v, n
+      ORDER BY 1, 2"""),
+    (s, d) => {
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true) // marginals, order total, both pair sides
+      val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      val pc = op.groupBy(col("p")).agg(count(lit(1)).as("po"))
+      val pairs = op.toDF("o", "u")
+        .join(op.toDF("o", "v"), Seq("o")).where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      pairs
+        .join(pc.toDF("u", "po_u"), Seq("u"))
+        .join(pc.toDF("v", "po_v"), Seq("v"))
+        .crossJoin(broadcast(n))
+        .select(col("u"), col("v"), col("c").as("n_both"),
+          round(col("c") / col("n_orders"), 6).as("support"),
+          round(col("c") / col("po_u"), 4).as("conf_uv"),
+          round(col("c") / col("po_v"), 4).as("conf_vu"),
+          round(col("c") * col("n_orders") / (col("po_u") * col("po_v")), 4)
+            .as("lift"))
+        .orderBy(col("u"), col("v"))
     })
 
   /** Neyman-optimal stratified sampling allocation — the survey-

@@ -16,7 +16,70 @@ object CorpusQueries {
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
     q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain,
-    q162BigramLm, q163PiiRedact, q197GoodTuring)
+    q162BigramLm, q163PiiRedact, q197GoodTuring, q198BigramPmi)
+
+  /** Bigram PMI collocations — the collocation-mining primitive
+    * (which adjacent pairs are "phrases"; feeds tokenizer merges
+    * (q128 BPE scores are the count form of this) and stop-phrase
+    * lists). Bigrams come from ONE lead window per doc (the q80 gram
+    * discipline); PMI joins the two unigram marginals broadcast-sized
+    * onto the bigram counts. Output is the top-20 by (count, bigram)
+    * — a deterministic integer order; PMI itself is reported, not
+    * ranked on, so no float ordering crosses engines. A min-count
+    * floor (≥ 5) keeps the rare-pair PMI noise out, the standard
+    * collocation practice.
+    */
+  val q198BigramPmi = GraftQuery(
+    "q198_bigram_pmi",
+    "top-20 bigram collocations with PMI over unigram marginals",
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      w AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      uni AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY 1),
+      nuni AS (SELECT SUM(c) AS n FROM uni),
+      bg AS (
+        SELECT t[i+1] AS w1, t[i+2] AS w2
+        FROM toks, unnest(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bc AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        HAVING COUNT(*) >= 5),
+      nbg AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS n
+              FROM toks WHERE len(t) >= 2)
+      SELECT w1, w2, CAST(bc.c AS BIGINT) AS c,
+        ROUND(log2((bc.c * 1.0 / nbg.n) /
+          ((u1.c * 1.0 / nuni.n) * (u2.c * 1.0 / nuni.n))), 4) AS pmi
+      FROM bc JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2,
+        nbg, nuni
+      ORDER BY c DESC, w1, w2 LIMIT 20"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .localCheckpoint(true) // unigram marginals + the bigram window
+      val uni = words.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nuni = uni.agg(sum(col("c")).as("n_uni"))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bc = words
+        .withColumn("w2", lead(col("tok"), 1).over(wl))
+        .where(col("w2").isNotNull)
+        .groupBy(col("tok").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 5)
+      val nbg = words
+        .withColumn("w2", lead(col("tok"), 1).over(wl))
+        .where(col("w2").isNotNull)
+        .agg(count(lit(1)).cast("long").as("n_bg"))
+      bc
+        .join(uni.toDF("w1", "c1"), Seq("w1"))
+        .join(uni.toDF("w2", "c2"), Seq("w2"))
+        .crossJoin(broadcast(nbg)).crossJoin(broadcast(nuni))
+        .select(col("w1"), col("w2"), col("c"),
+          round(log(2.0, (col("c") / col("n_bg")) /
+            ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))), 4)
+            .as("pmi"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(20)
+    })
 
   /** Frequency-of-frequencies + Good–Turing adjusted counts for the
     * corpus vocabulary — the smoothing statistic every count-based LM
