@@ -21,7 +21,80 @@ object LabelQualityQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement,
-      q166HardNegatives, q177CentroidConfusion)
+      q166HardNegatives, q177CentroidConfusion, q200MatryoshkaAgreement)
+
+  /** Matryoshka truncation fidelity — does the 16-dim PREFIX of each
+    * embedding retrieve the same nearest neighbor as the full vector?
+    * The eval behind prefix-truncation deployment (MRL-style tiered
+    * retrieval: cheap prefix pass, full-dim re-rank): per vector, the
+    * cosine top-1 under both geometries from ONE all-pairs candidate
+    * stream carrying two scores into two bounded heaps — same q141
+    * discipline (ties by smaller neighbor id, zero vectors scored
+    * −1.0, the probed DuckDB convention). The all-pairs join is the
+    * deliberate exact ground truth (q30/q141 precedent); the 100 TB
+    * path swaps the candidate source to IVF probes exactly as
+    * q141→q143 did. Low agreement says the prefix dims don't carry
+    * the neighborhood — don't ship the truncation.
+    */
+  val q200MatryoshkaAgreement = GraftQuery(
+    "q200_matryoshka_agreement",
+    "top-1 neighbor agreement between full and 16-dim-prefix cosine",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS qa, b.vec_id AS nb,
+          list_cosine_similarity(a.v, b.v) AS s_full,
+          list_cosine_similarity(a.v[1:16], b.v[1:16]) AS s_trunc
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      rf AS (SELECT qa, nb, ROW_NUMBER() OVER (PARTITION BY qa
+          ORDER BY s_full DESC, nb) AS rk FROM p),
+      rt AS (SELECT qa, nb, ROW_NUMBER() OVER (PARTITION BY qa
+          ORDER BY s_trunc DESC, nb) AS rk FROM p)
+      SELECT rf.qa AS vec_id, rf.nb AS nn_full, rt.nb AS nn_trunc,
+        CAST(CASE WHEN rf.nb = rt.nb THEN 1 ELSE 0 END AS INTEGER)
+          AS agree
+      FROM rf JOIN rt ON rf.qa = rt.qa AND rf.rk = 1 AND rt.rk = 1
+      ORDER BY 1"""),
+    (s, d) => matryoshkaAgreement(
+      embeddings(s, d).select(col("vec_id"), col("embedding")), 16)
+      .orderBy(col("vec_id")))
+
+  /** The q200 plan over any (vec_id, embedding) frame: top-1 under
+    * full-dim and `prefix`-dim cosine from one pair stream into two
+    * bounded heaps (LabelQualitySpec pins the discrimination the
+    * random fixture can't show: prefix-informative vectors agree,
+    * suffix-informative ones don't). */
+  def matryoshkaAgreement(emb: org.apache.spark.sql.DataFrame,
+      prefix: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKByScore.top_k_by
+    val e = emb.select(col("vec_id"),
+        Sim.toDouble(col("embedding")).as("v"))
+      .withColumn("vt", slice(col("v"), 1, prefix))
+      .withColumn("nrm", Sim.norm2(col("v")))
+      .withColumn("nrmt", Sim.norm2(col("vt")))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("vt").as("qvt"), col("nrm").as("qnrm"), col("nrmt").as("qnrmt"))
+    val npF = col("qnrm") * col("nrm")
+    val npT = col("qnrmt") * col("nrmt")
+    // one pair stream, both scores, two bounded heaps — the heap's
+    // payload tie-break (smaller id) matches ORDER BY sim DESC, nb
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"),
+        when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
+          .otherwise(lit(-1.0)).as("s_full"),
+        when(npT =!= 0.0, Sim.dot(col("qvt"), col("vt")) / npT)
+          .otherwise(lit(-1.0)).as("s_trunc"),
+        col("vec_id").as("nb"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by(col("s_full"), col("nb"), 1).as("hf"),
+        top_k_by(col("s_trunc"), col("nb"), 1).as("ht"))
+      .select(col("q_id").as("vec_id"),
+        col("hf")(0)("payload").as("nn_full"),
+        col("ht")(0)("payload").as("nn_trunc"),
+        (col("hf")(0)("payload") === col("ht")(0)("payload"))
+          .cast("int").as("agree"))
+  }
 
   /** k-NN label agreement (k = 10): for each vector, the fraction of
     * its cosine nearest neighbors sharing its label; low agreement

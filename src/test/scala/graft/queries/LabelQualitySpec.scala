@@ -146,4 +146,31 @@ class LabelQualitySpec extends AnyFunSuite {
           s"clean $id in an untouched cluster looks hard (margin=$margin)")
     }
   }
+
+  test("q200 discriminates prefix-informative from suffix-informative embeddings") {
+    // Planted clusters whose signal lives ONLY in dims 1..16 (prefix)
+    // or ONLY in dims 49..64 (suffix); the other dims carry 1% noise.
+    // Exact top-1 id agreement is noise-fragile, so the pin is the
+    // SEMANTIC claim: under prefix truncation, the retrieved neighbor
+    // still lands in the query's cluster iff the prefix carries the
+    // structure.
+    def planted(signalLo: Int, signalHi: Int) = spark.range(200)
+      .selectExpr("id as vec_id",
+        s"""transform(sequence(1, 64), j -> cast(
+            CASE WHEN j >= $signalLo AND j <= $signalHi
+              THEN sin((id % 8) * 131 + j) + 0.05 * sin(id * 7919 + j * 13)
+              ELSE 0.01 * sin(id * 37 + j) END as float)) as embedding""")
+      .localCheckpoint(true)
+    def sameClusterFrac(emb: org.apache.spark.sql.DataFrame): Double = {
+      val rows = LabelQualityQueries.matryoshkaAgreement(emb, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      rows.count { case (q, nn) => q % 8 == nn % 8 }.toDouble / rows.length
+    }
+    val prefixFrac = sameClusterFrac(planted(1, 16))
+    val suffixFrac = sameClusterFrac(planted(49, 64))
+    assert(prefixFrac >= 0.95,
+      s"prefix-informative corpus must keep its neighborhoods ($prefixFrac)")
+    assert(suffixFrac <= 0.4,
+      s"suffix-informative corpus must lose its neighborhoods ($suffixFrac)")
+  }
 }
