@@ -18,7 +18,7 @@ object AnalyticsQueries {
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
-    q195EventPaths, q196MarkovTransitions, q199AssociationRules)
+    q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -1132,6 +1132,78 @@ object AnalyticsQueries {
           round(col("c") / col("n"), 4).as("p"))
         .orderBy(col("from_type"), col("to_type"))
     })
+
+  /** CUSUM changepoint detection on the per-type daily series — the
+    * sequential control chart (S_t = max(0, S_{t-1} + z_t − k), alarm
+    * at S_t > h) that catches slow drifts the point tests (q124/q192)
+    * miss. The clamp makes the recurrence non-linearizable (the q121
+    * EWMA power trick doesn't apply), so each type's ordered day
+    * series folds through ONE codegen'd `aggregate` lambda over a
+    * collected array — legal because the series is days-per-type
+    * (calendar-bounded, the q122 argument), never event rows; the
+    * heavy lifting (daily sums, the two-pass standardization) stays
+    * distributed. Both engines run the identical sequential float
+    * recurrence, so the 4dp round absorbs only the distributed-mean
+    * dust in z.
+    */
+  val q201Cusum = GraftQuery(
+    "q201_cusum",
+    "CUSUM control chart (k=0.5, h=4) over standardized daily sums",
+    Some("""WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS v
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+        FROM daily GROUP BY 1),
+      z AS (
+        SELECT daily.event_type, ds, (v - mu) / sd AS z,
+          ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY ds)
+            AS rn
+        FROM daily JOIN st ON daily.event_type = st.event_type),
+      c AS (
+        SELECT event_type, ds, rn, GREATEST(0, z - 0.5) AS s
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT z.event_type, z.ds, z.rn,
+          GREATEST(0, c.s + z.z - 0.5)
+        FROM z JOIN c ON z.event_type = c.event_type
+          AND z.rn = c.rn + 1)
+      SELECT event_type, ds, ROUND(s, 4) AS cusum,
+        CAST(CASE WHEN s > 4 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+      FROM c ORDER BY 1, 2"""),
+    (s, d) => cusumDaily(events(s, d))
+      .orderBy(col("event_type"), col("ds")))
+
+  /** The q201 pipeline over any (event_type, ts, value) frame —
+    * AnalyticsSpec pins the alarm behavior the stationary fixture
+    * can't show (a planted level shift must trip it). */
+  def cusumDaily(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+        .agg(sum(col("value")).as("v"))
+        .localCheckpoint(true) // feeds the moments AND the fold
+      val st = daily.groupBy(col("event_type"))
+        .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sd"))
+      daily.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"),
+          struct(col("ds"), ((col("v") - col("mu")) / col("sd")).as("z"))
+            .as("e"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("e"))).as("series"))
+        .withColumn("run", expr(
+          """aggregate(series,
+               cast(array() as array<struct<ds:date, s:double>>),
+               (acc, e) -> array_append(acc, named_struct(
+                 'ds', e.ds,
+                 's', greatest(cast(0.0 as double),
+                   if(size(acc) = 0, cast(0.0 as double),
+                      acc[size(acc) - 1].s) + e.z - 0.5d))))"""))
+        .select(col("event_type"), explode(col("run")).as("r"))
+        .select(col("event_type"), col("r.ds").as("ds"),
+          round(col("r.s"), 4).as("cusum"),
+          (col("r.s") > 4.0).cast("int").as("alarm"))
+  }
 
   /** Weekly seasonal decomposition of the daily event-value series —
     * the STL-lite every ops/forecast pipeline runs before modeling

@@ -101,6 +101,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(paths > 0)
   }
 
+  test("q201 CUSUM trips on a planted level shift and stays quiet on the fixture") {
+    import spark.implicits._
+    // 30 days at level 10, then 10 days shifted to 13 (~1.5 sd of the
+    // deterministic day-to-day wobble): the point tests see weak
+    // evidence per day, the cumulative chart must alarm in the tail
+    val shifted = (1 to 40).map { day =>
+      val base = if (day <= 30) 10.0 else 13.0
+      val d0 = java.time.LocalDate.of(2024, 1, 1).plusDays(day - 1)
+      ("drift", java.sql.Timestamp.valueOf(s"$d0 00:00:00"),
+        base + 0.5 * math.sin(day.toDouble))
+    }.toDF("event_type", "ts", "value")
+    val out = AnalyticsQueries.cusumDaily(shifted).collect()
+      .sortBy(r => r.getDate(1).toString)
+    assert(out.take(30).forall(_.getInt(3) === 0),
+      "pre-shift days must not alarm")
+    assert(out.takeRight(5).exists(_.getInt(3) === 1),
+      "the shifted tail must trip the alarm")
+    // fixture: stationary series, no alarms (matches the oracle rows)
+    val fx = AnalyticsQueries.q201Cusum
+      .run(spark, graft.SparkTestSession.Sf0001).collect()
+    assert(fx.map(_.getInt(3)).sum === 0)
+  }
+
   test("q190 residuals average to zero within each (event_type, dow) cell") {
     val out = AnalyticsQueries.q190SeasonalDecompose
       .run(spark, graft.SparkTestSession.Sf0001).collect()
