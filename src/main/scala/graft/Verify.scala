@@ -15,6 +15,13 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd filter name must fail loudly — a silent empty run (and
+    // empty oracle_sql.json) reads as a green no-op locally
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>

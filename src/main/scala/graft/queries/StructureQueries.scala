@@ -107,13 +107,8 @@ object StructureQueries {
     (s, d) => {
       val yCounts = graft.sources.CopurchaseLayout.yesterdayPairCounts(s, d)
       val yTri = graft.sources.CopurchaseLayout.yesterdayTriangles(s, d)
-      val li = lineitem(s, d)
-        .where(pmod(col("l_orderkey"), lit(10)) >= 8)
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
-      val waveCounts = a.join(b, col("l_orderkey") === col("ok_b") &&
-          col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val waveCounts = graft.sources.CopurchaseLayout.derivePairCounts(
+        lineitem(s, d).where(pmod(col("l_orderkey"), lit(10)) >= 8))
       val merged = yCounts.union(waveCounts)
         .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
         .localCheckpoint(true) // feeds the pruned graph AND the delta

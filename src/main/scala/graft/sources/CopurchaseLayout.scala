@@ -26,14 +26,22 @@ object CopurchaseLayout {
 
   /** Live derivation: unordered part pairs (u < v) co-purchased in the
     * same order, with co-occurrence counts. The self-join is within
-    * the order key — fan-out bounded by basket size², never corpus². */
-  def derivePairCounts(s: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(s, sfDir)
+    * the order key — fan-out bounded by basket size², never corpus².
+    *
+    * This overload takes a (possibly pre-filtered) lineitem frame and
+    * is THE pair-multiplicity convention: the full table, the
+    * yesterday slice, and q191's wave all derive through this one body
+    * (previously three inline copies that could drift on the u < v
+    * normalization or the count semantics). */
+  def derivePairCounts(li: DataFrame): DataFrame = {
     val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
     a.join(b, col("l_orderkey") === col("ok_b") && col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
   }
+
+  def derivePairCounts(s: SparkSession, sfDir: String): DataFrame =
+    derivePairCounts(Tables.lineitem(s, sfDir))
 
   /** (u, v, c) pair counts for `sfDir` — derived and written once,
     * read from the layout afterwards. */
@@ -55,12 +63,8 @@ object CopurchaseLayout {
     val dir =
       s"${SourceLayout.root("graft_copurchase", sfDir)}/yesterday_v$LayoutVersion"
     SourceLayout.writeOnce(dir) {
-      val li = Tables.lineitem(s, sfDir)
-        .where(pmod(col("l_orderkey"), lit(10)) <= 7)
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
-      a.join(b, col("l_orderkey") === col("ok_b") && col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      derivePairCounts(Tables.lineitem(s, sfDir)
+          .where(pmod(col("l_orderkey"), lit(10)) <= 7))
         .write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)

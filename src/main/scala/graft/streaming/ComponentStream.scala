@@ -30,9 +30,24 @@ import graft.text.Components
 final class ComponentMaintainer(spark: SparkSession, stateDir: String,
                                 initial: DataFrame) {
 
-  @volatile private var epoch = 0
-  initial.select(col("node"), col("component"))
-    .write.mode("overwrite").parquet(s"$stateDir/epoch0")
+  // Restart recovery: resume from the highest COMPLETE (_SUCCESS-marked)
+  // epoch already on disk — a maintainer that unconditionally rewrote
+  // epoch0 with `initial` would silently discard every merged wave on
+  // restart. Only a virgin stateDir seeds epoch0 from `initial`; a
+  // half-written epoch dir (no _SUCCESS) is ignored and overwritten by
+  // the next update.
+  @volatile private var epoch = {
+    val base = new java.io.File(stateDir)
+    val done = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("epoch\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop("epoch".length).toInt)
+    if (done.isEmpty) {
+      initial.select(col("node"), col("component"))
+        .write.mode("overwrite").parquet(s"$stateDir/epoch0")
+      0
+    } else done.max
+  }
 
   /** The live (node, component) assignment (current epoch read-back). */
   def current: DataFrame = spark.read.parquet(s"$stateDir/epoch$epoch")

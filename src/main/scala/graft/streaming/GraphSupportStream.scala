@@ -22,8 +22,13 @@ case class EdgeRow(u: Long, v: Long)
 
 /** Per-pair support state: which orders have contributed (replay
   * suppression — a re-delivered basket adds no new orders, so counts
-  * never inflate) and the accumulated wave count. */
-case class PairSupport(seen: Seq[Long], waveCount: Long)
+  * never inflate) and the accumulated wave count. `seen` is bounded by
+  * the pair's PRE-threshold contributions only: at the crossing the
+  * processor emits and collapses the state to an `emitted` tombstone
+  * (post-threshold contributions are ignored anyway), so a popular
+  * pair's state never grows with its popularity. */
+case class PairSupport(seen: Seq[Long], waveCount: Long,
+    emitted: Boolean)
 
 /** Keyed by the (u, v) pair: accumulate wave-side support on top of
   * the static yesterday count and emit the pair ONCE, in the
@@ -48,25 +53,35 @@ class PairSupportProcessor(threshold: Long)
   override def handleInputRows(key: (Long, Long),
       rows: Iterator[PairContrib],
       timerValues: TimerValues): Iterator[EdgeRow] = {
-    val rs = rows.toSeq
-    val prev = Option(st.get()).getOrElse(PairSupport(Seq.empty, 0L))
-    // one contribution per order, first occurrence wins: a basket
-    // replayed in the SAME batch carries identical multiplicity, so
-    // dropping repeats loses nothing
-    val fresh = rs.groupBy(_.orderkey).view
-      .filterKeys(o => !prev.seen.contains(o))
-      .mapValues(_.head.mult).toMap
-    if (fresh.isEmpty) Iterator.empty
+    val prev = Option(st.get()).getOrElse(PairSupport(Seq.empty, 0L, false))
+    // Already emitted: post-threshold contributions can never matter
+    // (the pair fired exactly once, counts only grow), so the batch is
+    // dropped in O(1) and the tombstone state stays constant-size.
+    if (prev.emitted) Iterator.empty
     else {
-      val yc = rs.head.yc
-      val next = PairSupport(prev.seen ++ fresh.keys,
-        prev.waveCount + fresh.values.sum)
-      st.update(next)
-      val before = yc + prev.waveCount
-      val after = yc + next.waveCount
-      if (before < threshold && after >= threshold)
-        Iterator.single(EdgeRow(key._1, key._2))
-      else Iterator.empty
+      val rs = rows.toSeq
+      // one contribution per order, first occurrence wins: a basket
+      // replayed in the SAME batch carries identical multiplicity, so
+      // dropping repeats loses nothing
+      val fresh = rs.groupBy(_.orderkey).view
+        .filterKeys(o => !prev.seen.contains(o))
+        .mapValues(_.head.mult).toMap
+      if (fresh.isEmpty) Iterator.empty
+      else {
+        val yc = rs.head.yc
+        val waveCount = prev.waveCount + fresh.values.sum
+        // while un-emitted, yc + prev.waveCount < threshold is an
+        // invariant (upstream filters yc >= threshold; the state below
+        // only stays un-emitted when the total is still short), so a
+        // crossing check on `after` alone is the full before/after test
+        if (yc + waveCount >= threshold) {
+          st.update(PairSupport(Seq.empty, waveCount, emitted = true))
+          Iterator.single(EdgeRow(key._1, key._2))
+        } else {
+          st.update(PairSupport(prev.seen ++ fresh.keys, waveCount, false))
+          Iterator.empty
+        }
+      }
     }
   }
 }

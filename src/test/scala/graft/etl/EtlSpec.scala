@@ -109,7 +109,8 @@ class EtlSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // shuffled unique keys over more rows than partitions; parts=4 so
     // several partitions are non-trivially filled AND offsets matter
-    val keys = scala.util.Random.shuffle((1 to 103).toList)
+    // seeded: a failure must reproduce the exact partition layout
+    val keys = new scala.util.Random(42).shuffle((1 to 103).toList)
     val df = keys.map(k => (k, s"v$k")).toDF("k", "v").repartition(7)
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.etl.GlobalRank.withGlobalId(df, Seq(col("k")), parts = 4)
@@ -134,7 +135,7 @@ class EtlSpec extends AnyFunSuite {
     // heavily skewed keys (80/20/3 rows) shuffled, so range partitions
     // split the big key across several partitions and per-key offsets
     // genuinely matter
-    val rows = scala.util.Random.shuffle(
+    val rows = new scala.util.Random(42).shuffle(
       (1 to 80).map(v => (0, v * 7 % 97)) ++   // distinct order values
         (1 to 20).map(v => (1, v)) ++
         (1 to 3).map(v => (2, v)))

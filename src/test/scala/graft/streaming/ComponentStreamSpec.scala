@@ -55,4 +55,29 @@ class ComponentStreamSpec extends AnyFunSuite {
       assert(after.forall { case (n, c) => c <= n })
     } finally q.stop()
   }
+
+  test("a restarted maintainer resumes from the last complete epoch, not epoch0") {
+    val dir = java.nio.file.Files.createTempDirectory("compresume").toString
+    val initial = Components.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"))
+    val m1 = new ComponentMaintainer(spark, dir, initial)
+    m1.update(Seq((2L, 10L)).toDF("src", "dst")) // merges the clusters
+    val merged = m1.current.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // crash + restart: a fresh maintainer over the same stateDir gets
+    // the ORIGINAL initial assignment again — it must discard it and
+    // re-open at the merged epoch1, not silently rewind to epoch0
+    val m2 = new ComponentMaintainer(spark, dir, initial)
+    val resumed = m2.current.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === merged,
+      s"restart rewound the maintainer: $resumed != $merged")
+    assert(resumed(10L) === 1L, "the pre-crash merge must survive restart")
+
+    // and the resumed maintainer keeps advancing from there
+    m2.update(Seq((11L, 20L)).toDF("src", "dst"))
+    assert(m2.current.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap.apply(20L) === 1L)
+  }
 }

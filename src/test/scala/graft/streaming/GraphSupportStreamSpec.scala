@@ -26,11 +26,7 @@ class GraphSupportStreamSpec extends AnyFunSuite {
     // batch-side ground truth: the q191 merge
     val li = Tables.lineitem(spark, d)
       .where(pmod(col("l_orderkey"), lit(10)) >= 8)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
-    val waveCounts = a.join(b, col("l_orderkey") === col("ok_b") &&
-        col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val waveCounts = CopurchaseLayout.derivePairCounts(li)
     val mergedE = yCounts.union(waveCounts)
       .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
       .where(col("c") >= 2).select(col("u"), col("v"))
