@@ -21,7 +21,8 @@ object LabelQualityQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement,
-      q166HardNegatives, q177CentroidConfusion, q200MatryoshkaAgreement)
+      q166HardNegatives, q177CentroidConfusion, q200MatryoshkaAgreement,
+      q202IvfHardNegatives, q203IvfMatryoshkaAgreement)
 
   /** Matryoshka truncation fidelity — does the 16-dim PREFIX of each
     * embedding retrieve the same nearest neighbor as the full vector?
@@ -32,9 +33,10 @@ object LabelQualityQueries {
     * discipline (ties by smaller neighbor id, zero vectors scored
     * −1.0, the probed DuckDB convention). The all-pairs join is the
     * deliberate exact ground truth (q30/q141 precedent); the 100 TB
-    * path swaps the candidate source to IVF probes exactly as
-    * q141→q143 did. Low agreement says the prefix dims don't carry
-    * the neighborhood — don't ship the truncation.
+    * path swaps the candidate source to IVF probes, EXECUTED as
+    * [[q203IvfMatryoshkaAgreement]] with this identical downstream.
+    * Low agreement says the prefix dims don't carry the neighborhood
+    * — don't ship the truncation.
     */
   val q200MatryoshkaAgreement = GraftQuery(
     "q200_matryoshka_agreement",
@@ -79,13 +81,25 @@ object LabelQualityQueries {
     val npT = col("qnrmt") * col("nrmt")
     // one pair stream, both scores, two bounded heaps — the heap's
     // payload tie-break (smaller id) matches ORDER BY sim DESC, nb
-    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"),
-        when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
-          .otherwise(lit(-1.0)).as("s_full"),
-        when(npT =!= 0.0, Sim.dot(col("qvt"), col("vt")) / npT)
-          .otherwise(lit(-1.0)).as("s_trunc"),
-        col("vec_id").as("nb"))
+    matryoshkaOverPairs(
+      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"),
+          when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
+            .otherwise(lit(-1.0)).as("s_full"),
+          when(npT =!= 0.0, Sim.dot(col("qvt"), col("vt")) / npT)
+            .otherwise(lit(-1.0)).as("s_trunc"),
+          col("vec_id").as("nb")))
+  }
+
+  /** The shared tail of q200/q203: a (q_id, s_full, s_trunc, nb)
+    * candidate stream through the two bounded 1-element heaps into the
+    * agreement columns — the candidate SOURCE (all pairs vs IVF-probed
+    * cells) is the only difference between the twins, the q141/q143
+    * convention. */
+  private def matryoshkaOverPairs(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKByScore.top_k_by
+    pairs
       .groupBy(col("q_id"))
       .agg(top_k_by(col("s_full"), col("nb"), 1).as("hf"),
         top_k_by(col("s_trunc"), col("nb"), 1).as("ht"))
@@ -94,6 +108,59 @@ object LabelQualityQueries {
         col("ht")(0)("payload").as("nn_trunc"),
         (col("hf")(0)("payload") === col("ht")(0)("payload"))
           .cast("int").as("agree"))
+  }
+
+  /** q200's 100 TB form, EXECUTED (round-6 verdict item #1, closing
+    * the q141→q143 pattern): the candidate source swaps from the
+    * O(n²) all-pairs stream to the IVF-probed cells — each vector
+    * scores only the corpus inside its `nProbe` nearest quantizer
+    * cells (cells from the FULL-dim geometry: the prefix is the
+    * candidate's second SCORE, not a second index) — and the
+    * downstream two-heap agreement is IDENTICAL (same
+    * [[matryoshkaOverPairs]] call as the exact twin). Rows-only at the
+    * gate (quantizer cell boundaries are engine-specific);
+    * LabelQualitySpec pins ≥ 0.9 per-row agreement parity vs q200 on
+    * the fixture and the same prefix/suffix discrimination on planted
+    * corpora.
+    */
+  val q203IvfMatryoshkaAgreement = GraftQuery(
+    "q203_ivf_matryoshka_agreement",
+    "full-vs-prefix top-1 agreement with IVF-probed candidates (q200's 100 TB swap-in)",
+    None,
+    (s, d) => ivfMatryoshkaAgreement(
+      embeddings(s, d).select(col("vec_id"), col("embedding")), 16,
+      index = Some(graft.sources.IvfLayout.index(s, d)))
+      .orderBy(col("vec_id")))
+
+  /** The q203 plan over any (vec_id, embedding) frame; `index` lets
+    * the catalog entry read the shared write-once quantizer
+    * ([[graft.sources.IvfLayout]], shared with q83/q143/q202). */
+  def ivfMatryoshkaAgreement(emb: org.apache.spark.sql.DataFrame,
+      prefix: Int, nCells: Int = 16, nProbe: Int = 4,
+      index: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.text.Ivf
+    val (indexed, centroids) =
+      index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
+    val e = indexed
+      .withColumn("vt", slice(col("v"), 1, prefix))
+      .withColumn("nrm", Sim.norm2(col("v")))
+      .withColumn("nrmt", Sim.norm2(col("vt")))
+      .localCheckpoint(true) // feeds both the query and candidate side
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("vt").as("qvt"), col("nrm").as("qnrm"), col("nrmt").as("qnrmt"))
+    val probes = Ivf.probeCells(q, centroids, nProbe)
+    val npF = col("qnrm") * col("nrm")
+    val npT = col("qnrmt") * col("nrmt")
+    matryoshkaOverPairs(
+      probes.join(e, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"),
+          when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
+            .otherwise(lit(-1.0)).as("s_full"),
+          when(npT =!= 0.0, Sim.dot(col("qvt"), col("vt")) / npT)
+            .otherwise(lit(-1.0)).as("s_trunc"),
+          col("vec_id").as("nb")))
   }
 
   /** k-NN label agreement (k = 10): for each vector, the fraction of
@@ -254,7 +321,8 @@ object LabelQualityQueries {
     * than the nearest positive, exactly the examples a metric-learning
     * pass needs. Plan: the q141 all-pairs candidate stream (the
     * oracle-checkable ground truth; the 100 TB candidate source swaps
-    * to the IVF cells of q143 with this identical downstream) into TWO
+    * to the IVF cells, EXECUTED as [[q202IvfHardNegatives]] with this
+    * identical downstream) into TWO
     * bounded 1-element heaps per anchor — a `when` routes each pair to
     * its class heap and nulls never enter ([[graft.functions.TopKByScore]]
     * skips them), so one aggregate pass computes both sides with
@@ -305,11 +373,21 @@ object LabelQualityQueries {
     val q = e.select(col("vec_id").as("q_id"), col("label").as("la"),
       col("v").as("qv"), col("nrm").as("qnrm"))
     val np = col("qnrm") * col("nrm")
-    val pairs = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("la"), col("vec_id").as("nb"),
-        col("label").as("lb"),
-        when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
-          .otherwise(lit(-1.0)).as("cos"))
+    tripletOverPairs(
+      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("la"), col("vec_id").as("nb"),
+          col("label").as("lb"),
+          when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
+            .otherwise(lit(-1.0)).as("cos")))
+  }
+
+  /** The shared tail of q166/q202: a (q_id, la, nb, lb, cos)
+    * candidate stream through the two class-routed bounded heaps into
+    * the triplet columns — only the candidate SOURCE (all pairs vs
+    * IVF-probed cells) differs between the twins. */
+  private def tripletOverPairs(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKByScore.top_k_by
     val best = pairs
       .groupBy(col("q_id"), col("la"))
       .agg(
@@ -329,6 +407,64 @@ object LabelQualityQueries {
       round(tn.getField("score"), 4).as("neg_sim"),
       round(margin, 4).as("margin"),
       when(margin <= 0, 1).otherwise(0).as("is_hard"))
+  }
+
+  /** q166's 100 TB form, EXECUTED (round-6 verdict item #1): the
+    * candidate source swaps from the O(n²) all-pairs stream to the
+    * IVF-probed cells — each anchor mines its positive and its hard
+    * negative from the corpus inside its `nProbe` nearest quantizer
+    * cells, cost O(n · nProbe / nCells) per anchor — and the
+    * downstream class-routed two-heap aggregate is IDENTICAL (same
+    * [[tripletOverPairs]] call as the exact twin). Mining from the
+    * neighborhood is exactly batch-hard semantics: a negative outside
+    * the probed cells is by construction not a HARD negative. One
+    * honest divergence from the exact twin: a badly mislabeled anchor
+    * whose claimed class is entirely ABSENT from its probed
+    * neighborhood gets a null positive (the singleton-label
+    * convention) — a strictly stronger mislabel signal the all-pairs
+    * form can't produce, pinned as such in LabelQualitySpec.
+    * Rows-only at the gate (quantizer cell boundaries are
+    * engine-specific); LabelQualitySpec pins ≥ 0.9 per-row triplet
+    * parity vs q166 and the same corrupted-label discrimination on
+    * planted clusters.
+    */
+  val q202IvfHardNegatives = GraftQuery(
+    "q202_ivf_hard_negatives",
+    "triplet mining with IVF-probed candidates (q166's 100 TB swap-in)",
+    None,
+    (s, d) => ivfHardNegatives(embeddings(s, d),
+      index = Some(graft.sources.IvfLayout.index(s, d)))
+      .orderBy(col("vec_id")))
+
+  /** The q202 plan over any (vec_id, embedding, label) frame; `index`
+    * lets the catalog entry read the shared write-once quantizer
+    * ([[graft.sources.IvfLayout]], shared with q83/q143/q203). Same
+    * norm-precompute + zero-vector −1.0 convention as the exact twin. */
+  def ivfHardNegatives(emb: org.apache.spark.sql.DataFrame,
+      nCells: Int = 16, nProbe: Int = 4,
+      index: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.text.Ivf
+    val (indexed, centroids) =
+      index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
+    // the label rides back onto the indexed corpus once (the q143
+    // shape): queries read it as `la` through probeCells' pass-through,
+    // candidates as `lb` from the same checkpointed frame
+    val e = indexed
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .withColumn("nrm", Sim.norm2(col("v")))
+      .localCheckpoint(true) // feeds both the query and candidate side
+    val queries = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"), col("label").as("la"))
+    val probes = Ivf.probeCells(queries, centroids, nProbe)
+    val np = col("qnrm") * col("nrm")
+    tripletOverPairs(
+      probes.join(e, Seq("cell")).where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("la"), col("vec_id").as("nb"),
+          col("label").as("lb"),
+          when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
+            .otherwise(lit(-1.0)).as("cos")))
   }
 
   /** Centroid-distance outliers: cosine of each vector to its LABEL

@@ -29,15 +29,24 @@ object IvfLayout {
     s"${SourceLayout.root("graft_ivf", sfDir)}/c${nCells}_s${seed}_i${maxIter}_v$LayoutVersion"
 
   /** (indexed corpus, centroids) for the embeddings table at `sfDir` —
-    * fit + written once per spec, read from the layout afterwards. */
-  def index(s: SparkSession, sfDir: String, nCells: Int = 16,
+    * fit + written once per spec, read from the layout afterwards.
+    * `nCells = 0` (the default) dispatches the geometry on the corpus
+    * count via [[Ivf.cellsFor]] — the measured-crossover rule; the
+    * resolved count is part of the layout directory, so a corpus grown
+    * past a geometry breakpoint re-fits rather than silently reusing
+    * stale cells. The count itself is parquet-footer metadata, not a
+    * scan. */
+  def index(s: SparkSession, sfDir: String, nCells: Int = 0,
             seed: Long = 42L, maxIter: Int = 8): (DataFrame, DataFrame) = {
-    val base = root(sfDir, nCells, seed, maxIter)
+    val cells =
+      if (nCells > 0) nCells
+      else Ivf.cellsFor(Tables.embeddings(s, sfDir).count())
+    val base = root(sfDir, cells, seed, maxIter)
     val corpusDir = s"$base/corpus"
     val centDir = s"$base/centroids"
     SourceLayout.writeOnce(centDir) {
       val (indexed, centroids) =
-        Ivf.buildIndex(Tables.embeddings(s, sfDir), nCells, seed, maxIter)
+        Ivf.buildIndex(Tables.embeddings(s, sfDir), cells, seed, maxIter)
       // corpus first: the centroid _SUCCESS is the layout's completion
       // marker, so a half-written pair is never re-registered
       indexed.write.mode("overwrite").parquet(corpusDir)

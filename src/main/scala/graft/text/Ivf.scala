@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Count-driven quantizer geometry — the IVF application of the
+    * measured fixed-geometry lesson (tools/CrossoverBench, round 6:
+    * fixed LSH plane counts INVERT at scale, hence
+    * [[Dedup.lshPlanesFor]]; a fixed 16-cell IVF has the same failure
+    * mode — cell size grows O(n), so the probed candidate set stays a
+    * constant fraction of the corpus and the "index" degenerates to a
+    * 25% brute-force scan).
+    *
+    * Quarter-sqrt law, clamped: `max(16, min(65536, √n / 4))`.
+    *  - √n keeps the two cost legs balanced: the probe stage scores
+    *    n·nCells query↔centroid dots, the search stage
+    *    n·nProbe·(n/nCells) candidate dots — both Θ(n^1.5) at
+    *    nCells = Θ(√n), whereas fixed cells make the search leg Θ(n²)
+    *    and per-vector-target cells make the probe leg Θ(n²).
+    *  - /4 keeps cells ~16× fatter than plain √n, so the geometry
+    *    resolves to the legacy fixed 16 at every fixture scale
+    *    (n ≤ 4096) — recall pins and layout dirs are unchanged until
+    *    the corpus is big enough for geometry to matter (the
+    *    lshPlanesFor dispatch pattern exactly).
+    *  - the 65536 cap keeps the centroid table broadcastable by
+    *    construction (64-dim doubles → ≤ 34 MB) at any corpus size;
+    *    past it, recall is bought with nProbe, not more cells.
+    */
+  def cellsFor(n: Long): Int =
+    math.max(16L, math.min(65536L, math.sqrt(n.toDouble).toLong / 4)).toInt
+
   /** Corpus with a `cell` column from the fitted quantizer, plus the
     * centroid table (nCells rows — broadcastable by construction). */
   def buildIndex(emb: DataFrame, nCells: Int = 16, seed: Long = 42L,

@@ -139,6 +139,19 @@ object CrossoverBench {
         graft.queries.CurationQueries.semanticDedup(emb,
           graft.text.Dedup.embeddingDupPairsLsh(emb, 0.4, dim = 64,
             planes = planes)))
+      // IVF geometry A/B (round-6 verdict #2, the lshPlanesFor lesson
+      // applied to cells): fixed 16 cells keep the probed candidate
+      // set a CONSTANT fraction of the corpus (nProbe/16 = 25% — brute
+      // force with extra steps), while cellsFor(n) shrinks it as
+      // nProbe·4/√n. Timed end-to-end (quantizer fit + probe + search)
+      // as k=1 self-retrieval — the q83 shape.
+      val cells = graft.text.Ivf.cellsFor(emb.count())
+      time("ivf_ann_fixed_c16")(
+        graft.text.Ivf.ivfCosineTopK(emb, lit(true), k = 1, nCells = 16,
+          maxIter = 8))
+      time(s"ivf_ann_adaptive_c$cells")(
+        graft.text.Ivf.ivfCosineTopK(emb, lit(true), k = 1,
+          nCells = cells, maxIter = 8))
     }
     spark.stop()
   }

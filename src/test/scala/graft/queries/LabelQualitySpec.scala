@@ -147,6 +147,91 @@ class LabelQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q202 IVF triplets: >= 0.9 per-row parity with q166, same discrimination") {
+    val exact = LabelQualityQueries.hardNegatives(labeled)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    val rows = LabelQualityQueries.ivfHardNegatives(labeled)
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4)),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6), r.getInt(7)))
+    // every anchor's own cell is among its probes, so no anchor may
+    // vanish from the output
+    assert(rows.length === exact.size, "IVF form dropped anchors")
+    // per-row triplet parity (both pos_id and neg_id equal the exact
+    // twin's): the probed cells are a candidate subset, so a triplet
+    // can only drift where the true pos/neg sits outside the probes —
+    // rare on planted clusters (the q143 >= 0.9 bar)
+    val matching = rows.count { case (id, ids, _, _) => exact(id) == ids }
+    val parity = matching.toDouble / rows.length
+    assert(parity >= 0.9, s"IVF/exact triplet parity $parity < 0.9")
+    // and the headline discrimination must survive the swap-in. A
+    // corrupted anchor under IVF flags one of two ways: a decisively
+    // negative margin (claimed-label points inside the probes, but a
+    // same-cluster twin closer), or an EMPTY positive heap (pos_id
+    // null — the claimed label's cluster is entirely absent from the
+    // anchor's probed neighborhood, the strictly stronger mislabel
+    // signal; the exact twin can't show this because it scans all
+    // pairs). Both are the shared downstream reporting faithfully.
+    rows.foreach { case (id, (posId, _), margin, isHard) =>
+      if (corrupted(id))
+        assert((isHard === 1 && margin < -0.1) || posId === -1L,
+          s"corrupted $id not flagged under IVF (margin=$margin, pos=$posId)")
+      else if (id % ClusteredEmbeddings.NumClusters >= 4)
+        assert(isHard === 0 && margin > 0,
+          s"clean $id in an untouched cluster looks hard under IVF (margin=$margin)")
+    }
+    // the null-positive escape hatch must be the corrupted anchors'
+    // signal, not fixture-wide noise: clean anchors sit inside their
+    // label's cluster, so their probes must (almost) always contain a
+    // same-label positive — if nulls were rampant the hatch would be
+    // vacuous
+    val cleanNullPos = rows.count { case (id, (posId, _), _, _) =>
+      !corrupted(id) && posId == -1L }
+    assert(cleanNullPos <= rows.length / 20,
+      s"$cleanNullPos clean anchors have null positives — the " +
+        "null-positive mislabel signal would be noise")
+  }
+
+  test("q203 IVF matryoshka: >= 0.9 per-row agreement parity with q200 on the clustered fixture") {
+    val emb = ClusteredEmbeddings.fixture(spark)
+      .select(col("vec_id"), col("embedding"))
+    val exact = LabelQualityQueries.matryoshkaAgreement(emb, 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val rows = LabelQualityQueries.ivfMatryoshkaAgreement(emb, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(rows.length === exact.size, "IVF form dropped query vectors")
+    val matching = rows.count { case (id, agree) => exact(id) == agree }
+    val parity = matching.toDouble / rows.length
+    assert(parity >= 0.9, s"IVF/exact agreement parity $parity < 0.9")
+  }
+
+  test("q203 keeps q200's prefix/suffix discrimination under IVF candidates") {
+    def planted(signalLo: Int, signalHi: Int) = spark.range(200)
+      .selectExpr("id as vec_id",
+        s"""transform(sequence(1, 64), j -> cast(
+            CASE WHEN j >= $signalLo AND j <= $signalHi
+              THEN sin((id % 8) * 131 + j) + 0.05 * sin(id * 7919 + j * 13)
+              ELSE 0.01 * sin(id * 37 + j) END as float)) as embedding""")
+      .localCheckpoint(true)
+    def sameClusterFrac(emb: org.apache.spark.sql.DataFrame): Double = {
+      val rows = LabelQualityQueries.ivfMatryoshkaAgreement(emb, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      rows.count { case (q, nn) => q % 8 == nn % 8 }.toDouble / rows.length
+    }
+    val prefixFrac = sameClusterFrac(planted(1, 16))
+    val suffixFrac = sameClusterFrac(planted(49, 64))
+    assert(prefixFrac >= 0.95,
+      s"prefix-informative corpus must keep its neighborhoods ($prefixFrac)")
+    assert(suffixFrac <= 0.4,
+      s"suffix-informative corpus must lose its neighborhoods ($suffixFrac)")
+  }
+
   test("q200 discriminates prefix-informative from suffix-informative embeddings") {
     // Planted clusters whose signal lives ONLY in dims 1..16 (prefix)
     // or ONLY in dims 49..64 (suffix); the other dims carry 1% noise.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -87,9 +87,90 @@ class PlanLintSpec extends AnyFunSuite {
         "(~30 at fixture, 365/year at any corpus size) — input is " +
         "calendar-bounded, not data-bounded"))
 
+  /** The labelled-quadratic register (round-6 verdict #3): the "every
+    * deliberate all-pairs form is paired with a flatter twin" invariant,
+    * previously prose discipline, machine-checked. Every catalog query
+    * whose executed plan contains a BroadcastNestedLoopJoin that the
+    * lint cannot prove bounded (build side fed by a scalar aggregate or
+    * a limit) must appear here, either as
+    *   `twin=<catalog query name>: <why this quadratic is the ground
+    *    truth and who its scale form is>`  — a deliberate all-pairs
+    *    ground truth, REQUIRED to name its executed flatter twin (the
+    *    twin name is validated against the catalog), or
+    *   `bounded: <why the build side is O(1)-ish by construction>` —
+    *    a broadcast attach whose row count is a model constant
+    *    (labels, centroids, quantiles…), not a corpus statistic.
+    * A new unpaired quadratic therefore fails CI by construction.
+    */
+  private val labelledQuadratics: Map[String, String] = Map(
+    // ---- deliberate all-pairs ground truths, each naming its executed
+    // flatter twin (the SCALING.md crossover families) ----
+    "q30_cosine_topk" ->
+      ("twin=q83_ann_join: brute-force cosine top-k is the exact " +
+        "baseline; the IVF cell join is the measured 100 TB form"),
+    "q46_embedding_dups" ->
+      ("twin=q144_lsh_semantic_dedup: the family's one LIVE exact pair " +
+        "derivation, kept as the measured crossover baseline; sign-LSH " +
+        "buckets are the scale form"),
+    "q141_knn_label_agreement" ->
+      ("twin=q143_ann_label_agreement: exact kNN agreement is the " +
+        "oracle-checkable ground truth; IVF-probed candidates are the " +
+        "parity-pinned scale form"),
+    "q166_hard_negatives" ->
+      ("twin=q202_ivf_hard_negatives: exact triplet mining ground " +
+        "truth; IVF-probed candidates are the parity-pinned scale form"),
+    "q200_matryoshka_agreement" ->
+      ("twin=q203_ivf_matryoshka_agreement: exact full-vs-prefix " +
+        "agreement ground truth; IVF-probed candidates are the " +
+        "parity-pinned scale form"),
+    // ---- bounded-by-construction broadcast sides: the build side's
+    // row count is a model/domain constant, not a corpus statistic ----
+    "q34_activity_rank" ->
+      ("bounded: rank map self-join runs on the per-user-count " +
+        "DISTRIBUTION (rows <= max events per user), never the user table"),
+    "q87_retention" ->
+      "bounded: 4-row literal day-offset frame broadcast onto cohorts",
+    "q125_chi2_drift" ->
+      "bounded: per-language totals attach (rows = |langs|)",
+    "q189_neyman_alloc" ->
+      ("bounded: fractional-premium rank self-join over the per-" +
+        "event-type table (rows = |event types|)"),
+    "q177_centroid_confusion" ->
+      "bounded: label-centroid table attach (rows = |labels|)",
+    "q83_ann_join" ->
+      ("bounded: IVF centroid probe (rows = nCells, capped 65536 by " +
+        "Ivf.cellsFor); the candidate join itself is equi on cell"),
+    "q143_ann_label_agreement" ->
+      ("bounded: IVF centroid probe (nCells cap 65536); candidate " +
+        "join equi on cell"),
+    "q202_ivf_hard_negatives" ->
+      ("bounded: IVF centroid probe (nCells cap 65536); candidate " +
+        "join equi on cell"),
+    "q203_ivf_matryoshka_agreement" ->
+      ("bounded: IVF centroid probe (nCells cap 65536); candidate " +
+        "join equi on cell"))
+
+  /** Is this BNLJ's broadcast side provably tiny — fed by a scalar
+    * (groupless) aggregate or a limit? Those are the 1-row/≤k-row
+    * scalar attaches that are legal without registration. */
+  private def boundedBuildSide(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+      case _ => b.right
+    }
+    nodes(build).exists { case (p, _) =>
+      isScalarAgg(p) || (unwrap(p) match {
+        case _: GlobalLimitExec | _: CollectLimitExec |
+            _: TakeOrderedAndProjectExec => true
+        case _ => false
+      })
+    }
+  }
+
   test("no catalog plan contains a scale-killer shape (sweep at sf0.001)") {
     val d = SparkTestSession.Sf0001
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val quadratics = scala.collection.mutable.Set.empty[String]
     Catalog.all.foreach { q =>
       val df = q.run(spark, d)
       // execute through the noop sink so AQE finalizes every stage —
@@ -99,6 +180,12 @@ class PlanLintSpec extends AnyFunSuite {
       all.foreach {
         case (_: CartesianProductExec, _) =>
           violations += s"${q.name}: CartesianProduct"
+        case (b: BroadcastNestedLoopJoinExec, _) if !boundedBuildSide(b) =>
+          quadratics += q.name
+          if (!labelledQuadratics.contains(q.name))
+            violations += s"${q.name}: unregistered BroadcastNestedLoopJoin " +
+              "(label it in labelledQuadratics with its twin, or prove the " +
+              "build side bounded)"
         case (s: ShuffleExchangeExec, parent)
             if s.outputPartitioning == SinglePartition =>
           val bounded = isScalarAgg(s.child) ||
@@ -120,6 +207,23 @@ class PlanLintSpec extends AnyFunSuite {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
+    // register validation: twins must be real catalog queries, and the
+    // register must be EXACT — a stale entry (query no longer planning
+    // a BNLJ) is as much drift as a missing one
+    val names = Catalog.all.map(_.name).toSet
+    labelledQuadratics.foreach { case (k, v) =>
+      assert(names.contains(k), s"labelledQuadratics has unknown query $k")
+      if (v.startsWith("twin=")) {
+        val twin = v.drop("twin=".length).takeWhile(_ != ':').trim
+        assert(names.contains(twin),
+          s"$k names nonexistent twin '$twin'")
+        assert(twin != k, s"$k cannot be its own twin")
+      } else assert(v.startsWith("bounded:"),
+        s"$k entry must start with 'twin=<name>:' or 'bounded:'")
+    }
+    val stale = labelledQuadratics.keySet -- quadratics
+    assert(stale.isEmpty,
+      s"labelledQuadratics entries no longer planning a BNLJ: $stale")
     assert(violations.isEmpty,
       s"scale-killer plan shapes found:\n  ${violations.mkString("\n  ")}")
   }

@@ -18,6 +18,22 @@ class IvfSpec extends AnyFunSuite {
     assert(cells > 1 && cells <= 8)
   }
 
+  test("cellsFor resolves to the legacy 16 at fixture scale and scales as sqrt(n)/4 beyond") {
+    // fixture regime: identical geometry to the historical fixed 16 —
+    // no layout churn, no recall-pin churn (the lshPlanesFor pattern)
+    Seq(40L, 500L, 2000L, 4096L).foreach(n =>
+      assert(Ivf.cellsFor(n) === 16, s"n=$n"))
+    // growth regime: quarter-sqrt, monotone
+    assert(Ivf.cellsFor(32_000L) === 44)
+    assert(Ivf.cellsFor(128_000L) === 89)
+    assert(Ivf.cellsFor(1_000_000_000L) === 7905)
+    val pts = Seq(4096L, 10_000L, 100_000L, 10_000_000L, 1_000_000_000_000L)
+      .map(Ivf.cellsFor)
+    assert(pts === pts.sorted, s"cellsFor must be monotone: $pts")
+    // broadcastability cap: the centroid table never exceeds 65536 rows
+    assert(Ivf.cellsFor(Long.MaxValue) === 65536)
+  }
+
   test("IVF top-k recall beats its probe fraction and full-probe is exact") {
     val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
     val isQ = col("vec_id") < 20
