@@ -18,7 +18,8 @@ object AnalyticsQueries {
     q122CumulativeDistinct, q123CoPurchase, q124AbTest, q125ChiSquareDrift,
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
-    q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum)
+    q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
+    q205Spearman, q206MannWhitney, q207KaplanMeier)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -1244,4 +1245,212 @@ object AnalyticsQueries {
           round(col("v") - col("s"), 4).as("residual"))
         .orderBy(col("event_type"), col("ds"))
     })
+
+  /** Spearman rank correlation (tied midranks) per group — the
+    * monotonic-association test q124/q192's parametric family can't
+    * give (Pearson on raw values is linear-only and outlier-fragile;
+    * Spearman is Pearson on RANKS). The classic distributed trap is
+    * ranking: a per-group window over corpus rows serializes each
+    * group through one task. This plan never ranks rows — both
+    * variables are low-cardinality, so midranks live on the VALUE
+    * DISTRIBUTION (the q34 rank-map shape): a per-(group, value)
+    * count, a cumulative sum over ≤|distinct values| rows per group,
+    * midrank = cnt_less + (c+1)/2, broadcast back, and `corr` of the
+    * two rank columns per group. At any corpus size the ranked table
+    * is the distribution, never the data.
+    */
+  val q205Spearman = GraftQuery(
+    "q205_spearman",
+    "Spearman rho (tied midranks) of quantity vs discount per returnflag",
+    Some("""WITH t AS (
+        SELECT l_returnflag AS flag, l_quantity AS q, l_discount AS dc
+        FROM lineitem),
+      r AS (
+        SELECT flag,
+          RANK() OVER (PARTITION BY flag ORDER BY q)
+            + (COUNT(*) OVER (PARTITION BY flag, q) - 1) / 2.0 AS rq,
+          RANK() OVER (PARTITION BY flag ORDER BY dc)
+            + (COUNT(*) OVER (PARTITION BY flag, dc) - 1) / 2.0 AS rd
+        FROM t)
+      SELECT flag AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(corr(rq, rd), 4) AS rho
+      FROM r GROUP BY 1 ORDER BY 1"""),
+    (s, d) => spearman(lineitem(s, d).select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("q"), col("l_discount").as("dc")))
+      .orderBy(col("l_returnflag")))
+
+  /** The q205 plan over any (flag, q, dc) frame — AnalyticsSpec pins
+    * hand values (perfect monotone → 1, anti-monotone → −1, and a
+    * tied case against the textbook tied-rank formula). */
+  def spearman(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val li = in.localCheckpoint(true) // feeds both distributions AND the scoring scan
+    // midranks on the (flag, value) distribution: the window runs
+    // over <= |distinct values| rows per flag, never corpus rows
+    def rankMap(vcol: String, out: String) = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      li.groupBy(col("flag"), col(vcol).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .select(col("flag"), col("v").as(vcol),
+          (col("cum") - col("c") + (col("c") + 1) / lit(2.0)).as(out))
+    }
+    li.join(broadcast(rankMap("q", "rq")), Seq("flag", "q"))
+      .join(broadcast(rankMap("dc", "rd")), Seq("flag", "dc"))
+      .groupBy(col("flag").as("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("rq"), col("rd")), 4).as("rho"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with tie correction — the
+    * nonparametric two-sample test next to q124's Welch t (which
+    * assumes normal-ish means; U compares whole distributions).
+    * Everything runs on the pooled VALUE DISTRIBUTION (the q205
+    * argument): midranks and per-group masses per distinct value, so
+    * R₁ = Σ cₐ(v)·midrank(v) is an aggregate over ≤|distinct values|
+    * rows — the corpus is touched by exactly one groupBy. The one
+    * ordered sweep (cumulative count) runs over that distribution,
+    * registered calendar-style in PlanLintSpec's bounded-window list.
+    * z uses the tie-corrected variance n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))).
+    */
+  val q206MannWhitney = GraftQuery(
+    "q206_mann_whitney",
+    "tie-corrected Mann-Whitney U + z for quantity, returnflag A vs R",
+    Some("""WITH t AS (
+        SELECT l_quantity AS v, l_returnflag AS f FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')),
+      d AS (
+        SELECT v, COUNT(*) AS c,
+          SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS ca
+        FROM t GROUP BY 1),
+      r AS (
+        SELECT v, c, ca,
+          SUM(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 AS mr
+        FROM d),
+      s AS (
+        SELECT SUM(ca) AS n1, SUM(c - ca) AS n2, SUM(ca * mr) AS r1,
+          SUM(c * c * c - c) AS ties
+        FROM r)
+      SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
+        ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) AS u,
+        ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+          sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+            - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z,
+        CAST(CASE WHEN ABS((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+          sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+            - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0))))) > 1.96
+          THEN 1 ELSE 0 END AS INTEGER) AS significant
+      FROM s"""),
+    (s, d) => mannWhitney(lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_quantity").as("v"),
+        (col("l_returnflag") === "A").as("is_a"))))
+
+  /** The q206 plan over any (v, is_a) frame — AnalyticsSpec pins a
+    * hand-computed U/z on a textbook two-sample case with ties. */
+  def mannWhitney(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dist = in.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_a"), 1).otherwise(0)).as("ca"))
+    // the pooled-distribution sweep: <= |distinct values| rows
+    val r = dist.withColumn("mr",
+      sum(col("c")).over(Window.orderBy(col("v")))
+        - col("c") + (col("c") + 1) / lit(2.0))
+    val agg = r.agg(sum(col("ca")).as("n1"),
+      sum(col("c") - col("ca")).as("n2"),
+      sum(col("ca") * col("mr")).as("r1"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val u = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    val z = (u - col("n1") * col("n2") / lit(2.0)) /
+      sqrt(col("n1") * col("n2") / lit(12.0) *
+        ((col("n1") + col("n2") + 1)
+          - col("ties") * lit(1.0) /
+            ((col("n1") + col("n2")) * (col("n1") + col("n2") - lit(1.0)))))
+    agg.select(col("n1").cast("long").as("n_a"),
+      col("n2").cast("long").as("n_r"),
+      round(u, 2).as("u"), round(z, 4).as("z"),
+      (abs(z) > 1.96).cast("int").as("significant"))
+  }
+
+  /** Kaplan–Meier survival over user lifetimes — right-censored "time
+    * to churn" (a user still active within 7 days of corpus end is
+    * censored, not churned; naive churn averages over-count exactly
+    * those). Per-user first/last days are one shuffle; everything
+    * after runs on the LIFETIME DISTRIBUTION (≤ observation-window
+    * days — calendar-bounded, the q122/q201 argument): risk sets from
+    * one cumulative sweep, and the product-limit curve
+    * S(t) = Π(1 − dᵢ/nᵢ) folds through one `aggregate` lambda over the
+    * single collected series (the q201 clamp-fold pattern; no ln/exp,
+    * so a time point where everyone at risk churns yields exactly 0 on
+    * both engines). The oracle replays the identical ordered product
+    * via DuckDB's product() window.
+    */
+  val q207KaplanMeier = GraftQuery(
+    "q207_kaplan_meier",
+    "Kaplan-Meier survival of user lifetime (churn = inactive 7d before end)",
+    Some("""WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fday,
+          MAX(CAST(ts AS DATE)) AS lday
+        FROM events GROUP BY 1),
+      e AS (SELECT MAX(lday) AS endd FROM u),
+      lt AS (
+        SELECT datediff('day', fday, lday) AS t,
+          CASE WHEN lday < endd - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churn
+        FROM u, e),
+      d AS (SELECT t, COUNT(*) AS m, SUM(churn) AS dd FROM lt GROUP BY 1),
+      r AS (
+        SELECT t, m, dd, SUM(m) OVER (ORDER BY t) AS cum,
+          (SELECT SUM(m) FROM d) AS total
+        FROM d),
+      k AS (
+        SELECT t, total - cum + m AS n_risk, dd, m - dd AS c,
+          product(1 - dd * 1.0 / (total - cum + m)) OVER (ORDER BY t) AS s
+        FROM r)
+      SELECT CAST(t AS INTEGER) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(dd AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        ROUND(s, 6) AS survival
+      FROM k ORDER BY t"""),
+    (s, d) => kaplanMeier(events(s, d)).orderBy(col("t")))
+
+  /** The q207 plan over any (user_id, ts) frame — AnalyticsSpec pins a
+    * textbook product-limit curve by hand and the censoring semantics
+    * (a censor-only time point must not move the curve). */
+  def kaplanMeier(ev: org.apache.spark.sql.DataFrame,
+      censorDays: Int = 7): org.apache.spark.sql.DataFrame = {
+    val day = to_date(col("ts"))
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(day).as("fday"), max(day).as("lday"))
+      .localCheckpoint(true) // feeds the end-of-observation scalar AND lifetimes
+    val endRow = u.agg(max(col("lday")).as("endd"))
+    val lt = u.crossJoin(broadcast(endRow))
+      .select(datediff(col("lday"), col("fday")).as("t"),
+        (col("lday") < date_sub(col("endd"), censorDays)).cast("long")
+          .as("churn"))
+    val dist = lt.groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("churn")).as("dd"))
+    dist
+        .agg(sort_array(collect_list(struct(col("t"), col("m"), col("dd"))))
+          .as("xs"), sum(col("m")).as("total"))
+        .withColumn("run", expr(
+          """aggregate(xs,
+               struct(total as n_next, cast(1.0 as double) as s,
+                 cast(array() as array<struct<
+                   t:int, n_risk:bigint, d:bigint, c:bigint, s:double>>)
+                   as out),
+               (acc, x) -> struct(
+                 acc.n_next - x.m,
+                 acc.s * (1.0d - cast(x.dd as double)
+                   / cast(acc.n_next as double)),
+                 array_append(acc.out, named_struct(
+                   't', x.t, 'n_risk', acc.n_next, 'd', x.dd,
+                   'c', x.m - x.dd,
+                   's', acc.s * (1.0d - cast(x.dd as double)
+                     / cast(acc.n_next as double))))),
+               acc -> acc.out)"""))
+        .select(explode(col("run")).as("r"))
+        .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+          col("r.d").as("d"), col("r.c").as("c"),
+          round(col("r.s"), 6).as("survival"))
+  }
 }

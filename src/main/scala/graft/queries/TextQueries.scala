@@ -21,7 +21,7 @@ object TextQueries {
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
     q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
-    q169ContainmentDedup)
+    q169ContainmentDedup, q204EditVerifyDedup)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -638,4 +638,75 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("sim"))
         .orderBy(col("doc_a"), col("doc_b"))
     })
+
+  /** Edit-distance VERIFICATION of near-dup candidates — the final
+    * exactness gate of a char-level dedup pipeline (Jaccard over
+    * 3-gram sets is order-insensitive and can score reshuffled text as
+    * a near-dup; bounded Levenshtein is the character-level truth).
+    * Plan: candidates come from the shingle-join stream at the q26
+    * threshold (the write-once [[graft.sources.ShingleLayout]] — edit
+    * distance is NEVER evaluated all-pairs), each pair re-joins its
+    * two normalized texts broadcast-free on doc_id, and the distance
+    * runs CAPPED (`levenshtein(a, b, 100)` → −1 past the cap): Spark
+    * computes the capped form with the banded O(cap·len) algorithm,
+    * so per-pair cost is linear in text length, not quadratic — that
+    * cap is the 100 TB knob. A pair is a verified dup when the capped
+    * distance lands within 20 % of the longer text. The oracle replays
+    * the cap as CASE over DuckDB's full `levenshtein` (same
+    * unit-cost insert/delete/substitute metric on both engines).
+    */
+  val q204EditVerifyDedup = GraftQuery(
+    "q204_edit_verify_dedup",
+    "capped Levenshtein verification of shingle near-dup candidates",
+    Some(s"""WITH ${OracleCtes.shinglePairs},
+      cand AS (
+        SELECT doc_a, doc_b,
+          ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+        FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4),
+      t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+      d AS (
+        SELECT cand.doc_a, cand.doc_b, cand.jaccard,
+          levenshtein(ta.nt, tb.nt) AS ed,
+          GREATEST(len(ta.nt), len(tb.nt)) AS mx
+        FROM cand
+        JOIN t ta ON ta.doc_id = cand.doc_a
+        JOIN t tb ON tb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, jaccard,
+        CAST(CASE WHEN ed <= 100 THEN ed ELSE -1 END AS INTEGER)
+          AS edit_dist,
+        ROUND(CASE WHEN ed <= 100 THEN ed * 1.0 / mx ELSE -1 END, 4)
+          AS edit_ratio,
+        CAST(CASE WHEN ed <= 100 AND ed * 1.0 / mx <= 0.2 THEN 1 ELSE 0
+          END AS INTEGER) AS is_dup
+      FROM d ORDER BY doc_a, doc_b"""),
+    (s, d) => editVerifyDedup(documents(s, d),
+      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
+      .orderBy(col("doc_a"), col("doc_b")))
+
+  /** The q204 plan over any (doc_id, text) frame — TextSpec pins the
+    * cap (−1 past 100 edits), the is_dup boundary, and the operator's
+    * reason to exist: a token-reshuffled doc (high Jaccard, high edit
+    * distance) must survive candidate generation and FAIL verification. */
+  def editVerifyDedup(docs: org.apache.spark.sql.DataFrame,
+      cap: Int = 100,
+      shingleTable: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = Dedup.jaccardPairs(docs, 0.4, shingleTable = shingleTable)
+    val t = docs.select(col("doc_id"), lower(trim(col("text"))).as("nt"))
+    val ed = col("ed")
+    val mx = col("mx")
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("nt").as("ta")),
+        Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("nt").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("ta"), col("tb"), cap).as("ed"),
+        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        ed.cast("int").as("edit_dist"),
+        round(when(ed >= 0, ed * lit(1.0) / mx).otherwise(lit(-1.0)), 4)
+          .as("edit_ratio"),
+        (ed >= 0 && ed * lit(1.0) / mx <= 0.2).cast("int").as("is_dup"))
+  }
 }

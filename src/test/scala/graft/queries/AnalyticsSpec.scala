@@ -133,4 +133,59 @@ class AnalyticsSpec extends AnyFunSuite {
         assert(math.abs(meanResid) < 1e-3, s"$cell mean residual $meanResid")
     }
   }
+
+  test("q205 Spearman: monotone 1, anti-monotone -1, tied case matches the textbook midrank value") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(i => ("mono", i, i * 3)) ++
+        (1 to 10).map(i => ("anti", i, 33 - 3 * i)) ++
+        // tied case, hand-computed: rq = (1, 2.5, 2.5, 4),
+        // rd = (1, 2, 3.5, 3.5) -> Pearson = 1.25/1.5 = 0.8333
+        Seq(("tied", 1, 1), ("tied", 2, 2), ("tied", 2, 3), ("tied", 3, 3))
+    val out = AnalyticsQueries.spearman(rows.toDF("flag", "q", "dc"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("mono") === 1.0)
+    assert(out("anti") === -1.0)
+    assert(out("tied") === 0.8333)
+  }
+
+  test("q206 Mann-Whitney: hand-computed U and tie-corrected z on A={1,2,3} vs B={2,3,4}") {
+    import spark.implicits._
+    // midranks over the pooled sample: 1->1, 2->2.5, 3->4.5, 4->6;
+    // R1 = 8, U = 8 - 6 = 2; ties sum = 12;
+    // sigma^2 = (9/12)*(7 - 12/30) = 4.95 -> z = -2.5/2.224860 = -1.123667
+    val in = Seq((1, true), (2, true), (3, true),
+      (2, false), (3, false), (4, false)).toDF("v", "is_a")
+    val r = AnalyticsQueries.mannWhitney(in).collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === -1.1237)
+    assert(r.getInt(4) === 0)
+  }
+
+  test("q207 Kaplan-Meier: textbook product-limit curve with censoring") {
+    import spark.implicits._
+    // five users, observation ends 2024-02-01 (user E's last day):
+    //   A, B churn at lifetime 2; C churns at 5; D censored at 5
+    //   (last day inside the 7-day activity horizon); E censored at 31
+    // K-M: S(2) = 1 - 2/5 = 0.6; S(5) = 0.6 * (1 - 1/3) = 0.4; the
+    // censor-only time 31 must NOT move the curve
+    def ev(u: Long, f: String, l: String) = Seq(
+      (u, java.sql.Timestamp.valueOf(s"$f 10:00:00")),
+      (u, java.sql.Timestamp.valueOf(s"$l 10:00:00")))
+    val events = (
+      ev(1, "2024-01-01", "2024-01-03") ++ // A: t=2, churn
+        ev(2, "2024-01-02", "2024-01-04") ++ // B: t=2, churn
+        ev(3, "2024-01-10", "2024-01-15") ++ // C: t=5, churn
+        ev(4, "2024-01-26", "2024-01-31") ++ // D: t=5, censored
+        ev(5, "2024-01-01", "2024-02-01")    // E: t=31, censored, sets end
+      ).toDF("user_id", "ts")
+    val out = AnalyticsQueries.kaplanMeier(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (2, 5L, 2L, 0L, 0.6),
+      (5, 3L, 1L, 1L, 0.4),
+      (31, 1L, 0L, 1L, 0.4)))
+  }
 }

@@ -85,7 +85,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q122_cumulative_distinct" ->
       ("running sum over the PER-DAY aggregate: rows = #calendar days " +
         "(~30 at fixture, 365/year at any corpus size) — input is " +
-        "calendar-bounded, not data-bounded"))
+        "calendar-bounded, not data-bounded"),
+    "q206_mann_whitney" ->
+      ("midrank sweep over the pooled VALUE DISTRIBUTION: rows = " +
+        "|distinct l_quantity| (= 50 at any corpus size — a domain " +
+        "constant, not a corpus statistic)"))
 
   /** The labelled-quadratic register (round-6 verdict #3): the "every
     * deliberate all-pairs form is paired with a flatter twin" invariant,

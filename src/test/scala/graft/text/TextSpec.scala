@@ -260,6 +260,66 @@ class TextSpec extends AnyFunSuite {
     assert(spans === Set((101L, 2L, 3L), (103L, 2L, 3L)))
   }
 
+  // independent textbook DP — pins Spark's levenshtein against a
+  // second implementation, not just against DuckDB's
+  private def refLevenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("q204 edit verification: substitution dup passes, rotation fails, cap yields -1") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val subbed = "the quick brown fox jumps over the lazy cat"
+    val rotated = "over the lazy dog the quick brown fox jumps"
+    // long near-dup pair whose edit distance exceeds the 100 cap:
+    // 100 shared 4-char tokens with 30 extra tokens spliced mid-doc
+    val longTokens = (1 to 100).map(i => f"w$i%03d")
+    val longBase = longTokens.mkString(" ")
+    val longIns = (longTokens.take(50) ++ (1 to 30).map(i => f"x$i%03d") ++
+      longTokens.drop(50)).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, subbed), (3L, rotated),
+      (10L, longBase), (11L, longIns))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.editVerifyDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getDouble(4), r.getInt(5)))).toMap
+
+    // dog→cat: 3 substitutions, ratio 3/43 — a verified dup; the
+    // reported distance must equal the independent DP
+    assert(refLevenshtein(base, subbed) === 3)
+    assert(out((1L, 2L)) === ((3, BigDecimal(3.0 / 43)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1)))
+
+    // the rotation shares 5/9 shingles (candidate!) but is NOT a
+    // character-level dup — the operator's reason to exist; its
+    // distance must still equal the DP (well under the cap)
+    val dRot = refLevenshtein(base, rotated)
+    assert(dRot > 8, s"rotation should cost real edits, got $dRot")
+    val (gotRot, ratioRot, dupRot) = out((1L, 3L))
+    assert(gotRot === dRot && dupRot === 0,
+      s"rotation pair: got=$gotRot ref=$dRot dup=$dupRot")
+    assert(ratioRot > 0.2)
+
+    // the spliced long pair is a shingle candidate whose true distance
+    // exceeds the cap: capped scan must report -1, never the distance
+    assert(refLevenshtein(longBase, longIns) > 100)
+    assert(out((10L, 11L)) === ((-1, -1.0, 0)))
+
+    // rotation vs subbed is also a candidate pair; no pair may vanish
+    assert(out.contains((2L, 3L)))
+    assert(out.size === 4, s"unexpected candidate set: ${out.keySet}")
+  }
+
   test("exactSubstrCut removes exactly the spanned tokens, keeps all docs") {
     val cut = Dedup.exactSubstrCut(substrDocs, 3).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
