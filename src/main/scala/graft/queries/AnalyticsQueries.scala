@@ -19,7 +19,8 @@ object AnalyticsQueries {
     q126Profile, q145ForecastBacktest, q161KnnRecommend, q167LabelProp,
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
-    q205Spearman, q206MannWhitney, q207KaplanMeier)
+    q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
+    q209Gini, q210MutualInfo, q211Benford)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -1452,5 +1453,242 @@ object AnalyticsQueries {
         .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
           col("r.d").as("d"), col("r.c").as("c"),
           round(col("r.s"), 6).as("survival"))
+  }
+
+  /** Theil–Sen robust trend — the median of pairwise slopes, immune to
+    * the outlier days that drag q184's OLS around (50% breakdown
+    * point vs OLS's zero). The pairwise self-join is over the DAILY
+    * series per type — calendar-bounded rows (the q122/q201 argument),
+    * so days²/2 pairs is a constant-per-year cost at any corpus size;
+    * the corpus itself is touched by exactly one groupBy. Medians via
+    * the exact `percentile` aggregate (q38's parity convention with
+    * DuckDB quantile_cont, 1e-9 nudge inside the round); the intercept
+    * re-scores the daily table against the broadcast per-type slope.
+    */
+  val q208TheilSen = GraftQuery(
+    "q208_theil_sen",
+    "Theil-Sen median-slope trend of daily event values per type",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS v
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, datediff('day', DATE '1970-01-01', ds) * 1.0
+          AS t, v
+        FROM daily),
+      sl AS (
+        SELECT a.event_type,
+          quantile_cont((b.v - a.v) / (b.t - a.t), 0.5) AS slope,
+          COUNT(*) AS n_pairs
+        FROM t a JOIN t b
+          ON a.event_type = b.event_type AND a.t < b.t
+        GROUP BY 1),
+      ic AS (
+        SELECT t.event_type,
+          quantile_cont(t.v - sl.slope * t.t, 0.5) AS intercept,
+          COUNT(*) AS n_days
+        FROM t JOIN sl ON t.event_type = sl.event_type
+        GROUP BY 1)
+      SELECT sl.event_type, CAST(ic.n_days AS BIGINT) AS n_days,
+        CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+        ROUND(sl.slope + 1e-9, 6) AS slope,
+        ROUND(ic.intercept + 1e-9, 4) AS intercept
+      FROM sl JOIN ic ON sl.event_type = ic.event_type
+      ORDER BY 1"""),
+    (s, d) => theilSen(events(s, d)).orderBy(col("event_type")))
+
+  /** The q208 plan over any (event_type, ts, value) frame —
+    * AnalyticsSpec pins the robustness claim: a planted outlier day
+    * that drags the OLS slope leaves the median slope exactly on the
+    * clean trend. */
+  def theilSen(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("v"))
+      .select(col("event_type"),
+        datediff(col("ds"), to_date(lit("1970-01-01")))
+          .cast("double").as("t"), col("v"))
+      .localCheckpoint(true) // feeds the pair join AND the intercept pass
+    val a = t.toDF("event_type", "ta", "va")
+    val b = t.toDF("event_type", "tb", "vb")
+    val sl = a.join(b, Seq("event_type"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile((vb - va) / (tb - ta), 0.5D)").as("slope"),
+        count(lit(1)).as("n_pairs"))
+    val ic = t.join(broadcast(sl), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(v - slope * t, 0.5D)").as("intercept"),
+        count(lit(1)).as("n_days"), first(col("slope")).as("slope"),
+        first(col("n_pairs")).as("n_pairs"))
+    ic.select(col("event_type"), col("n_days"), col("n_pairs"),
+      round(col("slope") + 1e-9, 6).as("slope"),
+      round(col("intercept") + 1e-9, 4).as("intercept"))
+  }
+
+  /** Gini coefficient of revenue concentration — the inequality
+    * readout behind every "top x% of customers drive y% of revenue"
+    * dashboard, and a data-curation lens (a corpus whose source mix
+    * has Gini → 1 is one crawler in a trench coat). The only hard part
+    * at scale is the global revenue rank, which is exactly
+    * [[graft.etl.GlobalRank.withGlobalId]] (two-phase range-partition
+    * rank: the shuffle moves (partition, count) metadata, never a
+    * single-task sort — q159's machinery re-used). One aggregate over
+    * the ranked table then evaluates G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    * with the deterministic (rev, custkey) total order on both
+    * engines.
+    */
+  val q209Gini = GraftQuery(
+    "q209_gini",
+    "Gini coefficient of per-customer revenue (distributed rank form)",
+    Some("""WITH rev AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+        FROM rev)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        ROUND(SUM(rev), 2) AS total_revenue,
+        ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+          - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      FROM r"""),
+    (s, d) => gini(orders(s, d)))
+
+  /** The q209 plan over any (o_custkey, o_totalprice) frame —
+    * AnalyticsSpec pins G = 0 for perfect equality and (n−1)/n for
+    * total concentration. */
+  def gini(ord: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rev = ord.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val ranked = graft.etl.GlobalRank.withGlobalId(rev,
+      Seq(col("rev"), col("o_custkey")))
+    ranked.agg(count(lit(1)).as("n"), sum(col("rev")).as("sx"),
+        sum(col("global_id") * col("rev")).as("six"))
+      .select(col("n").cast("long").as("n_customers"),
+        round(col("sx"), 2).as("total_revenue"),
+        round(lit(2.0) * col("six") / (col("n") * col("sx"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
+  /** Mutual information between event type and day-of-week — the
+    * information-theoretic association readout (JS divergence q185
+    * compares two distributions; MI asks whether two VARIABLES are
+    * independent, the feature-selection primitive). Everything runs on
+    * the joint contingency table — |types| × 7 rows at any corpus
+    * size — built by the single corpus groupBy; marginals and the
+    * three entropies are re-aggregates of that tiny table, attached
+    * broadcast. Output in nats, with NMI = MI/√(H_x·H_y).
+    */
+  val q210MutualInfo = GraftQuery(
+    "q210_mutual_info",
+    "mutual information (nats) + NMI between event_type and weekday",
+    Some("""WITH j AS (
+        SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) + 1 AS y,
+          COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      n AS (SELECT SUM(c) AS n FROM j),
+      mx AS (SELECT x, SUM(c) AS cx FROM j GROUP BY 1),
+      my AS (SELECT y, SUM(c) AS cy FROM j GROUP BY 1),
+      mi AS (
+        SELECT SUM((c * 1.0 / n.n) * ln((c * 1.0 * n.n) / (cx * 1.0 * cy)))
+          AS mi
+        FROM j JOIN mx USING (x) JOIN my USING (y), n),
+      hx AS (SELECT -SUM((cx * 1.0 / n.n) * ln(cx * 1.0 / n.n)) AS h
+        FROM mx, n),
+      hy AS (SELECT -SUM((cy * 1.0 / n.n) * ln(cy * 1.0 / n.n)) AS h
+        FROM my, n)
+      SELECT CAST(n.n AS BIGINT) AS n_events,
+        ROUND(mi.mi, 6) AS mi_nats,
+        ROUND(hx.h, 6) AS h_type, ROUND(hy.h, 6) AS h_weekday,
+        ROUND(mi.mi / sqrt(hx.h * hy.h), 6) AS nmi
+      FROM mi, hx, hy, n"""),
+    (s, d) => mutualInfo(events(s, d)))
+
+  /** The q210 plan over any (event_type, ts) frame — AnalyticsSpec
+    * pins MI = 0 for an independent construction and MI = H for a
+    * deterministic dependence. */
+  def mutualInfo(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val j = ev
+        .groupBy(col("event_type").as("x"),
+          (dayofweek(to_date(col("ts")))).as("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds total, both marginals, MI sum
+      val n = j.agg(sum(col("c")).as("n"))
+      val mx = j.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      val my = j.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+      val mi = j.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(n))
+        .agg(sum((col("c") / col("n")) *
+          log(col("c") * col("n") / (col("cx") * col("cy")))).as("mi"),
+          first(col("n")).as("n"))
+      val hx = mx.crossJoin(broadcast(n))
+        .agg((-sum((col("cx") / col("n")) * log(col("cx") / col("n"))))
+          .as("h_type"))
+      val hy = my.crossJoin(broadcast(n))
+        .agg((-sum((col("cy") / col("n")) * log(col("cy") / col("n"))))
+          .as("h_weekday"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("n").cast("long").as("n_events"),
+          round(col("mi"), 6).as("mi_nats"),
+          round(col("h_type"), 6).as("h_type"),
+          round(col("h_weekday"), 6).as("h_weekday"),
+          round(col("mi") / sqrt(col("h_type") * col("h_weekday")), 6)
+            .as("nmi"))
+  }
+
+  /** Benford first-digit conformance of order totals — the
+    * distribution-fitness screen audit teams run on monetary columns
+    * (fabricated amounts drift from log-uniform leading digits; the
+    * q184-Zipf / q125-χ² family applied to digits). The digit is
+    * extracted INTEGER-EXACTLY — cents = round(price·100) as a bigint,
+    * first character of its decimal string — because a log10-based
+    * floor can misbin at power-of-ten boundaries and double→string
+    * formatting differs between engines while bigint→string cannot.
+    * Per-digit observed vs log10(1+1/d) expected shares, and the χ²
+    * statistic attached from the 9-row digit table as a broadcast
+    * scalar.
+    */
+  val q211Benford = GraftQuery(
+    "q211_benford",
+    "Benford first-digit test of o_totalprice (per-digit shares + chi2)",
+    Some("""WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders),
+      o AS (SELECT digit, COUNT(*) AS c FROM d GROUP BY 1),
+      n AS (SELECT SUM(c) AS n FROM o),
+      x AS (
+        SELECT SUM(pow(c - n.n * log10(1 + 1.0 / digit), 2)
+          / (n.n * log10(1 + 1.0 / digit))) AS chi2
+        FROM o, n)
+      SELECT digit, CAST(c AS BIGINT) AS n_orders,
+        ROUND(c * 1.0 / n.n, 6) AS obs_frac,
+        ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
+        ROUND(x.chi2, 4) AS chi2
+      FROM o, n, x ORDER BY digit"""),
+    (s, d) => benford(orders(s, d)).orderBy(col("digit")))
+
+  /** The q211 plan over any (o_totalprice) frame — AnalyticsSpec pins
+    * the digit binning at power-of-ten boundaries and a hand-replayed
+    * χ². */
+  def benford(ord: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = ord
+      .select(substring(round(col("o_totalprice") * 100)
+        .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds total, chi2, and the output rows
+    val n = o.agg(sum(col("c")).as("n"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val x = o.crossJoin(broadcast(n))
+      .agg(sum(pow(col("c") - col("n") * p, 2) / (col("n") * p))
+        .as("chi2"))
+    o.crossJoin(broadcast(n)).crossJoin(broadcast(x))
+      .select(col("digit"), col("c").as("n_orders"),
+        round(col("c") / col("n"), 6).as("obs_frac"),
+        round(p, 6).as("benford_p"),
+        round(col("chi2"), 4).as("chi2"))
   }
 }

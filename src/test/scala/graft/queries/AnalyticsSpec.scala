@@ -163,6 +163,90 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getInt(4) === 0)
   }
 
+  test("q208 Theil-Sen: a planted outlier day cannot move the median slope off the clean trend") {
+    import spark.implicits._
+    // clean trend v = 2t + 5 over 21 days, except day 11 spikes to 500:
+    // OLS tilts toward the spike; the pairwise-slope median stays at
+    // exactly 2 (a single bad day corrupts < half of all pairs) and the
+    // residual median keeps the intercept at exactly 5
+    val ev = (0 until 21).map { t =>
+      val d0 = java.time.LocalDate.of(2024, 3, 1).plusDays(t)
+      val v = if (t == 10) 500.0 else 2.0 * t + 5.0
+      ("trend", java.sql.Timestamp.valueOf(s"$d0 12:00:00"), v)
+    }.toDF("event_type", "ts", "value")
+    val r = AnalyticsQueries.theilSen(ev).collect()(0)
+    assert(r.getLong(1) === 21L && r.getLong(2) === 210L)
+    // t is epoch days, so the intercept is at 1970-01-01: v = 2t + 5
+    // with t0 = epochDay(2024-03-01) gives intercept 5 - 2*t0... the
+    // pin uses the slope (absolute) and re-anchored intercept
+    assert(r.getDouble(3) === 2.0, s"slope ${r.getDouble(3)}")
+    val t0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toDouble
+    assert(r.getDouble(4) === BigDecimal(5.0 - 2.0 * t0 + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"intercept ${r.getDouble(4)}")
+  }
+
+  test("q209 Gini: 0 for perfect equality, (n-1)/n for total concentration") {
+    import spark.implicits._
+    val equal = (1 to 8).map(i => (i.toLong, 250.0)).toDF("o_custkey", "o_totalprice")
+    val g1 = AnalyticsQueries.gini(equal).collect()(0)
+    assert(g1.getLong(0) === 8L && g1.getDouble(2) === 0.0)
+    val concentrated = ((1 to 4).map(i => (i.toLong, 0.0)) :+ (5L, 1000.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g2 = AnalyticsQueries.gini(concentrated).collect()(0)
+    assert(g2.getDouble(2) === 0.8, s"gini ${g2.getDouble(2)}") // (5-1)/5
+  }
+
+  test("q210 mutual information: 0 for independence, H for deterministic dependence") {
+    import spark.implicits._
+    // 4 types x 7 weekdays, every cell count 3 -> independent: MI = 0
+    val types = Seq("a", "b", "c", "d")
+    val indep = (for {
+      t <- types; d <- 0 until 7; _ <- 1 to 3
+    } yield (t, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString + " 09:00:00")))
+      .toDF("event_type", "ts")
+    val r1 = AnalyticsQueries.mutualInfo(indep).collect()(0)
+    assert(r1.getDouble(1) === 0.0, s"independent MI ${r1.getDouble(1)}")
+    // type == f(weekday), 4 types over 4 distinct days equally ->
+    // MI = H(type) = ln 4, NMI = ln4/sqrt(ln4 * ln4) = 1
+    val dep = (for {
+      (t, i) <- types.zipWithIndex; _ <- 1 to 5
+    } yield (t, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString + " 09:00:00")))
+      .toDF("event_type", "ts")
+    val r2 = AnalyticsQueries.mutualInfo(dep).collect()(0)
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getDouble(1) === ln4, s"dependent MI ${r2.getDouble(1)}")
+    assert(r2.getDouble(4) === 1.0, s"NMI ${r2.getDouble(4)}")
+  }
+
+  test("q211 Benford: integer-exact digit binning at power-of-ten boundaries, hand chi2") {
+    import spark.implicits._
+    // 999.995 -> cents 100000 -> digit 1 (the boundary a log10-floor
+    // could misbin); 10.00 -> 1000 -> 1; 99.99 -> 9999 -> 9
+    val ord = Seq(999.995, 10.00, 99.99, 200.0, 0.30, 3.33, 85.0, 123.45)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_custkey", "o_totalprice").select(col("o_totalprice"))
+    val out = AnalyticsQueries.benford(ord).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    // digits: 1 (999.995), 1 (10.00), 9 (99.99), 2 (200.0), 3 (0.30),
+    // 3 (3.33), 8 (85.0), 1 (123.45)
+    assert(out.keySet === Set(1, 2, 3, 8, 9))
+    assert(out(1)._1 === 3L && out(3)._1 === 2L && out(9)._1 === 1L)
+    // hand chi2 over the observed digit set
+    val n = 8.0
+    val obs = Map(1 -> 3.0, 2 -> 1.0, 3 -> 2.0, 8 -> 1.0, 9 -> 1.0)
+    val chi2 = obs.map { case (d, c) =>
+      val e = n * math.log10(1.0 + 1.0 / d)
+      (c - e) * (c - e) / e
+    }.sum
+    val expected = BigDecimal(chi2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._2 === expected, s"chi2 ${out(1)._2} != $expected")
+  }
+
   test("q207 Kaplan-Meier: textbook product-limit curve with censoring") {
     import spark.implicits._
     // five users, observation ends 2024-02-01 (user E's last day):
