@@ -20,7 +20,7 @@ object AnalyticsQueries {
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
-    q209Gini, q210MutualInfo, q211Benford)
+    q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -1690,5 +1690,183 @@ object AnalyticsQueries {
         round(col("c") / col("n"), 6).as("obs_frac"),
         round(p, 6).as("benford_p"),
         round(col("chi2"), 4).as("chi2"))
+  }
+
+  /** Multi-touch conversion attribution — per channel, how much
+    * conversion credit its touches earn under the three classic
+    * models at once (first-touch, last-touch, linear), over a 7-day
+    * lookback. The touch↔conversion join is EQUI on user_id with the
+    * time window as residual — fan-out is bounded by per-user activity
+    * (touches × purchases per user), never cross-user; the per-
+    * conversion normalizer (k touches, argmin/argmax tie counts —
+    * exact same-timestamp ties split their endpoint credit) is one
+    * aggregate on (user, conversion) re-joined on the same key, so the
+    * whole plan shuffles on user_id alone.
+    */
+  val q212Attribution = GraftQuery(
+    "q212_attribution",
+    "first/last/linear-touch purchase attribution per channel (7d lookback)",
+    Some("""WITH conv AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, ts AS tts, event_type AS channel FROM events
+        WHERE event_type <> 'purchase'),
+      j AS (
+        SELECT c.user_id, c.cts, t.tts, t.channel
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+          AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+      g AS (
+        SELECT user_id, cts, COUNT(*) AS k, MIN(tts) AS mn, MAX(tts) AS mx
+        FROM j GROUP BY 1, 2),
+      g3 AS (
+        SELECT j.user_id, j.cts, MIN(g.k) AS k, MIN(g.mn) AS mn,
+          MIN(g.mx) AS mx,
+          SUM(CASE WHEN j.tts = g.mn THEN 1 ELSE 0 END) AS cmn,
+          SUM(CASE WHEN j.tts = g.mx THEN 1 ELSE 0 END) AS cmx
+        FROM j JOIN g USING (user_id, cts) GROUP BY 1, 2),
+      cr AS (
+        SELECT j.channel,
+          1.0 / g3.k AS linear_c,
+          CASE WHEN j.tts = g3.mn THEN 1.0 / g3.cmn ELSE 0 END AS first_c,
+          CASE WHEN j.tts = g3.mx THEN 1.0 / g3.cmx ELSE 0 END AS last_c
+        FROM j JOIN g3 USING (user_id, cts))
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        ROUND(SUM(linear_c), 4) AS linear_credit,
+        ROUND(SUM(first_c), 4) AS first_credit,
+        ROUND(SUM(last_c), 4) AS last_credit
+      FROM cr GROUP BY 1 ORDER BY 1"""),
+    (s, d) => attribution(events(s, d)).orderBy(col("channel")))
+
+  /** The q212 plan over any (user_id, ts, event_type) frame —
+    * AnalyticsSpec pins a hand path (first/last/linear credits, the
+    * 7-day cutoff, and endpoint ties splitting credit). */
+  def attribution(ev: org.apache.spark.sql.DataFrame,
+      lookbackDays: Int = 7): org.apache.spark.sql.DataFrame = {
+    val e = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint(true) // feeds the conversion AND touch sides
+    val conv = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touch = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val j = conv.join(touch, Seq("user_id"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .localCheckpoint(true) // feeds the normalizer agg AND the credit scan
+    // per-conversion normalizers, then endpoint tie counts (touches AT
+    // the min/max timestamp) so exact same-ts ties SPLIT their credit
+    val g2 = j.groupBy(col("user_id"), col("cts"))
+      .agg(count(lit(1)).as("k"), min(col("tts")).as("mn"),
+        max(col("tts")).as("mx"))
+    val g3 = j.join(g2, Seq("user_id", "cts"))
+      .groupBy(col("user_id"), col("cts"))
+      .agg(first(col("k")).as("k"), first(col("mn")).as("mn"),
+        first(col("mx")).as("mx"),
+        sum((col("tts") === col("mn")).cast("int")).as("cmn"),
+        sum((col("tts") === col("mx")).cast("int")).as("cmx"))
+    j.join(g3, Seq("user_id", "cts"))
+      .select(col("channel"),
+        (lit(1.0) / col("k")).as("linear_c"),
+        when(col("tts") === col("mn"), lit(1.0) / col("cmn"))
+          .otherwise(lit(0.0)).as("first_c"),
+        when(col("tts") === col("mx"), lit(1.0) / col("cmx"))
+          .otherwise(lit(0.0)).as("last_c"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("linear_c")), 4).as("linear_credit"),
+        round(sum(col("first_c")), 4).as("first_credit"),
+        round(sum(col("last_c")), 4).as("last_credit"))
+  }
+
+  /** Autocorrelation function (lags 1–7) + Ljung–Box portmanteau —
+    * the time-series diagnostic that says whether the daily series is
+    * white noise before anyone fits q121's EWMA, q190's seasonal
+    * profile, or M12's autoregression to it. The series is the
+    * calendar-bounded per-type daily table; each lag's products come
+    * from a DATE equi-join (7 probe rows per day — row-offset lags
+    * would silently bridge missing days), the full-series
+    * mean/variance attach broadcast, and Q = n(n+2)·Σ r²ₖ/(n−k) folds
+    * the seven lag rows per type. Flag at the χ²₇ 5% critical value
+    * (14.067).
+    */
+  val q214AcfLjungBox = GraftQuery(
+    "q214_acf_ljung_box",
+    "ACF lags 1-7 of daily sums per type + Ljung-Box Q white-noise test",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, SUM(value) AS v
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, AVG(v) AS mu, COUNT(*) AS n
+        FROM daily GROUP BY 1),
+      c AS (
+        SELECT daily.event_type, ds, v - mu AS x, n
+        FROM daily JOIN m ON m.event_type = daily.event_type),
+      ssq AS (SELECT event_type, SUM(x * x) AS ss FROM c GROUP BY 1),
+      l AS (
+        SELECT d.event_type, k.k, SUM(d.x * p.x) AS num,
+          MIN(d.n) AS n
+        FROM c d
+        JOIN (SELECT unnest(range(1, 8)) AS k) k ON TRUE
+        JOIN c p ON p.event_type = d.event_type
+          AND p.ds = d.ds - CAST(k.k AS INTEGER)
+        GROUP BY 1, 2),
+      r AS (
+        SELECT l.event_type, l.k, l.num / ssq.ss AS r, l.n
+        FROM l JOIN ssq ON ssq.event_type = l.event_type),
+      q AS (
+        SELECT event_type, SUM(r * r / (n - k)) * MIN(n) * (MIN(n) + 2)
+          AS q
+        FROM r GROUP BY 1)
+      SELECT r.event_type, CAST(r.k AS INTEGER) AS lag,
+        ROUND(r.r, 6) AS acf, ROUND(q.q, 4) AS ljung_box_q,
+        CAST(CASE WHEN q.q > 14.067 THEN 1 ELSE 0 END AS INTEGER)
+          AS reject_white_noise
+      FROM r JOIN q ON q.event_type = r.event_type
+      ORDER BY 1, 2"""),
+    (s, d) => acfLjungBox(events(s, d))
+      .orderBy(col("event_type"), col("lag")))
+
+  /** The q214 plan over any (event_type, ts, value) frame —
+    * AnalyticsSpec pins a planted AR-ish series (alternating signs →
+    * negative lag-1 ACF, Q rejects) against white-noise-ish behavior. */
+  def acfLjungBox(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("v"))
+      .localCheckpoint(true) // feeds the moments AND the seven lag scans
+    val m = daily.groupBy(col("event_type"))
+      .agg(avg(col("v")).as("mu"), count(lit(1)).as("n"))
+    val centered = daily.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), col("ds"), (col("v") - col("mu")).as("x"),
+        col("n"))
+    val ss = centered.groupBy(col("event_type"))
+      .agg(sum(col("x") * col("x")).as("ss"))
+    // lag-k pairs by DATE equi-join (not row offset — a missing day
+    // must break exactly the pairs it breaks in the oracle): each day
+    // fans out to its seven lag probes, then matches the day exactly k
+    // days earlier on the (event_type, date) key; fan-out is 7× the
+    // calendar-bounded daily table
+    val probes = centered
+      .withColumn("k", explode(sequence(lit(1), lit(7))))
+      .select(col("event_type"), col("k"), col("x"), col("n"),
+        date_sub(col("ds"), col("k")).as("pds"))
+    val prev = centered.select(col("event_type"), col("ds").as("pds"),
+      col("x").as("px"))
+    val r = probes.join(prev, Seq("event_type", "pds"))
+      .groupBy(col("event_type"), col("k").as("lag"))
+      .agg(sum(col("x") * col("px")).as("num"), first(col("n")).as("n"))
+      .join(broadcast(ss), Seq("event_type"))
+      .select(col("event_type"), col("lag"), (col("num") / col("ss")).as("r"),
+        col("n"))
+      .localCheckpoint(true) // feeds the Q fold AND the output rows
+    val q = r.groupBy(col("event_type"))
+      .agg((sum(col("r") * col("r") / (col("n") - col("lag")))
+        * min(col("n")) * (min(col("n")) + 2)).as("q"))
+    r.join(broadcast(q), Seq("event_type"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        round(col("r"), 6).as("acf"),
+        round(col("q"), 4).as("ljung_box_q"),
+        (col("q") > 14.067).cast("int").as("reject_white_noise"))
   }
 }

@@ -21,7 +21,7 @@ object TextQueries {
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
     q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
-    q169ContainmentDedup, q204EditVerifyDedup)
+    q169ContainmentDedup, q204EditVerifyDedup, q213Readability)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -708,5 +708,64 @@ object TextQueries {
         round(when(ed >= 0, ed * lit(1.0) / mx).otherwise(lit(-1.0)), 4)
           .as("edit_ratio"),
         (ed >= 0 && ed * lit(1.0) / mx <= 0.2).cast("int").as("is_dup"))
+  }
+
+  /** Flesch reading-ease + Flesch–Kincaid grade — the classic
+    * readability pair every text-quality pipeline reports next to
+    * q23's surface ratios (quality filters like the C4/Gopher rules
+    * gate on readability-adjacent statistics). Counts are scan-stage
+    * regex/codegen expressions: words = whitespace tokens, sentences =
+    * `[.!?]+` runs floored at 1 (the fixture's synthetic text has no
+    * terminators — the floor engages there; TextSpec pins real
+    * multi-sentence prose), syllables = vowel-group runs with
+    * vowelless tokens ("123", "xyz") floored at one syllable each, the
+    * standard heuristic both engines express with the same RE2
+    * patterns. Zero shuffles — a pure per-row projection.
+    */
+  val q213Readability = GraftQuery(
+    "q213_readability",
+    "Flesch reading ease + FK grade per doc (vowel-group syllables)",
+    Some("""WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+      c AS (
+        SELECT doc_id,
+          len(regexp_split_to_array(lt, '\s+')) AS w,
+          GREATEST(1, len(regexp_extract_all(lt, '[.!?]+'))) AS s,
+          len(regexp_extract_all(lt, '[aeiouy]+'))
+            + len(list_filter(regexp_split_to_array(lt, '\s+'),
+                x -> NOT regexp_matches(x, '[aeiouy]'))) AS syl
+        FROM t)
+      SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        CAST(s AS BIGINT) AS n_sentences, CAST(syl AS BIGINT) AS n_syllables,
+        ROUND(206.835 - 1.015 * w / s - 84.6 * syl / w + 1e-9, 4)
+          AS flesch,
+        ROUND(0.39 * w / s + 11.8 * syl / w - 15.59 + 1e-9, 4) AS fk_grade
+      FROM c ORDER BY doc_id"""),
+    (s, d) => readability(documents(s, d)).orderBy(col("doc_id")))
+
+  /** The q213 plan over any (doc_id, text) frame — TextSpec pins a
+    * hand-counted two-sentence paragraph and the vowelless-token
+    * floor. */
+  def readability(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lt = lower(trim(col("text")))
+    val w = size(split(lt, "\\s+"))
+    val sArr = greatest(lit(1), size(expr(
+      "regexp_extract_all(lower(trim(text)), '[.!?]+', 0)")))
+    val syl = size(expr(
+      "regexp_extract_all(lower(trim(text)), '[aeiouy]+', 0)")) +
+      size(filter(split(lt, "\\s+"), x => !x.rlike("[aeiouy]")))
+    docs.select(col("doc_id"),
+        w.cast("long").as("n_words"),
+        sArr.cast("long").as("n_sentences"),
+        syl.cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / col("n_words") + 1e-9, 4)
+          .as("flesch"),
+        round(lit(0.39) * col("n_words") / col("n_sentences")
+          + lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59)
+          + 1e-9, 4).as("fk_grade"))
   }
 }

@@ -247,6 +247,66 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1)._2 === expected, s"chi2 ${out(1)._2} != $expected")
   }
 
+  test("q212 attribution: hand path with 7-day cutoff and endpoint tie split") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-10 12:00:00"), "purchase"),
+      (1L, ts("2024-01-09 18:00:00"), "click"),  // ties the last-touch...
+      (1L, ts("2024-01-09 18:00:00"), "view"),   // ...with this one
+      (1L, ts("2024-01-05 09:00:00"), "view"),   // the first touch
+      (1L, ts("2024-01-01 00:00:00"), "click"),  // outside the 7d window
+      (3L, ts("2024-01-02 08:00:00"), "click"))  // no purchase -> no credit
+      .toDF("user_id", "ts", "event_type")
+    val out = AnalyticsQueries.attribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // k = 3 in-window touches; first = the lone 01-05 view; last =
+    // the 18:00 tie split 0.5/0.5
+    assert(out("click") === ((1L, 0.3333, 0.0, 0.5)))
+    assert(out("view") === ((2L, 0.6667, 1.0, 0.5)))
+    assert(out.size === 2, s"unexpected channels: ${out.keySet}")
+  }
+
+  test("q213 readability: hand-counted two-sentence paragraph and the vowelless floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran fast!"),
+      (2L, "xyz 123"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // 7 words, 2 sentences, 7 vowel groups:
+    // flesch = 206.835 - 1.015*3.5 - 84.6*1 = 118.6825
+    // fk = 0.39*3.5 + 11.8*1 - 15.59 = -2.425
+    assert(out(1L) === ((7L, 2L, 7L, 118.6825, -2.425)))
+    // both tokens vowelless -> floored to one syllable each; no
+    // terminator -> sentence floor engages
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1L && out(2L)._3 === 2L)
+  }
+
+  test("q214 ACF: an alternating series has exact negative lag-1/positive lag-2 ACF and rejects white noise") {
+    import spark.implicits._
+    val ev = (0 until 30).map { t =>
+      val d0 = java.time.LocalDate.of(2024, 5, 1).plusDays(t)
+      ("osc", java.sql.Timestamp.valueOf(s"$d0 01:00:00"),
+        if (t % 2 == 0) 10.0 else -10.0)
+    }.toDF("event_type", "ts", "value")
+    val out = AnalyticsQueries.acfLjungBox(ev).collect()
+      .map(r => r.getInt(1) -> ((r.getDouble(2), r.getInt(4)))).toMap
+    // mean 0, ss = 30*100; lag1: 29 products of -100 -> -29/30;
+    // lag2: 28 products of +100 -> +28/30 — exact double arithmetic
+    assert(out(1)._1 === BigDecimal(-29.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2)._1 === BigDecimal(28.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.size === 7)
+    assert(out.values.forall(_._2 === 1), "oscillation must reject white noise")
+  }
+
   test("q207 Kaplan-Meier: textbook product-limit curve with censoring") {
     import spark.implicits._
     // five users, observation ends 2024-02-01 (user E's last day):
