@@ -72,6 +72,8 @@ object Registry {
         litInt(exprs(2), "planes"), litInt(exprs(1), "dim"))),
     "int8_round_trip" -> (exprs =>
       Int8RoundTrip(asVec(exprs.head))),
+    "jaro_winkler" -> (exprs =>
+      JaroWinkler(asString(exprs(0)), asString(exprs(1)))),
     "z_order_key" -> (exprs =>
       ZOrderKey(Cast(exprs(0), org.apache.spark.sql.types.LongType),
         Cast(exprs(1), org.apache.spark.sql.types.LongType))),

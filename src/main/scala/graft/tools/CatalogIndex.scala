@@ -33,7 +33,8 @@ object CatalogIndex {
       "label-quality" -> LabelQualityQueries.queries,
       "multimodal" -> MultimodalQueries.queries,
       "selection" -> SelectionQueries.queries,
-      "structure" -> StructureQueries.queries)
+      "structure" -> StructureQueries.queries,
+      "resolution" -> ResolutionQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

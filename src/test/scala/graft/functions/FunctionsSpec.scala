@@ -167,4 +167,65 @@ class FunctionsSpec extends AnyFunSuite {
     val zk = spark.sql("SELECT z_order_key(3, 5)").head.getLong(0)
     assert(zk === ZOrderKey.interleave2(3L, 5L))
   }
+
+  /** The DuckDB probe table this expression was pinned against —
+    * every value below is the verbatim output of DuckDB's
+    * `jaro_winkler_similarity` on the same pair (probed before
+    * JaroSim was written). Covers: classic textbook pairs, the
+    * either-empty → 0 convention, the max(0,·) window clamp
+    * (("a","a")=1 vs ("a","ba")=0), transposition counting
+    * (("abab","baba")), and the 0.7 boost threshold
+    * (("abcd","abzz…z") keeps its raw jaro despite prefix 2).
+    */
+  test("jaro_winkler matches the DuckDB probe table exactly") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "cba", 0.5555555555555555),
+      ("abcdef", "fedcba", 0.38888888888888884),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("same", "same", 1.0),
+      ("ab", "ba", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("aaapppp", "ap", 0.7857142857142857),
+      ("prefix_common_x", "prefix_common_y", 0.9733333333333334),
+      ("ab", "abcdefghij", 0.7866666666666667),
+      ("abcd", "abzzzzzzzzzzzzzz", 0.5416666666666666), // boost threshold
+      ("a", "a", 1.0),
+      ("a", "ba", 0.0), // window clamp: max/2-1 = 0, not -1
+      ("a", "ab", 0.8500000000000001),
+      ("abab", "baba", 0.8333333333333334),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      // odd mismatch count (5, a cycle) — pins the INTEGER t/2 floor
+      ("hotgear #3", "hot gear #3", 0.9321212121212121))
+    // interpreted kernel
+    for ((a, b, want) <- cases) {
+      val got = JaroSim.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-15, s"kernel ($a, $b): $got != $want")
+      // symmetric by construction of the algorithm
+      val rev = JaroSim.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(math.abs(rev - want) < 1e-15, s"kernel ($b, $a): $rev != $want")
+    }
+    // codegen path through the Column facade + SQL registration
+    Registry.registerAll(spark)
+    val df = cases.zipWithIndex.map { case ((a, b, w), i) => (i, a, b, w) }
+      .toDF("i", "a", "b", "want")
+    val viaCol = df.select($"i", JaroWinkler.jaro_winkler($"a", $"b").as("jw"),
+        $"want").collect()
+    viaCol.foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-15,
+        s"codegen case ${r.getInt(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
+    df.createOrReplaceTempView("jw_cases")
+    val viaSql = spark.sql(
+      "SELECT i, jaro_winkler(a, b) AS jw, want FROM jw_cases").collect()
+    viaSql.foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-15,
+        s"sql case ${r.getInt(0)}"))
+  }
 }
