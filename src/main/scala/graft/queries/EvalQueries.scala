@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** Model-evaluation wave: the measurement harness a training pipeline
+  * hangs AFTER its models — probability calibration (reliability bins,
+  * ECE, Brier), distribution-free prediction intervals (split
+  * conformal), and scale-free forecast-error benchmarking (MASE).
+  * The reference evaluates every model it fits (MSE music.md:377-387,
+  * hit-rate probe book.md:89-99); this wave is those probes grown into
+  * the standard eval statistics, each as a bounded-aggregate plan.
+  *
+  * Shared design rule: every statistic is computed from GROUP SUMS,
+  * never row collections — Brier from (Σs², Σsy, Σy), conformal on
+  * integer cents so rank selection is ulp-proof, MASE on the
+  * calendar-bounded daily table. Nothing here holds per-row state
+  * past its one shuffle.
+  */
+object EvalQueries {
+
+  def queries: Seq[GraftQuery] = Seq(q217Calibration, q218Conformal, q219Mase)
+
+  /** Reliability-bin calibration of a transparent return-risk score.
+    * The score is RATIONAL arithmetic only (least/+/×/÷ — no
+    * exp/ln), so both engines produce bit-identical doubles and the
+    * decile binning can't flip a boundary row; ECE and Brier both
+    * derive from the 7 bins' (n, Σs, Σy, Σs², Σsy) — Brier =
+    * (Σs² − 2Σsy + Σy)/N because y is 0/1 — so the corpus crosses
+    * exactly one 7-row shuffle regardless of scale.
+    */
+  val q217Calibration = GraftQuery(
+    "q217_calibration",
+    "reliability bins + ECE + Brier of a rational return-risk score",
+    Some("""WITH b AS (
+        SELECT s, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+          CAST(floor(s * 10) AS INTEGER) AS bin
+        FROM (SELECT least(0.99, 0.05 + l_discount * 3 + l_quantity / 200.0)
+            AS s, l_returnflag FROM lineitem)),
+      g AS (
+        SELECT bin, COUNT(*) AS n, SUM(s) AS ss, SUM(y) AS sy,
+          SUM(s * s) AS ss2, SUM(s * y) AS ssy
+        FROM b GROUP BY 1),
+      t AS (
+        SELECT SUM(n) AS nn,
+          SUM(abs(sy * 1.0 / n - ss / n) * n) AS gap_w,
+          SUM(ss2 - 2 * ssy + sy) AS br
+        FROM g)
+      SELECT bin, CAST(n AS BIGINT) AS n,
+        ROUND(ss / n, 6) AS conf, ROUND(sy * 1.0 / n, 6) AS acc,
+        ROUND(abs(sy * 1.0 / n - ss / n), 6) AS gap,
+        ROUND(t.gap_w / t.nn, 6) AS ece,
+        ROUND(t.br / t.nn, 6) AS brier
+      FROM g, t ORDER BY bin"""),
+    (s, d) => calibration(lineitem(s, d).select(
+      least(lit(0.99), lit(0.05) + col("l_discount") * 3 +
+        col("l_quantity") / 200.0).as("s"),
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))))
+
+  /** The q217 plan over any (s: double, y: 0/1) frame — EvalSpec pins
+    * the ECE weighting and the sum-form Brier against a hand trace. */
+  def calibration(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val g = base
+        .select(col("s"), col("y"), floor(col("s") * 10).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+          sum(col("y")).as("sy"), sum(col("s") * col("s")).as("ss2"),
+          sum(col("s") * col("y")).as("ssy"))
+        .localCheckpoint(true) // feeds the scalar roll-up AND the rows
+      val t = g.agg(sum(col("n")).as("nn"),
+        sum(abs(col("sy") / col("n") - col("ss") / col("n")) * col("n"))
+          .as("gap_w"),
+        sum(col("ss2") - lit(2) * col("ssy") + col("sy")).as("br"))
+      g.crossJoin(broadcast(t))
+        .select(col("bin"), col("n").cast("long").as("n"),
+          round(col("ss") / col("n"), 6).as("conf"),
+          round(col("sy") / col("n"), 6).as("acc"),
+          round(abs(col("sy") / col("n") - col("ss") / col("n")), 6)
+            .as("gap"),
+          round(col("gap_w") / col("nn"), 6).as("ece"),
+          round(col("br") / col("nn"), 6).as("brier"))
+        .orderBy(col("bin"))
+  }
+
+  /** Split-conformal prediction intervals per return flag, all in
+    * INTEGER CENTS: the md5 three-way split assigns train/cal/test;
+    * the "model" is the train-half's integer-division mean price; the
+    * calibration quantile q̂ is the ⌈0.9(n+1)⌉-th smallest absolute
+    * residual — an exact integer rank over integers, so no float
+    * ordering can diverge between engines (the q120 rounded-key rule,
+    * taken to its limit); coverage on the held-out test rows lands at
+    * the guaranteed ≥ 0.9. The rank is the two-phase
+    * GlobalRank.withPerKeyId form (range partitions + metadata
+    * offsets — the q209 shape), NOT a per-group window, so a
+    * billion-row calibration set never funnels through one partition;
+    * everything else is one aggregate per split.
+    */
+  val q218Conformal = GraftQuery(
+    "q218_conformal",
+    "split-conformal price interval per return flag, integer-cent exact",
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          l_orderkey AS ok, l_linenumber AS ln,
+          CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+            AS VARCHAR)), 1, 8) AS UBIGINT) % 3 AS split
+        FROM lineitem),
+      pred AS (
+        SELECT flag, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS p,
+          COUNT(*) AS n_train
+        FROM b WHERE split = 0 GROUP BY 1),
+      cal AS (
+        SELECT b.flag, abs(b.cents - pred.p) AS r, b.ok, b.ln
+        FROM b JOIN pred USING (flag) WHERE split = 1),
+      cn AS (SELECT flag, COUNT(*) AS n_cal FROM cal GROUP BY 1),
+      ranked AS (
+        SELECT flag, r, ROW_NUMBER() OVER (PARTITION BY flag
+          ORDER BY r, ok, ln) AS rn
+        FROM cal),
+      qhat AS (
+        SELECT cn.flag, cn.n_cal, ranked.r AS q
+        FROM cn JOIN ranked ON ranked.flag = cn.flag
+          AND ranked.rn = least(CAST(ceil(0.9 * (cn.n_cal + 1)) AS BIGINT),
+            cn.n_cal)),
+      test AS (
+        SELECT b.flag, COUNT(*) AS n_test,
+          SUM(CASE WHEN abs(b.cents - pred.p) <= qhat.q THEN 1 ELSE 0 END)
+            AS hits
+        FROM b JOIN pred USING (flag) JOIN qhat ON qhat.flag = b.flag
+        WHERE split = 2 GROUP BY 1)
+      SELECT pred.flag, CAST(pred.n_train AS BIGINT) AS n_train,
+        CAST(qhat.n_cal AS BIGINT) AS n_cal,
+        CAST(test.n_test AS BIGINT) AS n_test,
+        ROUND(pred.p / 100.0, 2) AS pred_price,
+        ROUND(qhat.q / 100.0, 2) AS q_width,
+        ROUND(test.hits * 1.0 / test.n_test, 6) AS coverage
+      FROM pred JOIN qhat ON qhat.flag = pred.flag
+        JOIN test ON test.flag = pred.flag
+      ORDER BY pred.flag"""),
+    (s, d) => conformal(lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
+        " as string)), 1, 8), 16, 10) as bigint)") % 3).as("split"))))
+
+  /** The q218 plan over any (flag, cents, ok, ln, split: 0/1/2) frame
+    * — EvalSpec pins the ⌈0.9(n+1)⌉ rank choice including the
+    * k > n_cal clamp against hand residual sets. */
+  def conformal(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val b = in.localCheckpoint(true) // feeds train, cal, test subtrees
+      val pred = b.where(col("split") === 0).groupBy(col("flag"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_train"))
+        .select(col("flag"), expr("sc div n_train").as("p"), col("n_train"))
+        .localCheckpoint(true) // 3 rows, consumed by cal/test/output
+      // no checkpoint here: cal re-derives cheaply (filter + broadcast
+      // join) from the checkpointed base, and withPerKeyId checkpoints
+      // its range partitioning internally anyway
+      val cal = b.where(col("split") === 1).join(broadcast(pred), Seq("flag"))
+        .select(col("flag"), abs(col("cents") - col("p")).as("r"),
+          col("ok"), col("ln"))
+      val cn = cal.groupBy(col("flag")).agg(count(lit(1)).as("n_cal"))
+      // exact per-flag rank WITHOUT a per-group single-partition sort:
+      // the two-phase range-partition + offset form (GlobalRank, the
+      // q209 shape) — every window partition is one byte-bounded range
+      // partition, so the rank survives billion-row calibration sets
+      val qhat = graft.etl.GlobalRank
+        .withPerKeyId(cal, col("flag"), Seq(col("r"), col("ok"), col("ln")))
+        .withColumnRenamed("per_key_id", "rn")
+        .join(broadcast(cn), Seq("flag"))
+        .where(col("rn") === least(
+          ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
+        .select(col("flag"), col("n_cal"), col("r").as("q"))
+        .localCheckpoint(true) // 3 rows; don't re-run the rank twice
+      val test = b.where(col("split") === 2)
+        .join(broadcast(pred.select(col("flag"), col("p"))), Seq("flag"))
+        .join(broadcast(qhat.select(col("flag"), col("q"))), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - col("p")) <= col("q"), 1)
+            .otherwise(0)).as("hits"))
+      pred.join(qhat, Seq("flag")).join(test, Seq("flag"))
+        .select(col("flag"), col("n_train").cast("long").as("n_train"),
+          col("n_cal").cast("long").as("n_cal"),
+          col("n_test").cast("long").as("n_test"),
+          round(col("p") / 100.0, 2).as("pred_price"),
+          round(col("q") / 100.0, 2).as("q_width"),
+          round(col("hits") / col("n_test"), 6).as("coverage"))
+        .orderBy(col("flag"))
+  }
+
+  /** MASE — forecast error in units of the seasonal-naive baseline
+    * (Hyndman & Koehler 2006): MAE of 1-day persistence over MAE of
+    * same-day-last-week, per event type, on days where both exist.
+    * The lag attachments are the gap-exact date-shift joins (J5 —
+    * music.md:72-94's form), so a missing calendar day yields no row
+    * rather than the previous row; everything runs on the
+    * calendar-bounded daily table after one groupBy of the corpus.
+    * MASE < 1 ⇒ persistence beats last-week — the go/no-go number a
+    * forecast deployment actually reads.
+    */
+  val q219Mase = GraftQuery(
+    "q219_mase",
+    "MASE of 1-day persistence vs weekly seasonal-naive per event type",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT d.event_type, d.v, p.v AS v1, w.v AS v7
+        FROM daily d
+        JOIN daily p ON p.event_type = d.event_type
+          AND p.day = d.day - 1
+        JOIN daily w ON w.event_type = d.event_type
+          AND w.day = d.day - 7)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        ROUND(AVG(abs(v - v1)), 4) AS mae_persist,
+        ROUND(AVG(abs(v - v7)), 4) AS mae_seasonal,
+        ROUND(AVG(abs(v - v1)) / AVG(abs(v - v7)), 6) AS mase
+      FROM j GROUP BY 1 ORDER BY 1"""),
+    (s, d) => mase(events(s, d)))
+
+  /** The q219 plan over any (event_type, ts, value) frame — EvalSpec
+    * pins the gap-exact lag joins and the MASE ratio on a hand series. */
+  def mase(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+        .localCheckpoint(true) // feeds all three join arms
+      val p = daily.select(col("event_type"),
+        date_add(col("day"), 1).as("day"), col("v").as("v1"))
+      val w = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("v").as("v7"))
+      daily.join(p, Seq("event_type", "day"))
+        .join(w, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("v") - col("v1"))), 4).as("mae_persist"),
+          round(avg(abs(col("v") - col("v7"))), 4).as("mae_seasonal"),
+          round(avg(abs(col("v") - col("v1"))) /
+            avg(abs(col("v") - col("v7"))), 6).as("mase"))
+        .orderBy(col("event_type"))
+  }
+}

@@ -52,7 +52,8 @@ object Catalog {
         AnalyticsQueries.queries ++ MixtureQueries.queries ++
         CurationQueries.queries ++ LabelQualityQueries.queries ++
         MultimodalQueries.queries ++ SelectionQueries.queries ++
-        StructureQueries.queries ++ ResolutionQueries.queries
+        StructureQueries.queries ++ ResolutionQueries.queries ++
+        EvalQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

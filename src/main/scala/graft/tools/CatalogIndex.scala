@@ -34,7 +34,8 @@ object CatalogIndex {
       "multimodal" -> MultimodalQueries.queries,
       "selection" -> SelectionQueries.queries,
       "structure" -> StructureQueries.queries,
-      "resolution" -> ResolutionQueries.queries)
+      "resolution" -> ResolutionQueries.queries,
+      "eval" -> EvalQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

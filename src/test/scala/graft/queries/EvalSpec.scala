@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand traces for the model-evaluation wave (EvalQueries) — the
+  * arithmetic conventions the fixture oracle can't isolate: ECE's
+  * bin-weighting, the sum-form Brier identity, conformal's
+  * ⌈0.9(n+1)⌉ rank (including the k > n clamp), and MASE's gap-exact
+  * lag joins.
+  */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("calibration: hand ECE and Brier on two bins") {
+    // bin 1: s=0.15,0.15 y=1,0  → conf .15, acc .5, gap .35
+    // bin 8: s=0.85,0.85 y=1,1  → conf .85, acc 1,  gap .15
+    // ECE = (2/4)*.35 + (2/4)*.15 = .25
+    // Brier = ((.15-1)² + .15² + (.85-1)² + (.85-1)²)/4
+    //       = (.7225 + .0225 + .0225 + .0225)/4 = .1975
+    val base = Seq((0.15, 1), (0.15, 0), (0.85, 1), (0.85, 1)).toDF("s", "y")
+    val rows = EvalQueries.calibration(base).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 8))
+    val b1 = rows(0)
+    assert(b1.getDouble(2) === 0.15) // conf
+    assert(b1.getDouble(3) === 0.5)  // acc
+    assert(b1.getDouble(4) === 0.35) // gap
+    assert(b1.getDouble(5) === 0.25) // ece
+    assert(b1.getDouble(6) === 0.1975) // brier (sum-form == row-form)
+  }
+
+  test("conformal: rank ⌈0.9(n+1)⌉ with the k > n_cal clamp") {
+    // flag A: train mean = (100+200) div 2 = 150 cents
+    // cal residuals (|cents-150|): 10,20,30,40,50 → n=5,
+    //   k = ceil(0.9*6) = 6 > 5 → clamp → qhat = 50
+    // test: residuals 45 (in), 60 (out) → coverage 0.5
+    def r(flag: String, cents: Long, ok: Long, ln: Int, split: Int) =
+      (flag, cents, ok, ln, split)
+    val in = Seq(
+      r("A", 100, 1, 1, 0), r("A", 200, 2, 1, 0),
+      r("A", 160, 3, 1, 1), r("A", 170, 4, 1, 1), r("A", 180, 5, 1, 1),
+      r("A", 190, 6, 1, 1), r("A", 200, 7, 1, 1),
+      r("A", 195, 8, 1, 2), r("A", 210, 9, 1, 2))
+      .toDF("flag", "cents", "ok", "ln", "split")
+    val row = EvalQueries.conformal(in).collect().head
+    assert(row.getLong(1) === 2L)   // n_train
+    assert(row.getLong(2) === 5L)   // n_cal
+    assert(row.getDouble(4) === 1.5)  // pred 150 cents
+    assert(row.getDouble(5) === 0.5)  // qhat 50 cents (clamped to max)
+    assert(row.getDouble(6) === 0.5)  // coverage
+
+    // 9 cal points: k = ceil(0.9*10) = 9 → the 9th smallest, not max-1
+    val in2 = Seq(
+      r("B", 100, 1, 1, 0), r("B", 200, 2, 1, 0)) ++
+      (1 to 9).map(i => r("B", 150 + 10L * i, 10L + i, 1, 1)) ++
+      Seq(r("B", 235, 30, 1, 2), r("B", 245, 31, 1, 2))
+    val row2 = EvalQueries.conformal(
+      in2.toDF("flag", "cents", "ok", "ln", "split")).collect().head
+    assert(row2.getDouble(5) === 0.9)  // 9th smallest residual = 90 cents
+    assert(row2.getDouble(6) === 0.5)  // |235-150|=85 in, |245-150|=95 out
+  }
+
+  test("mase: gap-exact lags and the ratio on a hand series") {
+    // 9 consecutive days, values 10,20,10,20,10,20,10,20,10 → for the
+    // two evaluable days (8,9): persistence errors |20-10|,|10-20| =
+    // 10; seasonal (lag 7) errors |20-20|,|10-10| = 0... make seasonal
+    // nonzero: day9 value 30: persist |30-20|=10, seasonal |30-10|=20
+    val vals = Seq(10, 20, 10, 20, 10, 20, 10, 20, 30)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("x", f"2024-01-${i + 1}%02d 12:00:00", v.toDouble)
+    }.toDF("event_type", "ts", "value")
+      .selectExpr("event_type", "cast(ts as timestamp) as ts", "value")
+    val row = EvalQueries.mase(ev).collect().head
+    assert(row.getLong(1) === 2L) // only days 8,9 have both lags
+    assert(row.getDouble(2) === 10.0)          // persist MAE
+    assert(row.getDouble(3) === 10.0)          // seasonal MAE (0+20)/2
+    assert(row.getDouble(4) === 1.0)           // mase
+    // gap-exactness: drop day 8 → day 9 loses its lag-1 row entirely
+    // (date-shift join, NOT row-offset), leaving no evaluable day
+    val gappy = ev.where("day(ts) <> 8")
+    assert(EvalQueries.mase(gappy).collect().isEmpty)
+  }
+}
