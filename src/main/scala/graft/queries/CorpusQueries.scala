@@ -16,7 +16,8 @@ object CorpusQueries {
     q80RepetitionFilter, q81Redaction, q82HllMerge, q83AnnJoin,
     q89Decontamination, q90QualityGate, q99SampledEstimate,
     q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain,
-    q162BigramLm, q163PiiRedact, q197GoodTuring, q198BigramPmi)
+    q162BigramLm, q163PiiRedact, q197GoodTuring, q198BigramPmi,
+    q220HeapsLaw, q221QuantileNorm)
 
   /** Bigram PMI collocations — the collocation-mining primitive
     * (which adjacent pairs are "phrases"; feeds tokenizer merges
@@ -620,5 +621,162 @@ object CorpusQueries {
           sum(col("p")).as("phones"), sum(col("i")).as("ips"),
           sum(col("shrink")).as("chars_redacted"))
         .orderBy(col("source"))
+    })
+
+  /** Heaps'-law vocabulary growth V(N) = K·N^β over the word-3-GRAM
+    * vocabulary — the corpus statistic that says how much NEW content
+    * further crawling buys (β near 0 means the corpus is saturating;
+    * near 1 means every batch is novel). The unit is the 3-gram, not
+    * the word, deliberately AND measurably: this fixture's word
+    * vocabulary saturates at 31 types inside the first checkpoint
+    * (β = 0, a vacuous fit — kept as the honest probe note), while
+    * the 3-gram vocabulary grows 3 060 → 16 245 across checkpoints
+    * with 58% hapax — the regime the statistic exists for; on a real
+    * crawl the same query runs per-unit. Grams come from one
+    * posexplode + two lead windows (the q80 gram discipline — never
+    * transform-lambdas on the hot path). The growth curve is measured
+    * at 8 doc-id THRESHOLD CHECKPOINTS, not by a global cumulative
+    * window: each gram's first occurrence is min(doc_id) (one shuffle
+    * on the gram), and V at a checkpoint is a count of first_doc ≤ t
+    * — two broadcast-8-row fan-outs over the gram table and NO global
+    * ordering anywhere, which is what survives a billion-doc corpus
+    * (the q122 cumulative-distinct global window is exactly the shape
+    * this avoids). The K/β fit is the closed-form log-log OLS of the
+    * q184 Zipf precedent; hapax share rides along from the same table.
+    */
+  val q220HeapsLaw = GraftQuery(
+    "q220_heaps_law",
+    "Heaps-law 3-gram vocab growth at 8 doc checkpoints + log-log K/beta fit",
+    Some("""WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tok
+        FROM tk WHERE len(t) >= 3),
+      ta AS (SELECT tok, MIN(doc_id) AS first_doc, COUNT(*) AS cnt
+        FROM toks GROUP BY 1),
+      dc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+      mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      thr AS (SELECT i, CAST(floor(m * i / 8.0) AS BIGINT) AS t
+        FROM mx, unnest(generate_series(1, 8)) AS u(i)),
+      cum AS (SELECT thr.i, thr.t,
+          CAST(SUM(CASE WHEN dc.doc_id <= thr.t THEN dc.n_tok ELSE 0 END)
+            AS BIGINT) AS cum_tokens
+        FROM thr, dc GROUP BY 1, 2),
+      voc AS (SELECT thr.i,
+          CAST(SUM(CASE WHEN ta.first_doc <= thr.t THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab
+        FROM thr, ta GROUP BY 1),
+      pts AS (SELECT cum.i, cum.t, cum.cum_tokens, voc.vocab
+        FROM cum JOIN voc USING (i)),
+      fit AS (SELECT COUNT(*) AS n, SUM(ln(cum_tokens)) AS sx,
+          SUM(ln(vocab)) AS sy,
+          SUM(ln(cum_tokens) * ln(cum_tokens)) AS sxx,
+          SUM(ln(cum_tokens) * ln(vocab)) AS sxy
+        FROM pts),
+      co AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+          n, sx, sy FROM fit),
+      kb AS (SELECT beta, exp((sy - beta * sx) / n) AS k FROM co),
+      hap AS (SELECT SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0
+          / COUNT(*) AS hapax FROM ta)
+      SELECT CAST(pts.i AS INTEGER) AS checkpoint, pts.t AS max_doc,
+        pts.cum_tokens, pts.vocab,
+        ROUND(kb.beta, 6) AS beta_hat, ROUND(kb.k, 6) AS k_hat,
+        ROUND(hap.hapax, 6) AS hapax_share
+      FROM pts, kb, hap ORDER BY 1"""),
+    (s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+"))
+          .as(Seq("pos", "w")))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = words
+        .withColumn("w2", lead(col("w"), 1).over(wl))
+        .withColumn("w3", lead(col("w"), 2).over(wl))
+        .where(col("w3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w2"), col("w3")).as("tok"))
+        .localCheckpoint(true) // feeds the gram agg AND per-doc counts
+      val ta = toks.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds vocab checkpoints AND hapax
+      val dc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val thr = documents(s, d).agg(max(col("doc_id")).as("m"))
+        .select(explode(sequence(lit(1), lit(8))).as("i"), col("m"))
+        .select(col("i"),
+          floor(col("m") * col("i") / 8.0).cast("long").as("t"))
+      val cum = dc.crossJoin(broadcast(thr))
+        .groupBy(col("i"), col("t"))
+        .agg(sum(when(col("doc_id") <= col("t"), col("n_tok")).otherwise(0))
+          .cast("bigint").as("cum_tokens"))
+      val voc = ta.crossJoin(broadcast(thr))
+        .groupBy(col("i"))
+        .agg(sum(when(col("first_doc") <= col("t"), 1).otherwise(0))
+          .cast("bigint").as("vocab"))
+      val pts = cum.join(voc, Seq("i"))
+        .localCheckpoint(true) // feeds the OLS fit AND the output rows
+      val x = log(col("cum_tokens"))
+      val y = log(col("vocab"))
+      val fit = pts.agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+          col("n"), col("sx"), col("sy"))
+        .select(col("beta"),
+          exp((col("sy") - col("beta") * col("sx")) / col("n")).as("k"))
+      val hap = ta.agg((sum(when(col("cnt") === 1, 1).otherwise(0)) /
+        count(lit(1))).as("hapax"))
+      pts.crossJoin(broadcast(fit)).crossJoin(broadcast(hap))
+        .select(col("i").cast("int").as("checkpoint"),
+          col("t").as("max_doc"), col("cum_tokens"), col("vocab"),
+          round(col("beta"), 6).as("beta_hat"),
+          round(col("k"), 6).as("k_hat"),
+          round(col("hapax"), 6).as("hapax_share"))
+        .orderBy(col("checkpoint"))
+    })
+
+  /** Quantile normalization of per-source length distributions — the
+    * cross-source score harmonizer (one source's "long document" is
+    * another's median; mixing decisions must compare LIKE QUANTILES,
+    * the microarray-normalization trick applied to corpus curation).
+    * Rows get a per-source decile (the window is source-partitioned —
+    * bounded by the largest source, never global; ties broken by
+    * doc_id so NTILE is engine-portable), each (source, decile) cell
+    * reports its raw mean, and the normalized reference is the
+    * across-source mean of like deciles — a 10-row broadcast.
+    */
+  val q221QuantileNorm = GraftQuery(
+    "q221_quantile_norm",
+    "per-source decile means quantile-normalized to the cross-source reference",
+    Some("""WITH r AS (
+        SELECT source, doc_id, n_chars,
+          NTILE(10) OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS dec
+        FROM documents),
+      g AS (SELECT source, dec, COUNT(*) AS n, AVG(n_chars) AS raw_mean
+        FROM r GROUP BY 1, 2),
+      ref AS (SELECT dec, AVG(raw_mean) AS norm_ref FROM g GROUP BY 1)
+      SELECT g.source, CAST(g.dec AS INTEGER) AS decile,
+        CAST(g.n AS BIGINT) AS n, ROUND(g.raw_mean, 4) AS raw_mean,
+        ROUND(ref.norm_ref, 4) AS norm_ref,
+        ROUND(ref.norm_ref - g.raw_mean, 4) AS shift
+      FROM g JOIN ref USING (dec) ORDER BY 1, 2"""),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val g = documents(s, d)
+        .select(col("source"), col("n_chars"),
+          ntile(10).over(w).as("dec"))
+        .groupBy(col("source"), col("dec"))
+        .agg(count(lit(1)).as("n"), avg(col("n_chars")).as("raw_mean"))
+        .localCheckpoint(true) // feeds the reference AND the output
+      val ref = g.groupBy(col("dec")).agg(avg(col("raw_mean")).as("norm_ref"))
+      g.join(broadcast(ref), Seq("dec"))
+        .select(col("source"), col("dec").cast("int").as("decile"),
+          col("n").cast("long").as("n"),
+          round(col("raw_mean"), 4).as("raw_mean"),
+          round(col("norm_ref"), 4).as("norm_ref"),
+          round(col("norm_ref") - col("raw_mean"), 4).as("shift"))
+        .orderBy(col("source"), col("decile"))
     })
 }

@@ -55,4 +55,54 @@ class CorpusSpec extends AnyFunSuite {
     // and every reported neighbor is a real corpus vector, never self
     assert(approx.where(col("a") === col("nn_id")).count() === 0)
   }
+
+  test("q220: checkpoint identities — last point is the full corpus, growth is monotone") {
+    val rows = Catalog.all.find(_.name == "q220_heaps_law").get
+      .run(spark, sf).collect()
+    assert(rows.length === 8)
+    val vocab = rows.map(_.getAs[Long]("vocab"))
+    val cum = rows.map(_.getAs[Long]("cum_tokens"))
+    // monotone by construction (first_doc thresholds only ever admit)
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+    // the 8th checkpoint IS max(doc_id) → totals must equal a direct
+    // independent recount of the whole corpus
+    import graft.model.Tables
+    val words = Tables.documents(spark, sf).select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = words
+      .withColumn("w2", lead(col("w"), 1).over(wl))
+      .withColumn("w3", lead(col("w"), 2).over(wl))
+      .where(col("w3").isNotNull)
+      .select(concat_ws(" ", col("w"), col("w2"), col("w3")).as("g"))
+    assert(cum.last === grams.count())
+    assert(vocab.last === grams.distinct().count())
+    // a saturating-vocab unit would give β = 0 (the word-unit trap this
+    // query's scaladoc records); the 3-gram unit must actually grow
+    val beta = rows.head.getAs[Double]("beta_hat")
+    assert(beta > 0.3 && beta < 1.0, s"beta $beta")
+  }
+
+  test("q221: deciles partition each source evenly and norm_ref is the like-decile mean") {
+    val rows = Catalog.all.find(_.name == "q221_quantile_norm").get
+      .run(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    import graft.model.Tables
+    val srcCounts = Tables.documents(spark, sf).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum === srcCounts(src))
+      // NTILE evenness: bucket sizes differ by at most one
+      val ns = rs.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$src buckets $ns")
+    }
+    // the normalized reference of decile d = mean over sources of that
+    // decile's raw means (recomputed from the output itself)
+    rows.groupBy(_.getAs[Int]("decile")).foreach { case (d, rs) =>
+      val want = rs.map(_.getAs[Double]("raw_mean")).sum / rs.length
+      val got = rs.head.getAs[Double]("norm_ref")
+      assert(math.abs(got - want) < 1e-3, s"decile $d: $got vs $want")
+    }
+  }
 }
