@@ -20,7 +20,8 @@ object AnalyticsQueries {
     q189NeymanAlloc, q190SeasonalDecompose, q192KsTest, q194Interarrival,
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
-    q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox)
+    q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
+    q222Hits)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -432,6 +433,92 @@ object AnalyticsQueries {
           (lit(0.15) / col("cnt") + lit(0.85) * col("mass")).as("pr"))
     }
     pr
+  }
+
+  /** HITS hubs & authorities over the supplier→part bipartite graph —
+    * q119 PageRank's mutual-reinforcement sibling (Kleinberg 1999): a
+    * supplier is a good hub if it supplies authoritative parts, a part
+    * is authoritative if good hubs supply it. Two unrolled rounds with
+    * L1 normalization after every half-step (sum-normalize is one
+    * broadcast scalar; L2's sqrt adds nothing the ranking needs), so
+    * the DuckDB oracle replays the float stream exactly; output ranks
+    * on the ROUNDED score (8 dp) like q119 so a last-ulp difference
+    * in the global normalizer can't reorder near-ties. Each half-step
+    * is one edge-keyed join + one keyed aggregate — iteration shuffles
+    * the rank table only, never re-reads the corpus (the distinct edge
+    * set is checkpointed once, the q119 lesson).
+    */
+  val q222Hits = GraftQuery(
+    "q222_hits",
+    "HITS top-10 hub suppliers and authority parts (2 unrolled rounds)",
+    Some("""WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      a1 AS (SELECT p, COUNT(*) * 1.0 AS a FROM edges GROUP BY 1),
+      a1n AS (SELECT p, a / (SELECT SUM(a) FROM a1) AS a FROM a1),
+      h1 AS (SELECT e.s, SUM(a1n.a) AS h FROM edges e JOIN a1n USING (p)
+        GROUP BY 1),
+      h1n AS (SELECT s, h / (SELECT SUM(h) FROM h1) AS h FROM h1),
+      a2 AS (SELECT e.p, SUM(h1n.h) AS a FROM edges e JOIN h1n USING (s)
+        GROUP BY 1),
+      a2n AS (SELECT p, a / (SELECT SUM(a) FROM a2) AS a FROM a2),
+      h2 AS (SELECT e.s, SUM(a2n.a) AS h FROM edges e JOIN a2n USING (p)
+        GROUP BY 1),
+      h2n AS (SELECT s, h / (SELECT SUM(h) FROM h2) AS h FROM h2),
+      hub AS (SELECT 's' || s AS node, 'hub' AS kind,
+          ROUND(h, 8) AS score
+        FROM h2n ORDER BY ROUND(h, 8) DESC, s LIMIT 10),
+      auth AS (SELECT 'p' || p AS node, 'authority' AS kind,
+          ROUND(a, 8) AS score
+        FROM a2n ORDER BY ROUND(a, 8) DESC, p LIMIT 10)
+      SELECT * FROM hub UNION ALL SELECT * FROM auth
+      ORDER BY kind, score DESC, node"""),
+    (s, d) => {
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true) // read by all four half-steps
+      val (hub, auth) = hits(edges, rounds = 2)
+      val top10h = hub
+        .select(concat(lit("s"), col("s")).as("node"),
+          lit("hub").as("kind"), round(col("h"), 8).as("score"))
+        .orderBy(round(col("score"), 8).desc, col("node")).limit(10)
+      val top10a = auth
+        .select(concat(lit("p"), col("p")).as("node"),
+          lit("authority").as("kind"), round(col("a"), 8).as("score"))
+        .orderBy(round(col("score"), 8).desc, col("node")).limit(10)
+      top10h.unionAll(top10a)
+        .orderBy(col("kind"), col("score").desc, col("node"))
+    })
+
+  /** The q222 iteration over any (s, p) edge frame: `rounds`
+    * authority/hub half-step pairs with L1 normalization, starting
+    * from uniform hub mass. Returns (hub frame (s, h), authority
+    * frame (p, a)), both L1-normalized. AnalyticsSpec hand-traces a
+    * 3-node graph. */
+  def hits(edges: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def l1(df: org.apache.spark.sql.DataFrame, v: String)
+        : org.apache.spark.sql.DataFrame = {
+      val t = df.agg(sum(col(v)).as("__t"))
+      df.crossJoin(broadcast(t)).select(col(df.columns.head),
+        (col(v) / col("__t")).as(v))
+    }
+    // round 1 folds the uniform hub start analytically: a ∝ indegree
+    var auth = l1(edges.groupBy(col("p"))
+      .agg(count(lit(1)).cast("double").as("a")), "a")
+      .localCheckpoint(true) // feeds the next half-step AND the caller
+    var hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
+      .agg(sum(col("a")).as("h")), "h")
+      .localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      auth = l1(edges.join(hub, Seq("s")).groupBy(col("p"))
+        .agg(sum(col("h")).as("a")), "a")
+        .localCheckpoint(true)
+      hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
+        .agg(sum(col("a")).as("h")), "h")
+        .localCheckpoint(true)
+    }
+    (hub, auth)
   }
 
   /** EWMA (α=0.5) over each user's observed-day value series, closed

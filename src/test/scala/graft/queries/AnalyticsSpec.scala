@@ -332,4 +332,24 @@ class AnalyticsSpec extends AnyFunSuite {
       (5, 3L, 1L, 1L, 0.4),
       (31, 1L, 0L, 1L, 0.4)))
   }
+
+  test("hits: hand-traced 2 rounds on a 3-node bipartite graph") {
+    import spark.implicits._
+    // s1->{p1,p2}, s2->{p1}:
+    //  a1 ∝ indegree → p1 2/3, p2 1/3
+    //  h1: s1 = 1, s2 = 2/3 → L1 → s1 3/5, s2 2/5
+    //  a2: p1 = 1, p2 = 3/5 → L1 → p1 5/8, p2 3/8
+    //  h2: s1 = 1, s2 = 5/8 → L1 → s1 8/13, s2 5/13
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("s", "p")
+    val (hub, auth) = AnalyticsQueries.hits(edges, rounds = 2)
+    val h = hub.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = auth.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(h(1L) - 8.0 / 13) < 1e-12, s"h1 ${h(1L)}")
+    assert(math.abs(h(2L) - 5.0 / 13) < 1e-12, s"h2 ${h(2L)}")
+    assert(math.abs(a(1L) - 5.0 / 8) < 1e-12, s"a1 ${a(1L)}")
+    assert(math.abs(a(2L) - 3.0 / 8) < 1e-12, s"a2 ${a(2L)}")
+    // both sides stay L1-normalized after every round
+    assert(math.abs(h.values.sum - 1.0) < 1e-12)
+    assert(math.abs(a.values.sum - 1.0) < 1e-12)
+  }
 }
