@@ -20,7 +20,8 @@ import graft.model.Tables._
   */
 object EvalQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q217Calibration, q218Conformal, q219Mase)
+  def queries: Seq[GraftQuery] = Seq(q217Calibration, q218Conformal,
+    q219Mase, q223Auc, q224Psi, q225Jackknife)
 
   /** Reliability-bin calibration of a transparent return-risk score.
     * The score is RATIONAL arithmetic only (least/+/×/÷ — no
@@ -244,5 +245,244 @@ object EvalQueries {
           round(avg(abs(col("v") - col("v1"))) /
             avg(abs(col("v") - col("v7"))), 6).as("mase"))
         .orderBy(col("event_type"))
+  }
+
+  /** ROC AUC of q217's return-risk score — its DISCRIMINATION, the
+    * companion number to q217's calibration (a score can be perfectly
+    * calibrated and useless, or sharp and miscalibrated; deployments
+    * read both). Computed in the midrank/Mann–Whitney form over the
+    * VALUE DISTRIBUTION (the q205/q206 discipline): the corpus
+    * collapses to ≤ |discounts|×|quantities| = 550 distinct-score rows
+    * (a domain constant — 180 observed), the one ordered sweep runs on
+    * that table (registered bounded global window, PlanLintSpec), and
+    * ties contribute the standard half credit. EvalSpec pins
+    * equivalence to the brute-force pairwise definition on a hand set.
+    */
+  val q223Auc = GraftQuery(
+    "q223_auc",
+    "ROC AUC (midrank form) of the q217 return-risk score",
+    Some("""WITH b AS (
+        SELECT least(0.99, 0.05 + l_discount * 3 + l_quantity / 200.0) AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      dist AS (
+        SELECT s, SUM(y) AS np, COUNT(*) - SUM(y) AS nn
+        FROM b GROUP BY 1),
+      sweep AS (
+        SELECT s, np, nn,
+          COALESCE(SUM(nn) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        FROM dist),
+      t AS (
+        SELECT SUM(np) AS p, SUM(nn) AS n,
+          SUM(np * (cn + nn / 2.0)) AS u
+        FROM sweep)
+      SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        ROUND(u / (p * n), 6) AS auc,
+        ROUND(2 * u / (p * n) - 1, 6) AS gini
+      FROM t"""),
+    (s, d) => auc(lineitem(s, d).select(
+      least(lit(0.99), lit(0.05) + col("l_discount") * 3 +
+        col("l_quantity") / 200.0).as("s"),
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))))
+
+  /** The q223 plan over any (s: double, y: 0/1) frame. */
+  def auc(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dist = base.groupBy(col("s"))
+      .agg(sum(col("y")).as("np"),
+        (count(lit(1)) - sum(col("y"))).as("nn"))
+    // bounded global window: rows = |distinct scores|, a domain
+    // constant (registered in PlanLintSpec.boundedGlobalWindow)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    dist
+      .withColumn("cn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        sum(col("np") * (col("cn") + col("nn") / 2.0)).as("u"))
+      .select(col("p").cast("long").as("n_pos"),
+        col("n").cast("long").as("n_neg"),
+        round(col("u") / (col("p") * col("n")), 6).as("auc"),
+        round(lit(2) * col("u") / (col("p") * col("n")) - 1, 6).as("gini"))
+  }
+
+  /** Population stability index per event type — THE production drift
+    * monitor (credit-scoring lineage; rule of thumb: < 0.1 stable,
+    * > 0.25 investigate), here between the stream's first 15 calendar
+    * days (reference) and the rest (current). Ten equal-width value
+    * bins from one broadcast min/max row; every (type, bin) cell is
+    * Laplace-smoothed ((c+0.5)/(n+5)) so empty bins contribute finite
+    * divergence — and the zero-count bins EXIST because the bin spine
+    * is an exploded literal sequence left-joined with counts, not
+    * whatever bins happened to occur. One shuffle of (type, bin, half)
+    * counts; PSI folds 10 broadcast-sized rows per type.
+    */
+  val q224Psi = GraftQuery(
+    "q224_psi",
+    "population stability index (first 15 days vs rest) per event type",
+    Some("""WITH bounds AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx,
+          MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      b AS (
+        SELECT event_type,
+          CASE WHEN CAST(ts AS DATE) <= d0 + 14 THEN 0 ELSE 1 END AS half,
+          least(9, CAST(floor((value - mn) / ((mx - mn) / 10.0))
+            AS INTEGER)) AS bin
+        FROM events, bounds),
+      c AS (SELECT event_type, half, bin, COUNT(*) AS c
+        FROM b GROUP BY 1, 2, 3),
+      spine AS (
+        SELECT et.event_type, u.bin
+        FROM (SELECT DISTINCT event_type FROM events) et,
+          unnest(generate_series(0, 9)) AS u(bin)),
+      n AS (SELECT event_type, half, SUM(c) AS n FROM c GROUP BY 1, 2),
+      pq AS (
+        SELECT s.event_type, s.bin, nr.n AS nrn, nc.n AS ncn,
+          (COALESCE(cr.c, 0) + 0.5) / (nr.n + 5.0) AS p,
+          (COALESCE(cc.c, 0) + 0.5) / (nc.n + 5.0) AS q
+        FROM spine s
+        LEFT JOIN c cr ON cr.event_type = s.event_type
+          AND cr.bin = s.bin AND cr.half = 0
+        LEFT JOIN c cc ON cc.event_type = s.event_type
+          AND cc.bin = s.bin AND cc.half = 1
+        JOIN n nr ON nr.event_type = s.event_type AND nr.half = 0
+        JOIN n nc ON nc.event_type = s.event_type AND nc.half = 1)
+      SELECT event_type, CAST(MIN(nrn) AS BIGINT) AS n_ref,
+        CAST(MIN(ncn) AS BIGINT) AS n_cur,
+        ROUND(SUM((q - p) * ln(q / p)), 6) AS psi
+      FROM pq GROUP BY 1 ORDER BY 1"""),
+    (s, d) => psi(events(s, d)))
+
+  /** The q224 plan over any (event_type, ts, value) frame. */
+  def psi(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = ev.select(col("event_type"), col("ts"), col("value"))
+      .localCheckpoint(true) // feeds bounds, counts, and the spine
+    val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+      min(to_date(col("ts"))).as("d0"))
+    val c = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(to_date(col("ts")) <= date_add(col("d0"), 14), 0).otherwise(1)
+          .as("half"),
+        least(lit(9), floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / 10.0)).cast("int")).as("bin"))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals AND both spine joins
+    val n = c.groupBy(col("event_type"), col("half"))
+      .agg(sum(col("c")).as("n"))
+    val spine = e.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(9))).as("bin"))
+    val cr = c.where(col("half") === 0)
+      .select(col("event_type"), col("bin"), col("c").as("c_ref"))
+    val cc = c.where(col("half") === 1)
+      .select(col("event_type"), col("bin"), col("c").as("c_cur"))
+    val nr = n.where(col("half") === 0)
+      .select(col("event_type"), col("n").as("n_ref"))
+    val nc = n.where(col("half") === 1)
+      .select(col("event_type"), col("n").as("n_cur"))
+    spine
+      .join(cr, Seq("event_type", "bin"), "left")
+      .join(cc, Seq("event_type", "bin"), "left")
+      .join(broadcast(nr), Seq("event_type"))
+      .join(broadcast(nc), Seq("event_type"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        ((coalesce(col("c_ref"), lit(0L)) + 0.5) / (col("n_ref") + 5.0))
+          .as("p"),
+        ((coalesce(col("c_cur"), lit(0L)) + 0.5) / (col("n_cur") + 5.0))
+          .as("q"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_ref")).as("nr"), first(col("n_cur")).as("nc"),
+        sum((col("q") - col("p")) * log(col("q") / col("p"))).as("psi"))
+      .select(col("event_type"), col("nr").cast("long").as("n_ref"),
+        col("nc").cast("long").as("n_cur"),
+        round(col("psi"), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Delete-one-bucket jackknife for a RATIO metric — the variance
+    * machinery every A/B readout with a ratio numerator needs (the
+    * naive per-row variance is wrong when numerator and denominator
+    * correlate within units; q124's t-test covers means, this covers
+    * ratios). Units (orders) hash into 10 buckets; revenue is summed
+    * in INTEGER CENTS per bucket so the leave-one-out ratios are
+    * bit-identical across engines (the q218 discipline — jackknife
+    * differences are exactly the cancellation-amplified quantity
+    * float sums would poison). Everything after the one bucket-keyed
+    * shuffle is arithmetic over 10 metadata rows.
+    */
+  val q225Jackknife = GraftQuery(
+    "q225_jackknife",
+    "delete-one-bucket jackknife CI for revenue-per-unit (integer cents)",
+    Some("""WITH b AS (
+        SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+            AS UBIGINT) % 10 AS bucket,
+          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            AS rev,
+          CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+      g AS (SELECT bucket, SUM(rev) AS s, SUM(qty) AS q, COUNT(*) AS n
+        FROM b GROUP BY 1),
+      t AS (SELECT SUM(s) AS ts, SUM(q) AS tq, COUNT(*) AS k FROM g),
+      loo AS (
+        SELECT g.bucket, g.n,
+          (t.ts - g.s) / 100.0 / (t.tq - g.q) AS theta_i
+        FROM g, t),
+      m AS (SELECT AVG(theta_i) AS mb FROM loo),
+      v AS (
+        SELECT sqrt((t.k - 1.0) / t.k *
+          SUM((theta_i - m.mb) * (theta_i - m.mb))) AS se
+        FROM loo, m, t GROUP BY t.k),
+      th AS (SELECT ts / 100.0 / tq AS theta FROM t)
+      SELECT CAST(loo.bucket AS INTEGER) AS bucket,
+        CAST(loo.n AS BIGINT) AS n_rows,
+        ROUND(loo.theta_i, 6) AS theta_loo,
+        ROUND(th.theta, 6) AS theta,
+        ROUND(v.se, 6) AS se,
+        ROUND(th.theta - 1.96 * v.se, 6) AS ci_lo,
+        ROUND(th.theta + 1.96 * v.se, 6) AS ci_hi
+      FROM loo, th, v ORDER BY 1"""),
+    (s, d) => jackknifeRatio(lineitem(s, d).select(
+      (expr("cast(conv(substring(md5(cast(l_orderkey as string)), 1, 8)," +
+        " 16, 10) as bigint)") % 10).as("bucket"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("bigint").as("rev"),
+      col("l_quantity").cast("bigint").as("qty"))))
+
+  /** The q225 plan over any (bucket, rev, qty) frame — EvalSpec
+    * hand-traces the leave-one-out ratios and the (k−1)/k factor. */
+  def jackknifeRatio(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = in.groupBy(col("bucket"))
+      .agg(sum(col("rev")).as("s"), sum(col("qty")).as("q"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds totals AND the loo rows
+    val t = g.agg(sum(col("s")).as("ts"), sum(col("q")).as("tq"),
+      count(lit(1)).as("k"))
+    val loo = g.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n"),
+        ((col("ts") - col("s")) / 100.0 / (col("tq") - col("q")))
+          .as("theta_i"), col("k"), col("ts"), col("tq"))
+      .localCheckpoint(true) // feeds the mean, the variance, the rows
+    val m = loo.agg(avg(col("theta_i")).as("mb"))
+    val v = loo.crossJoin(broadcast(m))
+      .groupBy(col("k"))
+      .agg(sqrt((col("k") - 1.0) / col("k") *
+        sum((col("theta_i") - col("mb")) * (col("theta_i") - col("mb"))))
+        .as("se"))
+      .select(col("se"))
+    loo.crossJoin(broadcast(v))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n").cast("long").as("n_rows"),
+        round(col("theta_i"), 6).as("theta_loo"),
+        round(col("ts") / 100.0 / col("tq"), 6).as("theta"),
+        round(col("se"), 6).as("se"),
+        round(col("ts") / 100.0 / col("tq") - lit(1.96) * col("se"), 6)
+          .as("ci_lo"),
+        round(col("ts") / 100.0 / col("tq") + lit(1.96) * col("se"), 6)
+          .as("ci_hi"))
+      .orderBy(col("bucket"))
   }
 }

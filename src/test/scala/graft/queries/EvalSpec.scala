@@ -62,6 +62,51 @@ class EvalSpec extends AnyFunSuite {
     assert(row2.getDouble(6) === 0.5)  // |235-150|=85 in, |245-150|=95 out
   }
 
+  test("auc: midrank form equals the brute-force pairwise definition") {
+    // pos scores {0.9, 0.7, 0.5}, neg {0.7, 0.3}: of the 6 pairs, 4
+    // strictly ordered, 1 tie (0.7 vs 0.7 → half credit), 1 inverted
+    // → AUC = 4.5/6 = 0.75 (fixture AUC is ≈0.5 — an honest null; the
+    // discrimination semantics are pinned here instead)
+    val base = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0))
+      .toDF("s", "y")
+    val row = EvalQueries.auc(base).collect().head
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === 2L)
+    assert(row.getDouble(2) === 0.75)
+    assert(row.getDouble(3) === 0.5) // gini = 2·auc − 1
+  }
+
+  test("psi: zero on identical halves, large on a planted shift") {
+    def ev(day: Int, v: Double) =
+      ("x", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+    // identical value mix in both halves → p = q in every bin → PSI 0
+    val same = ((1 to 10).map(d => ev(d, (d % 5).toDouble)) ++
+      (16 to 25).map(d => ev(d, (d % 5).toDouble)))
+      .toDF("event_type", "ts", "value")
+    val psi0 = EvalQueries.psi(same).collect().head.getDouble(3)
+    assert(psi0 === 0.0, s"identical halves psi $psi0")
+    // second half shifted to the top of the range → PSI >> 0.25
+    val shifted = ((1 to 10).map(d => ev(d, (d % 5).toDouble)) ++
+      (16 to 25).map(d => ev(d, 100.0 + d)))
+      .toDF("event_type", "ts", "value")
+    val psi1 = EvalQueries.psi(shifted).collect().head.getDouble(3)
+    assert(psi1 > 0.25, s"planted shift psi $psi1")
+  }
+
+  test("jackknife: hand leave-one-out ratios and the (k-1)/k factor") {
+    // buckets (cents, qty): (10000, 10), (30000, 10):
+    //   θ = 400/20 = 20 $/unit; loo = 30, 10; mean 20
+    //   se = sqrt((2−1)/2 · (10² + 10²)) = 10 → CI 20 ± 19.6
+    val in = Seq((0, 10000L, 10L), (1, 30000L, 10L))
+      .toDF("bucket", "rev", "qty")
+    val rows = EvalQueries.jackknifeRatio(in).collect()
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(30.0, 10.0))
+    assert(rows.head.getDouble(3) === 20.0)  // theta
+    assert(rows.head.getDouble(4) === 10.0)  // se
+    assert(rows.head.getDouble(5) === 0.4)   // 20 − 19.6
+    assert(rows.head.getDouble(6) === 39.6)  // 20 + 19.6
+  }
+
   test("mase: gap-exact lags and the ratio on a hand series") {
     // 9 consecutive days, values 10,20,10,20,10,20,10,20,10 → for the
     // two evaluable days (8,9): persistence errors |20-10|,|10-20| =

@@ -89,7 +89,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q206_mann_whitney" ->
       ("midrank sweep over the pooled VALUE DISTRIBUTION: rows = " +
         "|distinct l_quantity| (= 50 at any corpus size — a domain " +
-        "constant, not a corpus statistic)"))
+        "constant, not a corpus statistic)"),
+    "q223_auc" ->
+      ("cumulative-negatives sweep over the SCORE DISTRIBUTION: rows " +
+        "= |distinct scores| ≤ |discounts|×|quantities| = 550 (180 " +
+        "observed) — a domain constant, not a corpus statistic"))
 
   /** The labelled-quadratic register (round-6 verdict #3): the "every
     * deliberate all-pairs form is paired with a flatter twin" invariant,
