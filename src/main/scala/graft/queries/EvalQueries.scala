@@ -21,7 +21,8 @@ import graft.model.Tables._
 object EvalQueries {
 
   def queries: Seq[GraftQuery] = Seq(q217Calibration, q218Conformal,
-    q219Mase, q223Auc, q224Psi, q225Jackknife)
+    q219Mase, q223Auc, q224Psi, q225Jackknife, q226MadOutliers,
+    q227CvFolds, q228LearningCurve)
 
   /** Reliability-bin calibration of a transparent return-risk score.
     * The score is RATIONAL arithmetic only (least/+/×/÷ — no
@@ -450,6 +451,215 @@ object EvalQueries {
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
         .cast("bigint").as("rev"),
       col("l_quantity").cast("bigint").as("qty"))))
+
+  /** Hampel/MAD robust outlier screen per event type — the monitoring
+    * primitive that survives the anomalies it hunts (mean/σ are
+    * dragged by the very outliers they're meant to flag; the median
+    * and the median-absolute-deviation aren't). Daily sums (rounded —
+    * the shared q85 convention) get the exact interpolated median
+    * (Spark `percentile` == DuckDB `quantile_cont`, probed on doubles
+    * before this was written — DuckDB's `median` on DECIMAL inputs is
+    * discrete, hence the explicit cont form in the oracle), then the
+    * MAD of deviations, then the classic 3·1.4826·MAD fence. Two
+    * passes over the calendar-bounded daily table; the corpus crosses
+    * one groupBy.
+    */
+  val q226MadOutliers = GraftQuery(
+    "q226_mad_outliers",
+    "median/MAD (Hampel) outlier fence per event type over daily sums",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM daily GROUP BY 1),
+      dev AS (SELECT d.event_type, abs(d.v - med.med) AS dv
+        FROM daily d JOIN med USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        ROUND(MIN(med.med), 2) AS med, ROUND(MIN(mad.mad), 2) AS mad,
+        CAST(SUM(CASE WHEN abs(d.v - med.med) >
+          3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type)
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => madOutliers(events(s, d)))
+
+  /** The q226 plan over any (event_type, ts, value) frame — EvalSpec
+    * plants a spike and pins the fence. */
+  def madOutliers(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint(true) // feeds both percentile passes + the fence
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = daily.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("dv"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(dv, 0.5)").as("mad"))
+    daily.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(min(col("med")), 2).as("med"),
+        round(min(col("mad")), 2).as("mad"),
+        sum(when(abs(col("v") - col("med")) >
+          lit(3) * 1.4826 * col("mad"), 1).otherwise(0))
+          .cast("bigint").as("n_outliers"))
+      .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+        col("med"), col("mad"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** 5-fold cross-validation of the per-flag mean-price predictor —
+    * the fold variance that says whether an eval number is signal or
+    * fold luck. The per-fold out-of-fold predictor needs NO 5-pass
+    * retraining: train sums are (S_g − s_{g,f})/(n_g − n_{g,f}) from
+    * one (flag, fold) aggregate in integer cents (exact in both
+    * engines), rows join their fold's predictor broadcast, and the
+    * fold MSEs + their mean/sd are arithmetic over 5 rows.
+    */
+  val q227CvFolds = GraftQuery(
+    "q227_cv_folds",
+    "5-fold CV MSE of the per-flag mean price, LOO-sum trained",
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+            AS VARCHAR)), 1, 8) AS UBIGINT) % 5 AS fold
+        FROM lineitem),
+      g AS (SELECT flag, fold, SUM(cents) AS s, COUNT(*) AS n
+        FROM b GROUP BY 1, 2),
+      t AS (SELECT flag, SUM(s) AS ts, SUM(n) AS tn FROM g GROUP BY 1),
+      pred AS (
+        SELECT g.flag, g.fold,
+          (t.ts - g.s) * 1.0 / (t.tn - g.n) AS p
+        FROM g JOIN t USING (flag)),
+      mse AS (
+        SELECT b.fold, COUNT(*) AS n,
+          SUM((b.cents - pred.p) * (b.cents - pred.p)) / COUNT(*) / 10000.0
+            AS mse
+        FROM b JOIN pred ON pred.flag = b.flag AND pred.fold = b.fold
+        GROUP BY 1),
+      agg AS (
+        SELECT AVG(mse) AS mean_mse,
+          sqrt(SUM((mse - (SELECT AVG(mse) FROM mse))
+            * (mse - (SELECT AVG(mse) FROM mse))) / (COUNT(*) - 1)) AS sd
+        FROM mse)
+      SELECT CAST(fold AS INTEGER) AS fold, CAST(n AS BIGINT) AS n_rows,
+        ROUND(mse, 4) AS mse,
+        ROUND(agg.mean_mse, 4) AS mean_mse, ROUND(agg.sd, 4) AS sd_mse
+      FROM mse, agg ORDER BY 1"""),
+    (s, d) => cvFolds(lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
+        " as string)), 1, 8), 16, 10) as bigint)") % 5).as("fold"))))
+
+  /** The q227 plan over any (flag, cents, fold) frame — EvalSpec
+    * hand-traces the LOO-sum predictor and the fold sd. */
+  def cvFolds(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = in.localCheckpoint(true) // feeds the fold sums AND the MSE scan
+    val g = b.groupBy(col("flag"), col("fold"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val t = g.groupBy(col("flag")).agg(sum(col("s")).as("ts"),
+      sum(col("n")).as("tn"))
+    val pred = g.join(broadcast(t), Seq("flag"))
+      .select(col("flag"), col("fold"),
+        ((col("ts") - col("s")) * 1.0 / (col("tn") - col("n"))).as("p"))
+    val mse = b.join(broadcast(pred), Seq("flag", "fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"),
+        (sum((col("cents") - col("p")) * (col("cents") - col("p"))) /
+          count(lit(1)) / 10000.0).as("mse"))
+      .localCheckpoint(true) // feeds the summary AND the rows
+    val m = mse.agg(avg(col("mse")).as("mean_mse"))
+    val sd = mse.crossJoin(broadcast(m))
+      .agg(sqrt(sum((col("mse") - col("mean_mse")) *
+        (col("mse") - col("mean_mse"))) / (count(lit(1)) - 1)).as("sd"),
+        first(col("mean_mse")).as("mean_mse"))
+    mse.crossJoin(broadcast(sd))
+      .select(col("fold").cast("int").as("fold"),
+        col("n").cast("long").as("n_rows"),
+        round(col("mse"), 4).as("mse"),
+        round(col("mean_mse"), 4).as("mean_mse"),
+        round(col("sd"), 4).as("sd_mse"))
+      .orderBy(col("fold"))
+  }
+
+  /** Learning curve — held-out MAE of the per-flag mean predictor as
+    * the training split grows 10 → 20 → 40 → 80 % (NESTED by hash
+    * prefix, so each point's training set contains the previous
+    * one's, the way a real "should we buy more data?" curve is drawn;
+    * the answer the curve gives is the curation go/no-go). On this
+    * fixture the curve is honestly FLAT (MAE 26 040 ± 1 at every
+    * point — a mean over uniform prices saturates by the 10 % split;
+    * the residual is irreducible), so EvalSpec plants a low-data
+    * regime where the curve visibly descends instead. Train sums
+    * per point are conditional aggregates against a 4-row literal
+    * spine; the test scan joins its 4 predictors broadcast — the
+    * corpus crosses two scans and one (flag, pct) shuffle no matter
+    * how many curve points are drawn.
+    */
+  val q228LearningCurve = GraftQuery(
+    "q228_learning_curve",
+    "held-out MAE of the per-flag mean price at nested 10/20/40/80% train splits",
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+            AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS u
+        FROM lineitem),
+      pcts AS (SELECT unnest([10, 20, 40, 80]) AS pct),
+      tr AS (
+        SELECT b.flag, p.pct, SUM(b.cents) AS s, COUNT(*) AS n
+        FROM b, pcts p WHERE b.u < p.pct GROUP BY 1, 2),
+      pred AS (SELECT flag, pct, s * 1.0 / n AS p, n AS n_train FROM tr),
+      test AS (SELECT flag, cents FROM b WHERE u >= 80),
+      ev AS (
+        SELECT pred.pct, COUNT(*) AS n_test_rows,
+          SUM(abs(test.cents - pred.p)) / COUNT(*) / 100.0 AS mae
+        FROM test JOIN pred USING (flag) GROUP BY 1),
+      ntr AS (SELECT pct, CAST(SUM(n) AS BIGINT) AS n_train
+        FROM tr GROUP BY 1)
+      SELECT CAST(ev.pct AS INTEGER) AS train_pct, ntr.n_train,
+        CAST(ev.n_test_rows AS BIGINT) AS n_test,
+        ROUND(ev.mae, 4) AS mae
+      FROM ev JOIN ntr USING (pct) ORDER BY 1"""),
+    (s, d) => learningCurve(lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
+        " as string)), 1, 8), 16, 10) as bigint)") % 100).as("u"))))
+
+  /** The q228 plan over any (flag, cents, u: 0..99) frame. */
+  def learningCurve(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = in.localCheckpoint(true) // feeds the train sums AND the test scan
+    val pcts = b.sparkSession.range(1).select(
+      explode(array(lit(10), lit(20), lit(40), lit(80))).as("pct"))
+    val tr = b.crossJoin(broadcast(pcts)).where(col("u") < col("pct"))
+      .groupBy(col("flag"), col("pct"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the predictor AND the size rollup
+    val pred = tr.select(col("flag"), col("pct"),
+      (col("s") * 1.0 / col("n")).as("p"))
+    val ev = b.where(col("u") >= 80).join(broadcast(pred), Seq("flag"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_test"),
+        (sum(abs(col("cents") - col("p"))) / count(lit(1)) / 100.0)
+          .as("mae"))
+    val ntr = tr.groupBy(col("pct"))
+      .agg(sum(col("n")).cast("bigint").as("n_train"))
+    ev.join(broadcast(ntr), Seq("pct"))
+      .select(col("pct").cast("int").as("train_pct"), col("n_train"),
+        col("n_test").cast("long").as("n_test"),
+        round(col("mae"), 4).as("mae"))
+      .orderBy(col("train_pct"))
+  }
 
   /** The q225 plan over any (bucket, rev, qty) frame — EvalSpec
     * hand-traces the leave-one-out ratios and the (k−1)/k factor. */

@@ -107,6 +107,48 @@ class EvalSpec extends AnyFunSuite {
     assert(rows.head.getDouble(6) === 39.6)  // 20 + 19.6
   }
 
+  test("mad outliers: a planted spike crosses the Hampel fence, the base series doesn't") {
+    def ev(day: Int, v: Double) =
+      ("x", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+    val base = (1 to 15).map(d => ev(d, 100.0 + (d % 3))) // 100..102
+    val calm = EvalQueries.madOutliers(
+      base.toDF("event_type", "ts", "value")).collect().head
+    assert(calm.getLong(4) === 0L)
+    // day 16 at 10× the level: dev 900 >> 3·1.4826·MAD(≈1) → flagged
+    val spiked = EvalQueries.madOutliers(
+      (base :+ ev(16, 1000.0)).toDF("event_type", "ts", "value"))
+      .collect().head
+    assert(spiked.getLong(4) === 1L)
+    assert(spiked.getDouble(2) === 101.0) // median barely moves (robust)
+  }
+
+  test("cv folds: LOO-sum predictor equals explicit out-of-fold retraining") {
+    // one flag, folds 0/1 with cents {10, 20} / {40}:
+    //   fold 0 trains on fold 1 → pred 40 → mse ((30²+20²)/2)/10⁴ = 0.065
+    //   fold 1 trains on fold 0 → pred 15 → mse (25²/1)/10⁴ = 0.0625
+    val in = Seq(("A", 10L, 0L), ("A", 20L, 0L), ("A", 40L, 1L))
+      .toDF("flag", "cents", "fold")
+    val rows = EvalQueries.cvFolds(in).collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(2))).toSeq ===
+      Seq((0, 0.065), (1, 0.0625)))
+    val mean = (0.065 + 0.0625) / 2
+    assert(rows.head.getDouble(3) === math.rint(mean * 1e4) / 1e4)
+  }
+
+  test("learning curve: descends when small splits are genuinely noisy") {
+    // flag A truth = 1000 cents; u<10 sees only one wild row (5000),
+    // u<80 averages it away → held-out MAE must strictly improve
+    val in = (Seq(("A", 5000L, 5L)) ++
+      (0 until 60).map(i => ("A", 1000L, 10L + i)) ++
+      (0 until 20).map(i => ("A", 1000L, 80L + i)))
+      .toDF("flag", "cents", "u")
+    val rows = EvalQueries.learningCurve(in).collect()
+    val mae = rows.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(mae(10) === 40.0)  // pred 5000, truth 1000 → 4000c = $40
+    assert(mae(80) < 1.0, s"mae80 ${mae(80)}") // pred ≈ 1065.6 → $0.656
+    assert(mae(10) > mae(20) && mae(20) > mae(40) && mae(40) > mae(80))
+  }
+
   test("mase: gap-exact lags and the ratio on a hand series") {
     // 9 consecutive days, values 10,20,10,20,10,20,10,20,10 → for the
     // two evaluable days (8,9): persistence errors |20-10|,|10-20| =
