@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** Sequential time-series operators over the per-type daily tables —
+  * the forecasting/monitoring recurrences the reference's AR forecast
+  * (music.md:1039-1248, M12/M13) implies but never names: Holt linear
+  * trend (the level+slope smoother an AR ensemble is benchmarked
+  * against), the Page–Hinkley drift test (the sequential alarm CUSUM's
+  * q201 family is missing), and a rolling z-score anomaly screen (the
+  * windowed twin of q226's global MAD fence).
+  *
+  * Shared design rule (the q201 argument): every recurrence folds the
+  * DAY table — calendar-bounded, |days| × |types| rows, never event
+  * rows — through one codegen'd `aggregate` lambda; the corpus crosses
+  * exactly one (event_type, day) shuffle. Daily sums are rounded to
+  * 2dp FIRST (the q226 convention) so both engines fold bit-identical
+  * inputs and the 4dp output round absorbs only the engines' own
+  * float-op dust, not distributed-sum ordering.
+  */
+object SeriesQueries {
+
+  def queries: Seq[GraftQuery] = Seq(q229Holt, q230PageHinkley,
+    q231RollingZ)
+
+  /** Holt linear-trend (double exponential) smoothing, α=0.5 β=0.3:
+    * l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
+    * (1−β)b_{t−1}, one-step forecast f_t = l_{t−1}+b_{t−1}; init
+    * l_1 = v_1, b_1 = 0, f_1 = v_1. The coupled (l, b) state is
+    * non-linearizable across days (the q121 EWMA power trick handles
+    * a single geometric state, not two), so each type's ordered day
+    * series folds through one `aggregate` lambda; DuckDB replays the
+    * identical recurrence as a recursive CTE.
+    */
+  val q229Holt = GraftQuery(
+    "q229_holt",
+    "Holt linear-trend smoothing (α=0.5, β=0.3) over daily event sums",
+    Some("""WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      z AS (SELECT event_type, ds, v,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+        FROM daily),
+      h AS (
+        SELECT event_type, ds, rn, v, v AS l, 0.0::DOUBLE AS b, v AS f
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT z.event_type, z.ds, z.rn, z.v,
+          0.5 * z.v + 0.5 * (h.l + h.b),
+          0.3 * ((0.5 * z.v + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+          h.l + h.b
+        FROM z JOIN h ON z.event_type = h.event_type AND z.rn = h.rn + 1)
+      SELECT event_type, ds, v, ROUND(l, 4) AS level,
+        ROUND(b, 4) AS trend, ROUND(f, 4) AS forecast,
+        ROUND(v - f, 4) AS err
+      FROM h ORDER BY 1, 2"""),
+    (s, d) => holtDaily(events(s, d)))
+
+  /** The q229 plan over any (event_type, ts, value) frame —
+    * SeriesSpec hand-traces the recurrence and pins trend capture on
+    * a planted linear ramp. */
+  def holtDaily(ev: DataFrame): DataFrame = {
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .select(col("event_type"), struct(col("ds"), col("v")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("e"))).as("series"))
+      .withColumn("run", expr(
+        """aggregate(series,
+             cast(array() as array<struct<ds:date, v:double, l:double,
+                                          b:double, f:double>>),
+             (acc, e) -> array_append(acc, if(size(acc) = 0,
+               named_struct('ds', e.ds, 'v', e.v, 'l', e.v,
+                 'b', cast(0.0 as double), 'f', e.v),
+               named_struct('ds', e.ds, 'v', e.v,
+                 'l', 0.5d * e.v + 0.5d * (acc[size(acc) - 1].l
+                        + acc[size(acc) - 1].b),
+                 'b', 0.3d * ((0.5d * e.v + 0.5d * (acc[size(acc) - 1].l
+                        + acc[size(acc) - 1].b)) - acc[size(acc) - 1].l)
+                      + 0.7d * acc[size(acc) - 1].b,
+                 'f', acc[size(acc) - 1].l + acc[size(acc) - 1].b))))"""))
+      .select(col("event_type"), explode(col("run")).as("r"))
+      .select(col("event_type"), col("r.ds").as("ds"), col("r.v").as("v"),
+        round(col("r.l"), 4).as("level"), round(col("r.b"), 4).as("trend"),
+        round(col("r.f"), 4).as("forecast"),
+        round(col("r.v") - col("r.f"), 4).as("err"))
+      .orderBy(col("event_type"), col("ds"))
+  }
+
+  /** Page–Hinkley sequential drift test (δ=0.05, λ=3) on standardized
+    * daily sums — the one-sided mean-increase alarm q201's CUSUM
+    * family lacks (PH tracks deviation from the RUNNING mean, so it
+    * self-calibrates as the series grows; CUSUM needs the target mean
+    * up front). Convention pinned here and mirrored in the oracle:
+    * m_t = m_{t−1} + (z_t − mean(z_1..z_t) − δ) with m_0 = 0,
+    * M_t = min(m_1..m_t), alarm when m_t − M_t > λ. The running mean
+    * makes the state (n, Σz, m, M) — four coupled scalars, folded
+    * through one lambda per type (the q201 argument); standardization
+    * mu/sd is the only distributed float (4dp round absorbs it, q201
+    * precedent).
+    */
+  val q230PageHinkley = GraftQuery(
+    "q230_page_hinkley",
+    "Page-Hinkley drift test (δ=0.05, λ=3) over standardized daily sums",
+    Some("""WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+        FROM daily GROUP BY 1),
+      z AS (SELECT daily.event_type, ds, (v - mu) / sd AS z,
+          ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY ds)
+            AS rn
+        FROM daily JOIN st ON daily.event_type = st.event_type),
+      ph AS (
+        SELECT event_type, ds, rn, z AS s, z - z - 0.05 AS m,
+          z - z - 0.05 AS mm
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT z.event_type, z.ds, z.rn, ph.s + z.z,
+          ph.m + (z.z - (ph.s + z.z) / z.rn - 0.05),
+          LEAST(ph.mm, ph.m + (z.z - (ph.s + z.z) / z.rn - 0.05))
+        FROM z JOIN ph ON z.event_type = ph.event_type
+          AND z.rn = ph.rn + 1)
+      SELECT event_type, ds, ROUND(m, 4) AS m, ROUND(m - mm, 4) AS ph,
+        CAST(CASE WHEN m - mm > 3 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+      FROM ph ORDER BY 1, 2"""),
+    (s, d) => pageHinkley(events(s, d)))
+
+  /** The q230 pipeline over any (event_type, ts, value) frame —
+    * SeriesSpec pins the alarm on a planted level shift (the
+    * stationary fixture never trips λ=3). */
+  def pageHinkley(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint(true) // feeds the moments AND the fold
+    val st = daily.groupBy(col("event_type"))
+      .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sd"))
+    daily.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"),
+        struct(col("ds"), ((col("v") - col("mu")) / col("sd")).as("z"))
+          .as("e"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("e"))).as("series"))
+      .withColumn("run", expr(
+        // acc: running (n, s=Σz, m, mm=min m) + the emitted rows; the
+        // first day reduces to m = −δ because mean(z_1) = z_1
+        """aggregate(series,
+             named_struct('n', 0L, 's', cast(0.0 as double),
+               'm', cast(0.0 as double), 'mm', cast(0.0 as double),
+               'out', cast(array() as array<struct<ds:date, m:double,
+                                                   ph:double>>)),
+             (acc, e) -> named_struct(
+               'n', acc.n + 1L,
+               's', acc.s + e.z,
+               'm', acc.m + (e.z - (acc.s + e.z) / (acc.n + 1L) - 0.05d),
+               'mm', if(acc.n = 0L,
+                 acc.m + (e.z - (acc.s + e.z) / (acc.n + 1L) - 0.05d),
+                 least(acc.mm, acc.m + (e.z - (acc.s + e.z)
+                   / (acc.n + 1L) - 0.05d))),
+               'out', array_append(acc.out, named_struct(
+                 'ds', e.ds,
+                 'm', acc.m + (e.z - (acc.s + e.z) / (acc.n + 1L) - 0.05d),
+                 'ph', acc.m + (e.z - (acc.s + e.z) / (acc.n + 1L) - 0.05d)
+                   - if(acc.n = 0L,
+                       acc.m + (e.z - (acc.s + e.z) / (acc.n + 1L) - 0.05d),
+                       least(acc.mm, acc.m + (e.z - (acc.s + e.z)
+                         / (acc.n + 1L) - 0.05d)))))),
+             acc -> acc.out)"""))
+      .select(col("event_type"), explode(col("run")).as("r"))
+      .select(col("event_type"), col("r.ds").as("ds"),
+        round(col("r.m"), 4).as("m"), round(col("r.ph"), 4).as("ph"),
+        (col("r.ph") > 3.0).cast("int").as("alarm"))
+      .orderBy(col("event_type"), col("ds"))
+  }
+
+  /** Rolling z-score anomaly screen — each day scored against the
+    * trailing 7 days' mean/sd (rows between 7 and 1 preceding; never
+    * the current day, so a spike can't mask itself). The windowed twin
+    * of q226's global MAD fence: MAD finds level outliers over the
+    * whole history, the rolling z finds days that break from their
+    * RECENT regime even when the global distribution looks calm.
+    * Scores need ≥3 trailing days and sd > 0 (else NULL — the
+    * convention both engines share). The window runs on the daily
+    * table partitioned by type — calendar-bounded rows, never events
+    * (the q214 ACF argument).
+    */
+  val q231RollingZ = GraftQuery(
+    "q231_rolling_z",
+    "trailing-7-day rolling z-score anomaly flags over daily sums",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, ds, v,
+          AVG(v) OVER win AS rmean,
+          STDDEV_SAMP(v) OVER win AS rsd,
+          COUNT(*) OVER win AS n_win
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY ds
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, ds, v, CAST(n_win AS BIGINT) AS n_win,
+        ROUND(rmean, 4) AS rmean, ROUND(rsd, 4) AS rsd,
+        CASE WHEN n_win >= 3 AND rsd > 0
+          THEN ROUND((v - rmean) / rsd, 4) END AS z,
+        CAST(CASE WHEN n_win >= 3 AND rsd > 0
+          AND abs((v - rmean) / rsd) > 2 THEN 1 ELSE 0 END AS INTEGER)
+          AS anomaly
+      FROM w ORDER BY 1, 2"""),
+    (s, d) => rollingZ(events(s, d)))
+
+  /** The q231 plan over any (event_type, ts, value) frame —
+    * SeriesSpec pins a planted regime break the global fence misses. */
+  def rollingZ(ev: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("event_type")).orderBy(col("ds"))
+      .rowsBetween(-7, -1)
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .withColumn("rmean", avg(col("v")).over(win))
+      .withColumn("rsd", stddev_samp(col("v")).over(win))
+      .withColumn("n_win", count(lit(1)).over(win))
+      .select(col("event_type"), col("ds"), col("v"),
+        col("n_win").cast("long").as("n_win"),
+        round(col("rmean"), 4).as("rmean"), round(col("rsd"), 4).as("rsd"),
+        when(col("n_win") >= 3 && col("rsd") > 0,
+          round((col("v") - col("rmean")) / col("rsd"), 4)).as("z"),
+        (col("n_win") >= 3 && col("rsd") > 0 &&
+          abs((col("v") - col("rmean")) / col("rsd")) > 2)
+          .cast("int").as("anomaly"))
+      .orderBy(col("event_type"), col("ds"))
+  }
+}

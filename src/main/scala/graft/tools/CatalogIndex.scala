@@ -35,7 +35,8 @@ object CatalogIndex {
       "selection" -> SelectionQueries.queries,
       "structure" -> StructureQueries.queries,
       "resolution" -> ResolutionQueries.queries,
-      "eval" -> EvalQueries.queries)
+      "eval" -> EvalQueries.queries,
+      "series" -> SeriesQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand traces and planted regimes for the time-series wave
+  * (SeriesQueries) — the recurrence conventions the fixture oracle
+  * verifies but can't isolate: Holt's init (l₁=v₁, b₁=0, f₁=v₁) and
+  * coupled update, Page–Hinkley's running-mean deviation and min
+  * tracking, and the rolling window's self-exclusion.
+  */
+class SeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(day: Int, v: Double, typ: String = "x") =
+    (typ, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+
+  test("holt: hand trace of the coupled (l, b) recurrence") {
+    // v = 10, 20, 30 with α=.5 β=.3:
+    //   d1: l=10, b=0, f=10, err=0
+    //   d2: f=10, l=.5·20+.5·10=15,    b=.3·5+.7·0=1.5,      err=10
+    //   d3: f=16.5, l=.5·30+.5·16.5=23.25, b=.3·8.25+.7·1.5=3.525... no:
+    //       b=.3·(23.25−15)+.7·1.5=2.475+1.05=3.525 → err=13.5
+    val in = Seq(ev(1, 10), ev(2, 20), ev(3, 30))
+      .toDF("event_type", "ts", "value")
+    val rows = SeriesQueries.holtDaily(in).collect()
+    assert(rows.map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))).toSeq === Seq(
+      (10.0, 0.0, 10.0, 0.0),
+      (15.0, 1.5, 10.0, 10.0),
+      (23.25, 3.525, 16.5, 13.5)))
+  }
+
+  test("holt: the trend state locks onto a linear ramp") {
+    // v_t = 10t: the (l, b) fixpoint of the recurrence on a ramp is
+    // b = slope; by day 40 the trend must sit within 0.2 of 10 and
+    // the one-step forecast error within 0.5
+    val in = (1 to 28).map(d => ev(d, 10.0 * d)) ++
+      (1 to 12).map(d => (("x"),
+        java.sql.Timestamp.valueOf(f"2024-02-$d%02d 12:00:00"),
+        10.0 * (28 + d)))
+    val last = SeriesQueries.holtDaily(
+      in.toDF("event_type", "ts", "value")).collect().last
+    assert(math.abs(last.getDouble(4) - 10.0) < 0.2,
+      s"trend ${last.getDouble(4)}")
+    assert(math.abs(last.getDouble(6)) < 0.5, s"err ${last.getDouble(6)}")
+  }
+
+  test("page-hinkley: a planted level shift alarms, the calm regime doesn't") {
+    val calm = (1 to 28).map(d => ev(d, 100.0 + (d % 3)))
+    val calmRows = SeriesQueries.pageHinkley(
+      calm.toDF("event_type", "ts", "value")).collect()
+    assert(calmRows.map(_.getInt(4)).sum === 0)
+    // days 17-28 at +60: the running mean lags the shift, deviations
+    // accumulate, ph = m − min(m) must cross λ=3 and stay alarmed
+    val shifted = (1 to 16).map(d => ev(d, 100.0 + (d % 3))) ++
+      (17 to 28).map(d => ev(d, 160.0 + (d % 3)))
+    val rows = SeriesQueries.pageHinkley(
+      shifted.toDF("event_type", "ts", "value")).collect()
+    assert(rows.take(16).map(_.getInt(4)).sum === 0) // pre-shift quiet
+    assert(rows.last.getInt(4) === 1)                // alarmed at the end
+    assert(rows.map(_.getInt(4)).sum >= 3)           // and held, not a blip
+  }
+
+  test("page-hinkley: first-day convention m₁ = −δ") {
+    // mean(z₁..z₁) = z₁ cancels the first deviation exactly
+    val rows = SeriesQueries.pageHinkley(
+      Seq(ev(1, 10), ev(2, 20), ev(3, 15))
+        .toDF("event_type", "ts", "value")).collect()
+    assert(rows.head.getDouble(2) === -0.05)
+    assert(rows.head.getDouble(3) === 0.0) // ph₁ = m₁ − m₁
+  }
+
+  test("rolling z: a regime break is scored against the trailing window only") {
+    // 14 calm days (100 ± 1), day 15 at 200: trailing mean ≈ 100 with
+    // tiny sd → |z| >> 2; the spike never masks itself (self-excluded)
+    val in = (1 to 14).map(d => ev(d, 100.0 + (d % 2))) :+ ev(15, 200.0)
+    val rows = SeriesQueries.rollingZ(
+      in.toDF("event_type", "ts", "value")).collect()
+    assert(rows.take(14).map(_.getInt(7)).sum === 0)
+    val spike = rows.last
+    assert(spike.getInt(7) === 1)
+    assert(spike.getDouble(6) > 50, s"z ${spike.getDouble(6)}")
+    assert(spike.getLong(3) === 7) // the window caps at 7 trailing days
+  }
+
+  test("rolling z: needs 3 trailing days and positive sd") {
+    // constant series → rsd = 0 → z NULL, never a division blowup
+    val in = (1 to 10).map(d => ev(d, 100.0))
+    val rows = SeriesQueries.rollingZ(
+      in.toDF("event_type", "ts", "value")).collect()
+    assert(rows.forall(_.isNullAt(6)))
+    assert(rows.forall(_.getInt(7) === 0))
+    // and the first 3 days can't score even with variance present
+    val varied = (1 to 5).map(d => ev(d, 100.0 + d))
+    val vr = SeriesQueries.rollingZ(
+      varied.toDF("event_type", "ts", "value")).collect()
+    assert(vr.take(3).forall(_.isNullAt(6)))
+    assert(!vr.last.isNullAt(6))
+  }
+}
