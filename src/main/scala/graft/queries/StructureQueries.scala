@@ -17,7 +17,8 @@ object StructureQueries {
   def queries: Seq[GraftQuery] = Seq(
     q183PhraseSearch, q184ZipfFit, q185JsDivergence,
     q186TriangleCount, q187ParetoFront, q188ClusteringCoeff,
-    q191IncrementalTriangles, q193DegreeAssortativity)
+    q191IncrementalTriangles, q193DegreeAssortativity,
+    q232BfsHops, q233KCore)
 
   /** Degree assortativity of the co-purchase graph (Newman r: the
     * Pearson correlation of endpoint degrees over edges) plus the
@@ -442,4 +443,162 @@ object StructureQueries {
         .select(col("source"), col("doc_id"), col("n_chars"), col("d_tok"))
         .orderBy(col("source"), col("doc_id"))
     })
+
+  /** BFS hop distance from the hub of the co-purchase graph (the
+    * max-degree node, min-id tiebreak) — the reachability/diameter
+    * probe the component family (q164) can't give: components say
+    * WHETHER parts co-sell, hops say HOW FAR apart the selling
+    * neighborhoods sit. Pregel-style frontier iteration: each round is
+    * one frontier⋈edges shuffle plus an anti-join against the visited
+    * set — the loop count is the graph DIAMETER (9 at sf0.01, 6 at
+    * sf0.1 — probed), never the node count, and every round's work is
+    * proportional to the frontier, so the plan is the textbook
+    * distributed BFS at any scale. The 12-hop cap is the oracle-replay
+    * convention (DuckDB's recursive CTE needs a recursion bound on a
+    * cyclic graph); the helper asserts the frontier drains inside it.
+    */
+  val q232BfsHops = GraftQuery(
+    "q232_bfs_hops",
+    "BFS hop distance from the max-degree hub of the co-purchase graph",
+    Some("""WITH RECURSIVE e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      s AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+      ud AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      bfs AS (
+        SELECT node, 0 AS h FROM s
+        UNION
+        SELECT ud.v, bfs.h + 1
+        FROM bfs JOIN ud ON ud.u = bfs.node WHERE bfs.h < 12)
+      SELECT node, CAST(MIN(h) AS INTEGER) AS hops
+      FROM bfs GROUP BY 1 ORDER BY 1"""),
+    (s, d) => {
+      val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
+        .where(col("c") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      bfsHops(e0, maxHops = 12).orderBy(col("node"))
+    })
+
+  /** Distributed BFS over an undirected (u, v) edge frame from the
+    * max-(degree, min-id) node. Returns (node, hops) for the reachable
+    * set; throws if the frontier hasn't drained inside `maxHops` (the
+    * oracle's recursion bound — raising it is a two-sided change). */
+  def bfsHops(e0: org.apache.spark.sql.DataFrame, maxHops: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ud = e0.union(e0.select(col("v"), col("u"))).toDF("u", "v")
+      .localCheckpoint(true)
+    val src = ud.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(1)
+      .select(col("node")).collect().head.get(0)
+    var visited = ud.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0).as("h")).localCheckpoint(true)
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = frontier
+        .join(ud, frontier("node") === ud("u"))
+        .select(ud("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("h", lit(h))
+        .localCheckpoint(true)
+      if (!frontier.isEmpty)
+        visited = visited.union(frontier).localCheckpoint(true)
+    }
+    require(frontier.isEmpty,
+      s"BFS frontier not drained after $maxHops hops — raise the bound " +
+        "in BOTH the helper call and the recursive oracle")
+    visited.select(col("node"), col("h").cast("int").as("hops"))
+  }
+
+  /** 3-core of the co-purchase graph — iterative peeling (drop nodes
+    * with in-subgraph degree < 3 until fixpoint) down to the maximal
+    * subgraph where every part co-sells with ≥3 surviving parts: the
+    * dense kernel that survives after q186's triangle corona is
+    * stripped. Each peel round is one degree aggregate + two
+    * semi-joins over the SHRINKING edge set; peeling is monotone and
+    * idempotent at fixpoint, so the engine's early-stop (no edge
+    * removed) and the oracle's fixed 12 chained rounds — generated,
+    * not hand-copied — compute identical sets (probed fixpoint: 9
+    * rounds at sf0.01; empty core in 3 at sf0.1, which the oracle
+    * reproduces as an empty result). The round cap is asserted like
+    * q232's hop bound.
+    */
+  val q233KCore = GraftQuery(
+    "q233_k_core",
+    "3-core of the co-purchase graph (iterative peel to fixpoint)",
+    Some {
+      // MATERIALIZED is load-bearing: each round references the
+      // previous CTE four times, so un-materialized inlining expands
+      // the 12-round chain into a 4^12-leaf scan tree (probed: DuckDB
+      // dies on open file handles)
+      val base = """WITH e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+      val rounds = (1 to 12).map { i =>
+        s"""k$i AS MATERIALIZED (
+        SELECT node FROM (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+          GROUP BY 1) WHERE deg >= 3),
+      e$i AS MATERIALIZED (
+        SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+        JOIN k$i a ON a.node = e${i - 1}.u
+        JOIN k$i b ON b.node = e${i - 1}.v)"""
+      }.mkString(",\n      ")
+      s"""$base,
+      $rounds
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12)
+      GROUP BY 1 ORDER BY 1"""
+    },
+    (s, d) => {
+      val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
+        .where(col("c") >= 2).select(col("u"), col("v"))
+        .localCheckpoint(true)
+      kCore(e0, k = 3, maxRounds = 12)
+        .toDF("node", "core_deg").orderBy(col("node"))
+    })
+
+  /** Iterative k-core peel over an undirected (u, v) edge frame.
+    * Returns (node, in-core degree); throws if fixpoint isn't reached
+    * inside `maxRounds` (the oracle's chained-round count — raising it
+    * is a two-sided change). */
+  def kCore(e0: org.apache.spark.sql.DataFrame, k: Int, maxRounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var cur = e0.localCheckpoint(true)
+    var n = cur.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val keep = cur.select(col("u").as("node"))
+        .union(cur.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("node"))
+      val nxt = cur
+        .join(keep.toDF("u"), Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = nxt.count()
+      done = m == n
+      cur = nxt
+      n = m
+    }
+    require(done,
+      s"$k-core peel not converged after $maxRounds rounds — raise the " +
+        "bound in BOTH the helper call and the generated oracle rounds")
+    cur.select(col("u").as("node"))
+      .union(cur.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

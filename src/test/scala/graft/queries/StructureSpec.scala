@@ -182,4 +182,39 @@ class StructureSpec extends AnyFunSuite {
       assert(r2 > 0 && r2 <= 1, s"$src r2 $r2")
     }
   }
+
+  test("q232 BFS: hand hops, hub tiebreak, unreachable exclusion") {
+    import spark.implicits._
+    // hub 2 (deg 3); chain 2-1, 2-3-4; 5-6 unreachable from the hub.
+    // node 2 ties nothing; add 7 to make deg(2)=3 unambiguous.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 7L), (5L, 6L))
+      .toDF("u", "v")
+    val got = StructureQueries.bfsHops(e, maxHops = 12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(2L -> 0, 1L -> 1, 3L -> 1, 7L -> 1, 4L -> 2))
+    // degree tie (all deg 1 in 8-9): min id 8 wins the hub seat
+    val tie = Seq((9L, 8L)).toDF("u", "v")
+    val t = StructureQueries.bfsHops(tie, maxHops = 12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t === Map(8L -> 0, 9L -> 1))
+  }
+
+  test("q233 k-core: the pendant corona peels, the clique survives") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + pendant chain 4-5-6: 3-core = the clique
+    // (each member keeps deg 3); 5 and 6 peel in two rounds
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = StructureQueries.kCore(e, k = 3, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    // a triangle has no 3-core... it does: deg 2 < 3 → empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(StructureQueries.kCore(tri, k = 3, maxRounds = 12).isEmpty)
+    // but it IS its own 2-core
+    assert(StructureQueries.kCore(tri, k = 2, maxRounds = 12)
+      .collect().length === 3)
+  }
 }
