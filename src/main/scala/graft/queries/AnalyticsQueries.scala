@@ -21,7 +21,7 @@ object AnalyticsQueries {
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
-    q222Hits)
+    q222Hits, q235Winsorized, q236Rfm)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -1955,5 +1955,158 @@ object AnalyticsQueries {
         round(col("r"), 6).as("acf"),
         round(col("q"), 4).as("ljung_box_q"),
         (col("q") > 14.067).cast("int").as("reject_white_noise"))
+  }
+
+  /** Winsorized + trimmed means of lineitem price per return flag —
+    * the robust location estimates q226's MAD fence implies but never
+    * computes (winsorize CLAMPS the tails to the p05/p95 fences,
+    * trimming DROPS them; both kill the outlier leverage a plain mean
+    * inherits). Prices go through integer cents (q227 convention) so
+    * the percentile inputs are bit-identical in both engines; the
+    * boundaries are exact interpolated percentiles (quantile_cont ==
+    * percentile, probed at q226), broadcast back as a 3-row table;
+    * inclusion at the fence is >= / <= in BOTH engines. One corpus
+    * shuffle on flag; the clamp/trim re-scan streams against the
+    * broadcast fences.
+    */
+  val q235Winsorized = GraftQuery(
+    "q235_winsorized",
+    "winsorized (p05/p95) and trimmed means of price per return flag",
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      f AS (
+        SELECT flag, quantile_cont(cents, 0.05) AS p05,
+          quantile_cont(cents, 0.95) AS p95
+        FROM b GROUP BY 1)
+      SELECT b.flag, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(f.p05 / 100.0, 4) AS p05, ROUND(f.p95 / 100.0, 4) AS p95,
+        ROUND(AVG(b.cents) / 100.0, 4) AS mean,
+        ROUND(AVG(LEAST(GREATEST(b.cents, f.p05), f.p95)) / 100.0, 4)
+          AS wins_mean,
+        ROUND(AVG(CASE WHEN b.cents >= f.p05 AND b.cents <= f.p95
+          THEN b.cents END) / 100.0, 4) AS trimmed_mean,
+        CAST(SUM(CASE WHEN b.cents >= f.p05 AND b.cents <= f.p95
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM b JOIN f USING (flag)
+      GROUP BY 1, f.p05, f.p95 ORDER BY 1"""),
+    (s, d) => winsorized(lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("bigint").as("cents"))))
+
+  /** The q235 plan over any (flag, cents) frame — AnalyticsSpec
+    * hand-traces the fences and the clamp-vs-drop distinction. */
+  def winsorized(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = in.localCheckpoint(true) // feeds the fences AND the re-scan
+    val f = b.groupBy(col("flag"))
+      .agg(expr("percentile(cents, 0.05)").as("p05"),
+        expr("percentile(cents, 0.95)").as("p95"))
+    b.join(broadcast(f), Seq("flag"))
+      .groupBy(col("flag"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("cents")).as("mean_c"),
+        avg(least(greatest(col("cents"), col("p05")), col("p95")))
+          .as("wins_c"),
+        avg(when(col("cents") >= col("p05") &&
+          col("cents") <= col("p95"), col("cents"))).as("trim_c"),
+        sum(when(col("cents") >= col("p05") &&
+          col("cents") <= col("p95"), 1).otherwise(0))
+          .cast("bigint").as("n_kept"))
+      .select(col("flag"), col("n").cast("long").as("n"),
+        round(col("p05") / 100.0, 4).as("p05"),
+        round(col("p95") / 100.0, 4).as("p95"),
+        round(col("mean_c") / 100.0, 4).as("mean"),
+        round(col("wins_c") / 100.0, 4).as("wins_mean"),
+        round(col("trim_c") / 100.0, 4).as("trimmed_mean"),
+        col("n_kept"))
+      .orderBy(col("flag"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * marketing-analytics workhorse built WITHOUT a single window: each
+    * dimension's quartile fences come from exact percentiles over the
+    * per-customer rollup (a 9-value broadcast row), and scores are
+    * fence comparisons — the q34 rank-map argument applied to
+    * segmentation (an ntile() over customers would serialize the
+    * corpus through one partition; PlanLint would reject it). Scoring
+    * convention, identical in both engines: F/M score 1 + one point
+    * per strictly-exceeded lower fence; R reversed (recent = high) via
+    * strictly-undercut upper fences. Monetary runs in integer cents.
+    */
+  val q236Rfm = GraftQuery(
+    "q236_rfm",
+    "RFM quartile segmentation of customers (fence scores, no windows)",
+    Some("""WITH cust AS (
+        SELECT o_custkey AS c,
+          date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+            (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
+          COUNT(*) AS freq,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon
+        FROM orders GROUP BY 1),
+      q AS (
+        SELECT quantile_cont(rec, 0.25) AS r25, quantile_cont(rec, 0.5)
+            AS r50, quantile_cont(rec, 0.75) AS r75,
+          quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.5)
+            AS f50, quantile_cont(freq, 0.75) AS f75,
+          quantile_cont(mon, 0.25) AS m25, quantile_cont(mon, 0.5)
+            AS m50, quantile_cont(mon, 0.75) AS m75
+        FROM cust)
+      SELECT c AS custkey, CAST(rec AS BIGINT) AS recency_days,
+        CAST(freq AS BIGINT) AS frequency,
+        ROUND(mon / 100.0, 2) AS monetary,
+        CAST(1 + (CASE WHEN rec < r75 THEN 1 ELSE 0 END)
+           + (CASE WHEN rec < r50 THEN 1 ELSE 0 END)
+           + (CASE WHEN rec < r25 THEN 1 ELSE 0 END) AS INTEGER) AS r,
+        CAST(1 + (CASE WHEN freq > f25 THEN 1 ELSE 0 END)
+           + (CASE WHEN freq > f50 THEN 1 ELSE 0 END)
+           + (CASE WHEN freq > f75 THEN 1 ELSE 0 END) AS INTEGER) AS f,
+        CAST(1 + (CASE WHEN mon > m25 THEN 1 ELSE 0 END)
+           + (CASE WHEN mon > m50 THEN 1 ELSE 0 END)
+           + (CASE WHEN mon > m75 THEN 1 ELSE 0 END) AS INTEGER) AS m
+      FROM cust, q ORDER BY 1"""),
+    (s, d) => rfm(orders(s, d).select(
+      col("o_custkey").as("c"), to_date(col("o_orderdate")).as("od"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"))))
+
+  /** The q236 plan over any (c, od, cents) frame — AnalyticsSpec
+    * hand-traces the fence scoring and the recency reversal. */
+  def rfm(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cust = in.groupBy(col("c"))
+      .agg(max(col("od")).as("lastOd"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon"))
+      .localCheckpoint(true) // feeds the global max, fences, and scores
+    val maxOd = cust.agg(max(col("lastOd")).as("gmax"))
+    val rec = cust.crossJoin(broadcast(maxOd))
+      .select(col("c"), datediff(col("gmax"), col("lastOd")).as("rec"),
+        col("freq"), col("mon"))
+      .localCheckpoint(true)
+    val q = rec.agg(
+      expr("percentile(rec, 0.25)").as("r25"),
+      expr("percentile(rec, 0.5)").as("r50"),
+      expr("percentile(rec, 0.75)").as("r75"),
+      expr("percentile(freq, 0.25)").as("f25"),
+      expr("percentile(freq, 0.5)").as("f50"),
+      expr("percentile(freq, 0.75)").as("f75"),
+      expr("percentile(mon, 0.25)").as("m25"),
+      expr("percentile(mon, 0.5)").as("m50"),
+      expr("percentile(mon, 0.75)").as("m75"))
+    rec.crossJoin(broadcast(q))
+      .select(col("c").as("custkey"),
+        col("rec").cast("long").as("recency_days"),
+        col("freq").cast("long").as("frequency"),
+        round(col("mon") / 100.0, 2).as("monetary"),
+        (lit(1) + (col("rec") < col("r75")).cast("int")
+          + (col("rec") < col("r50")).cast("int")
+          + (col("rec") < col("r25")).cast("int")).cast("int").as("r"),
+        (lit(1) + (col("freq") > col("f25")).cast("int")
+          + (col("freq") > col("f50")).cast("int")
+          + (col("freq") > col("f75")).cast("int")).cast("int").as("f"),
+        (lit(1) + (col("mon") > col("m25")).cast("int")
+          + (col("mon") > col("m50")).cast("int")
+          + (col("mon") > col("m75")).cast("int")).cast("int").as("m"))
+      .orderBy(col("custkey"))
   }
 }

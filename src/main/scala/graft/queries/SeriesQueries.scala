@@ -25,7 +25,7 @@ import graft.model.Tables._
 object SeriesQueries {
 
   def queries: Seq[GraftQuery] = Seq(q229Holt, q230PageHinkley,
-    q231RollingZ)
+    q231RollingZ, q234MannKendall)
 
   /** Holt linear-trend (double exponential) smoothing, α=0.5 β=0.3:
     * l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
@@ -235,5 +235,100 @@ object SeriesQueries {
           abs((col("v") - col("rmean")) / col("rsd")) > 2)
           .cast("int").as("anomaly"))
       .orderBy(col("event_type"), col("ds"))
+  }
+
+  /** Mann–Kendall monotone-trend test + Kendall tau-b per event type —
+    * the nonparametric "is this series drifting?" verdict that
+    * complements q230's sequential alarm (PH says WHEN it moved; MK
+    * says WHETHER the whole history trends, distribution-free). The
+    * sign statistic S = Σ_{i<j} sgn(v_j − v_i) is a pair join over the
+    * DAILY table — a calendar-bounded labelled quadratic (days²/2
+    * pairs per type, the q214 ACF argument), never event rows. Tie
+    * correction over the (type, v) group sizes; Z uses the standard
+    * ±1 continuity correction; tau-b divides by the tie-adjusted pair
+    * count (days are distinct so the time ranking is tie-free). Daily
+    * sums rounded 2dp first (q226 convention) — S and the tie table
+    * are then INTEGER-exact in both engines.
+    */
+  val q234MannKendall = GraftQuery(
+    "q234_mann_kendall",
+    "Mann-Kendall trend test + Kendall tau-b over daily event sums",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT a.event_type,
+          SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+            ELSE 0 END) AS s
+        FROM daily a JOIN daily b ON a.event_type = b.event_type
+          AND a.ds < b.ds
+        GROUP BY 1),
+      n AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+      ties AS (
+        SELECT event_type,
+          COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tv,
+          COALESCE(SUM(t * (t - 1) / 2), 0) AS tp
+        FROM (SELECT event_type, v, COUNT(*) AS t FROM daily
+          GROUP BY 1, 2) g
+        WHERE t > 1 GROUP BY 1),
+      mk AS (
+        SELECT n.event_type, n.n, s.s,
+          (n.n * (n.n - 1) * (2 * n.n + 5)
+            - COALESCE(ties.tv, 0)) / 18.0 AS var_s,
+          COALESCE(ties.tp, 0) AS tp
+        FROM n JOIN s ON n.event_type = s.event_type
+        LEFT JOIN ties ON n.event_type = ties.event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+        ROUND(var_s, 4) AS var_s,
+        ROUND(s / sqrt((n * (n - 1) / 2.0 - tp) * (n * (n - 1) / 2.0)),
+          4) AS tau_b,
+        ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+          WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0 END, 4) AS z,
+        CAST(CASE WHEN abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+          WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0 END) > 1.96
+          THEN 1 ELSE 0 END AS INTEGER) AS trend
+      FROM mk ORDER BY 1"""),
+    (s, d) => mannKendall(events(s, d)))
+
+  /** The q234 pipeline over any (event_type, ts, value) frame —
+    * SeriesSpec hand-traces S with ties and pins the monotone-ramp
+    * verdict. */
+  def mannKendall(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint(true) // feeds the pair join (twice) + tie table
+    val a = daily.toDF("event_type", "ds_a", "va")
+    val b = daily.toDF("event_type", "ds_b", "vb")
+    val s = a.join(b, Seq("event_type"))
+      .where(col("ds_a") < col("ds_b"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("vb") > col("va"), 1)
+        .when(col("vb") < col("va"), -1).otherwise(0)).as("s"))
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .where(col("t") > 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tv"),
+        sum(col("t") * (col("t") - 1) / 2).as("tp"))
+    val mk = n.join(s, Seq("event_type"))
+      .join(ties, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("s"),
+        ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - coalesce(col("tv"), lit(0L))) / 18.0).as("var_s"),
+        coalesce(col("tp"), lit(0L)).cast("double").as("tp"))
+    val zc = when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+      .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+      .otherwise(lit(0.0))
+    mk.select(col("event_type"), col("n").cast("long").as("n"),
+      col("s").cast("long").as("s"), round(col("var_s"), 4).as("var_s"),
+      round(col("s") / sqrt((col("n") * (col("n") - 1) / 2.0 - col("tp"))
+        * (col("n") * (col("n") - 1) / 2.0)), 4).as("tau_b"),
+      round(zc, 4).as("z"),
+      (abs(zc) > 1.96).cast("int").as("trend"))
+      .orderBy(col("event_type"))
   }
 }

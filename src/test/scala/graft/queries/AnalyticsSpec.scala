@@ -352,4 +352,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(h.values.sum - 1.0) < 1e-12)
     assert(math.abs(a.values.sum - 1.0) < 1e-12)
   }
+
+  test("q235 winsorized: the clamp kills the outlier the mean inherits") {
+    import spark.implicits._
+    // cents 1..20 + outlier 1000: p05 lands exactly on 2 (h = 0.05·20
+    // = 1.0), p95 on 20; mean 1210/21 = 57.6190; winsorize clamps
+    // 1→2 and 1000→20 → 231/21 = 11; trim keeps 2..20 → 209/19 = 11
+    val in = ((1L to 20L) :+ 1000L).map(("A", _)).toDF("flag", "cents")
+    val r = AnalyticsQueries.winsorized(in).collect().head
+    assert(r.getLong(1) === 21L)
+    assert(r.getDouble(2) === 0.02)   // p05 dollars
+    assert(r.getDouble(3) === 0.2)    // p95 dollars
+    assert(r.getDouble(4) === 0.5762) // raw mean dragged by the outlier
+    assert(r.getDouble(5) === 0.11)   // winsorized
+    assert(r.getDouble(6) === 0.11)   // trimmed
+    assert(r.getLong(7) === 19L)      // n_kept
+  }
+
+  test("q236 rfm: fence scores, recency reversal, all-ties floor") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    // four customers: last orders on days 31/21/11/1 → rec 0/10/20/30
+    // (recent = HIGH r); freq 1/2/3/4 (padded with day-1 orders);
+    // monetary equal → every m collapses to the floor score 1
+    val rows = Seq(
+      (1L, d(31), 100L), (2L, d(21), 50L), (2L, d(1), 50L),
+      (3L, d(11), 40L), (3L, d(1), 30L), (3L, d(1), 30L),
+      (4L, d(1), 25L), (4L, d(1), 25L), (4L, d(1), 25L), (4L, d(1), 25L))
+    val got = AnalyticsQueries.rfm(rows.toDF("c", "od", "cents"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    assert(got(1L) === ((0L, 1L, 4, 1, 1)))  // most recent, least frequent
+    assert(got(2L) === ((10L, 2L, 3, 2, 1)))
+    assert(got(3L) === ((20L, 3L, 2, 3, 1)))
+    assert(got(4L) === ((30L, 4L, 1, 4, 1)))  // stale but frequent
+  }
 }

@@ -100,4 +100,27 @@ class SeriesSpec extends AnyFunSuite {
     assert(vr.take(3).forall(_.isNullAt(6)))
     assert(!vr.last.isNullAt(6))
   }
+
+  test("mann-kendall: hand S with ties, variance and tau-b corrections") {
+    // v = 1,2,2,3: S = +1+1+1+0+1+1 = 5; tie group t=2 →
+    // tv = 2·1·9 = 18, tp = 1; var = (4·3·13 − 18)/18 = 7.666667
+    // z = (5−1)/√7.6667 = 1.4446; tau_b = 5/√((6−1)·6) = 0.9129
+    val in = Seq(ev(1, 1), ev(2, 2), ev(3, 2), ev(4, 3))
+      .toDF("event_type", "ts", "value")
+    val r = SeriesQueries.mannKendall(in).collect().head
+    assert(r.getLong(2) === 5L)
+    assert(r.getDouble(3) === 7.6667)
+    assert(r.getDouble(4) === 0.9129)
+    assert(r.getDouble(5) === 1.4446)
+    assert(r.getInt(6) === 0)
+  }
+
+  test("mann-kendall: a strict ramp is a certain trend with tau 1") {
+    val in = (1 to 30).map(d => ev(d, 10.0 * d))
+      .toDF("event_type", "ts", "value")
+    val r = SeriesQueries.mannKendall(in).collect().head
+    assert(r.getLong(2) === 435L)       // all 435 pairs concordant
+    assert(r.getDouble(4) === 1.0)      // tau_b
+    assert(r.getInt(6) === 1)           // |z| ≈ 7.74 > 1.96
+  }
 }
