@@ -74,6 +74,8 @@ object Registry {
       Int8RoundTrip(asVec(exprs.head))),
     "jaro_winkler" -> (exprs =>
       JaroWinkler(asString(exprs(0)), asString(exprs(1)))),
+    "damerau_levenshtein" -> (exprs =>
+      DamerauLevenshtein(asString(exprs(0)), asString(exprs(1)))),
     "z_order_key" -> (exprs =>
       ZOrderKey(Cast(exprs(0), org.apache.spark.sql.types.LongType),
         Cast(exprs(1), org.apache.spark.sql.types.LongType))),

@@ -28,7 +28,8 @@ import graft.text.Resolution
   */
 object ResolutionQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q215FuzzyMatch, q216LinkageEval)
+  def queries: Seq[GraftQuery] = Seq(q215FuzzyMatch, q216LinkageEval,
+    q237DlRescore)
 
   /** Shared oracle CTE chain: entities, planted dirty variants,
     * deletion-index blocking (Resolution scaladoc: last token ∪ its
@@ -150,5 +151,57 @@ object ResolutionQueries {
             .as("reduction_ratio"),
           round(col("n_hit") / col("n_dirty"), 6).as("precision_at_1"),
           round(col("hit_jw"), 6).as("mean_hit_jw"))
+    })
+
+  /** Transposition-aware rescoring of the SAME candidate stream with
+    * the native [[graft.functions.DamerauLevenshtein]] expression
+    * (full DL, probed against DuckDB case-by-case and on 6 000 random
+    * pairs — FunctionsSpec) — the second opinion every linkage
+    * deployment wants: JW is a positional similarity tuned for
+    * prefix-heavy names, DL counts EDITS, so the two argbests disagree
+    * exactly where the corruption stops looking like a typo. Per
+    * dirty record: DL's pick (argmin distance, ties to the smallest
+    * clean id), its distance, whether DL found the true source, and
+    * whether the two scorers agree. Same shuffles as q215 (the
+    * candidates come from the one blocking join, checkpointed); the
+    * two rank windows are per-record fan-in only.
+    */
+  val q237DlRescore = GraftQuery(
+    "q237_dl_rescore",
+    "Damerau-Levenshtein second-opinion rescore of the q215 candidates",
+    Some(s"""WITH $linkageCtes,
+      dscored AS (
+        SELECT did, src, cid,
+          damerau_levenshtein(dname, cname) AS dl,
+          ROW_NUMBER() OVER (PARTITION BY did
+            ORDER BY damerau_levenshtein(dname, cname), cid) AS drn
+        FROM cand),
+      jbest AS (SELECT did, cid AS jcid FROM scored WHERE rn = 1),
+      dbest AS (SELECT did, src, cid, dl FROM dscored WHERE drn = 1)
+      SELECT CAST(d.did AS BIGINT) AS did,
+        CAST(d.cid AS BIGINT) AS matched_dl, CAST(d.dl AS INTEGER) AS dl,
+        CASE WHEN d.cid = d.src THEN 1 ELSE 0 END AS hit_dl,
+        CASE WHEN d.cid = j.jcid THEN 1 ELSE 0 END AS agree_jw
+      FROM dbest d JOIN jbest j USING (did) ORDER BY did"""),
+    (s, d) => {
+      import graft.functions.DamerauLevenshtein.damerau_levenshtein
+      val (ent, dirty) = entities(s, d)
+      val cand = Resolution.candidates(ent, dirty)
+        .localCheckpoint(true) // feeds both scorers
+      val dw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("did")).orderBy(col("dl"), col("cid"))
+      val dbest = cand
+        .withColumn("dl", damerau_levenshtein(col("dname"), col("cname")))
+        .withColumn("drn", row_number().over(dw))
+        .where(col("drn") === 1)
+      val jbest = Resolution.best(Resolution.scored(cand))
+        .select(col("did"), col("cid").as("jcid"))
+      dbest.join(jbest, Seq("did"))
+        .select(col("did").cast("long").as("did"),
+          col("cid").cast("long").as("matched_dl"),
+          col("dl").cast("int").as("dl"),
+          when(col("cid") === col("src"), 1).otherwise(0).as("hit_dl"),
+          when(col("cid") === col("jcid"), 1).otherwise(0).as("agree_jw"))
+        .orderBy(col("did"))
     })
 }

