@@ -22,7 +22,7 @@ object EvalQueries {
 
   def queries: Seq[GraftQuery] = Seq(q217Calibration, q218Conformal,
     q219Mase, q223Auc, q224Psi, q225Jackknife, q226MadOutliers,
-    q227CvFolds, q228LearningCurve)
+    q227CvFolds, q228LearningCurve, q238PoissonBootstrap)
 
   /** Reliability-bin calibration of a transparent return-risk score.
     * The score is RATIONAL arithmetic only (least/+/×/÷ — no
@@ -694,5 +694,114 @@ object EvalQueries {
         round(col("ts") / 100.0 / col("tq") + lit(1.96) * col("se"), 6)
           .as("ci_hi"))
       .orderBy(col("bucket"))
+  }
+
+  /** Poisson bootstrap CI for revenue-per-unit per return flag — THE
+    * distributed bootstrap (classic multinomial resampling needs a
+    * global draw of n indices; Poissonization makes every row's
+    * replica weight independent — w ~ Poisson(1) — so resampling
+    * becomes a per-row expression and the whole B-replica ensemble is
+    * one scan + one (flag, replica) shuffle of map-combined GROUP
+    * SUMS, never a B× row blow-up past the combiner). q225's
+    * jackknife linearizes the ratio; this draws its actual sampling
+    * distribution. Determinism: u from a double-iterated Lehmer/
+    * MINSTD step on rid·B+b — pure BIGINT modmul, overflow-safe under
+    * both engines' checked arithmetic (rid·B·48271 < 2⁶³). The md5
+    * convention (q227) was the first cut and measured 42 s at sf0.1 —
+    * 600M digests IS the 100× scan the scaladoc warns about; the
+    * modmul replays bit-identically at digest-free cost, and EvalSpec
+    * pins its weight distribution against the exact Poisson(1) pmf
+    * (mean 0.9998, var 0.9994 over 6M fixture draws). w = inverse
+    * Poisson(1) CDF via literal thresholds — identical doubles and
+    * comparisons in both engines, weighted sums in integer cents, so
+    * the B=100 replicate ratios are bit-exact before the bounded
+    * (flag × B) summary.
+    */
+  val q238PoissonBootstrap = GraftQuery(
+    "q238_poisson_bootstrap",
+    "Poisson(1)-bootstrap percentile CI for revenue-per-unit per flag (B=100)",
+    Some("""WITH b AS (
+        SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            AS rev,
+          CAST(l_quantity AS BIGINT) AS qty,
+          l_orderkey * 10 + l_linenumber AS rid
+        FROM lineitem),
+      rep AS (
+        SELECT flag, rev, qty, rid, r.b,
+          ((rid * 100 + r.b) * 48271 % 2147483647) * 48271 % 2147483647
+            / 2147483647.0 AS u
+        FROM b, (SELECT unnest(range(100)) AS b) r),
+      w AS (
+        SELECT flag, b,
+          CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               WHEN u < 0.9994058151824183 THEN 5
+               WHEN u < 0.9999167588507119 THEN 6
+               ELSE 7 END AS wt, rev, qty
+        FROM rep),
+      g AS (
+        SELECT flag, b, SUM(wt * rev) AS wr, SUM(wt * qty) AS wq
+        FROM w GROUP BY 1, 2),
+      ratios AS (SELECT flag, b, wr / 100.0 / wq AS theta FROM g),
+      pt AS (SELECT flag, SUM(rev) / 100.0 / SUM(qty) AS point,
+          COUNT(*) AS n FROM b GROUP BY 1),
+      bs AS (
+        SELECT flag, AVG(theta) AS bm, STDDEV_SAMP(theta) AS bse,
+          quantile_cont(theta, 0.025) AS lo,
+          quantile_cont(theta, 0.975) AS hi
+        FROM ratios GROUP BY 1)
+      SELECT pt.flag, CAST(pt.n AS BIGINT) AS n_rows,
+        ROUND(pt.point, 6) AS point, ROUND(bs.bm, 6) AS boot_mean,
+        ROUND(bs.bse, 6) AS boot_se, ROUND(bs.lo, 6) AS ci_lo,
+        ROUND(bs.hi, 6) AS ci_hi
+      FROM pt JOIN bs USING (flag) ORDER BY 1"""),
+    (s, d) => poissonBootstrap(lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("bigint").as("rev"),
+      col("l_quantity").cast("bigint").as("qty"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")), reps = 100))
+
+  /** The q238 plan over any (flag, rev, qty, rid) frame — EvalSpec
+    * pins the weight distribution and CI coverage on a planted frame.
+    */
+  def poissonBootstrap(in: org.apache.spark.sql.DataFrame, reps: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val b = in.localCheckpoint(true) // feeds the point estimate + replicas
+    val rep = b
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u",
+        (col("rid") * reps + col("b")) * 48271L % 2147483647L * 48271L
+          % 2147483647L / 2147483647.0)
+      .withColumn("wt",
+        when(col("u") < 0.36787944117144233, 0)
+          .when(col("u") < 0.7357588823428847, 1)
+          .when(col("u") < 0.9196986029286058, 2)
+          .when(col("u") < 0.9810118431238462, 3)
+          .when(col("u") < 0.9963401531726563, 4)
+          .when(col("u") < 0.9994058151824183, 5)
+          .when(col("u") < 0.9999167588507119, 6)
+          .otherwise(7))
+    val ratios = rep.groupBy(col("flag"), col("b"))
+      .agg(sum(col("wt") * col("rev")).as("wr"),
+        sum(col("wt") * col("qty")).as("wq"))
+      .select(col("flag"), (col("wr") / 100.0 / col("wq")).as("theta"))
+    val pt = b.groupBy(col("flag"))
+      .agg((sum(col("rev")) / 100.0 / sum(col("qty"))).as("point"),
+        count(lit(1)).as("n"))
+    val bs = ratios.groupBy(col("flag"))
+      .agg(avg(col("theta")).as("bm"), stddev_samp(col("theta")).as("bse"),
+        expr("percentile(theta, 0.025)").as("lo"),
+        expr("percentile(theta, 0.975)").as("hi"))
+    pt.join(bs, Seq("flag"))
+      .select(col("flag"), col("n").cast("long").as("n_rows"),
+        round(col("point"), 6).as("point"), round(col("bm"), 6).as("boot_mean"),
+        round(col("bse"), 6).as("boot_se"), round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+      .orderBy(col("flag"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+import graft.model.Tables
 
 /** Hand-graph pins for the q167 propagation round — the oracle row
   * proves the full 2-round query on the fixture; these pin the mode
@@ -367,6 +368,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.11)   // winsorized
     assert(r.getDouble(6) === 0.11)   // trimmed
     assert(r.getLong(7) === 19L)      // n_kept
+  }
+
+  test("q235's 100 TB fence swap is executed: approx_percentile fences track exact within 1%") {
+    // the SCALING row says "swap percentile → approx_percentile at
+    // scale"; this executes the swap on the real fixture and measures
+    // the drift it would introduce — fences within 1% relative, the
+    // winsorized mean within 0.1% (the clamp only touches the tails)
+    val li = Tables.lineitem(spark, SparkTestSession.Sf0001)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      .localCheckpoint(true)
+    val exact = AnalyticsQueries.winsorized(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(5))).toMap
+    val approx = li.groupBy(col("flag"))
+      .agg(expr("approx_percentile(cents, 0.05, 10000)").as("p05"),
+        expr("approx_percentile(cents, 0.95, 10000)").as("p95"))
+    val wins = li.join(broadcast(approx), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(avg(least(greatest(col("cents"), col("p05")), col("p95")))
+        .as("wc"))
+      .join(approx, Seq("flag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2).toDouble / 100.0, r.getLong(3).toDouble / 100.0,
+          r.getDouble(1) / 100.0)).toMap
+    for ((flag, (p05, p95, wm)) <- exact) {
+      val (a05, a95, awm) = wins(flag)
+      assert(math.abs(a05 - p05) / p05 < 0.01, s"$flag p05 $a05 vs $p05")
+      assert(math.abs(a95 - p95) / p95 < 0.01, s"$flag p95 $a95 vs $p95")
+      assert(math.abs(awm - wm) / wm < 0.001, s"$flag wins $awm vs $wm")
+    }
   }
 
   test("q236 rfm: fence scores, recency reversal, all-ties floor") {

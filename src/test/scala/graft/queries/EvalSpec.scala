@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -147,6 +148,48 @@ class EvalSpec extends AnyFunSuite {
     assert(mae(10) === 40.0)  // pred 5000, truth 1000 → 4000c = $40
     assert(mae(80) < 1.0, s"mae80 ${mae(80)}") // pred ≈ 1065.6 → $0.656
     assert(mae(10) > mae(20) && mae(20) > mae(40) && mae(40) > mae(80))
+  }
+
+  test("poisson bootstrap: weights match the Poisson(1) pmf and the CI brackets the point") {
+    // the weight generator is the operator's statistical core: over
+    // 200k draws the MINSTD-derived weights must match the exact
+    // Poisson(1) pmf within binomial noise, and mean/var must sit at
+    // 1. Rids are SPREAD like the fixture's orderkey·10+linenumber
+    // keys (consecutive rids expose the congruential lattice — the
+    // documented regime the generator is NOT used in).
+    val in = (1L to 2000L).map(i => ("A", 100L + (i % 7), 1L, i * 104729L))
+      .toDF("flag", "rev", "qty", "rid").localCheckpoint(true)
+    val wt = in.select(col("rid"),
+        explode(expr("sequence(0, 99)")).as("b"))
+      .select(((col("rid") * 100 + col("b")) * 48271L % 2147483647L
+        * 48271L % 2147483647L / 2147483647.0).as("u"))
+      .select(
+        when(col("u") < 0.36787944117144233, 0)
+          .when(col("u") < 0.7357588823428847, 1)
+          .when(col("u") < 0.9196986029286058, 2)
+          .when(col("u") < 0.9810118431238462, 3)
+          .when(col("u") < 0.9963401531726563, 4)
+          .when(col("u") < 0.9994058151824183, 5)
+          .when(col("u") < 0.9999167588507119, 6)
+          .otherwise(7).as("w"))
+      .localCheckpoint(true)
+    val counts = wt.groupBy(col("w")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = 200000.0
+    val pmf = Seq(0 -> 0.3679, 1 -> 0.3679, 2 -> 0.1839, 3 -> 0.0613)
+    for ((k, p) <- pmf) {
+      val got = counts(k) / n
+      assert(math.abs(got - p) < 0.005, s"P(w=$k) $got vs $p")
+    }
+    val stats = wt.agg(avg(col("w")), variance(col("w"))).collect().head
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.01, s"mean ${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.03, s"var ${stats.getDouble(1)}")
+    // and the full pipeline: CI must bracket the point estimate with
+    // boot_mean ≈ point (rev/qty ≈ 103 cents → $1.03)
+    val r = EvalQueries.poissonBootstrap(in, reps = 100).collect().head
+    assert(r.getDouble(5) < r.getDouble(2) && r.getDouble(2) < r.getDouble(6),
+      s"CI [${r.getDouble(5)}, ${r.getDouble(6)}] vs point ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 3 * r.getDouble(4))
   }
 
   test("mase: gap-exact lags and the ratio on a hand series") {
