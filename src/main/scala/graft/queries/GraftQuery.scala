@@ -53,7 +53,8 @@ object Catalog {
         CurationQueries.queries ++ LabelQualityQueries.queries ++
         MultimodalQueries.queries ++ SelectionQueries.queries ++
         StructureQueries.queries ++ ResolutionQueries.queries ++
-        EvalQueries.queries ++ SeriesQueries.queries
+        EvalQueries.queries ++ SeriesQueries.queries ++
+        ExperimentQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

@@ -36,7 +36,8 @@ object CatalogIndex {
       "structure" -> StructureQueries.queries,
       "resolution" -> ResolutionQueries.queries,
       "eval" -> EvalQueries.queries,
-      "series" -> SeriesQueries.queries)
+      "series" -> SeriesQueries.queries,
+      "experiment" -> ExperimentQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

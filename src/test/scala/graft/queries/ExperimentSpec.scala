@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Hand traces and planted regimes for the experimentation wave —
+  * the semantics the fixture (a null experiment: user_id % 2 against
+  * symmetric traffic) can't exercise: θ's pooled formula, the
+  * perfect-covariate limit, mSPRT rejection under a real effect, and
+  * the always-valid p's monotonicity.
+  */
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pre(day: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+  private def post(day: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  test("cuped: hand theta on a 4-user frame") {
+    // per-user (x, y): (0,1) (2,2) (4,2) (6,3) →
+    // cov = 6/3 = 2, var(x) = 20/3 → θ = 0.3
+    val rows = Seq(
+      (0L, 0.0, 1.0), (1L, 2.0, 2.0), (2L, 4.0, 2.0), (3L, 6.0, 3.0))
+      .flatMap { case (u, x, y) =>
+        Seq(("t", u, pre(10), x), ("t", u, post(20), y)) }
+    val r = ExperimentQueries.cuped(
+      rows.toDF("event_type", "user_id", "ts", "value"),
+      lit("2024-01-15")).collect().head
+    assert(r.getDouble(3) === 0.3) // theta
+    // raw diff: arms {0,2} mean y = 1.5, arms {1,3} mean y = 2.5 → -1
+    assert(r.getDouble(4) === -1.0)
+  }
+
+  test("cuped: a perfect covariate removes all variance") {
+    // y = x exactly → θ = 1, adjusted values all collapse to x̄,
+    // var_reduction = 1 and the adjusted diff is 0
+    val rows = (0L to 9L).flatMap { u =>
+      val v = 10.0 + u
+      Seq(("t", u, pre(10), v), ("t", u, post(20), v)) }
+    val r = ExperimentQueries.cuped(
+      rows.toDF("event_type", "user_id", "ts", "value"),
+      lit("2024-01-15")).collect().head
+    assert(r.getDouble(3) === 1.0)   // theta
+    assert(r.getDouble(5) === 0.0)   // cuped_diff
+    assert(r.getDouble(6) === 1.0)   // var_reduction
+  }
+
+  test("cuped: the adjustment corrects exactly the pre-period imbalance") {
+    // equal true post behavior but arm 0 got luckier pre-period users:
+    // raw diff picks up the imbalance through y's correlation with x;
+    // CUPED with θ≈slope removes it — |cuped_diff| << |raw_diff|
+    val rows = (0L to 99L).flatMap { u =>
+      val luck = if (u % 2 == 0) 5.0 + (u % 7) else (u % 7).toDouble
+      Seq(("t", u, pre(10), luck),
+        ("t", u, post(20), 2.0 * luck + 1.0)) // y tracks x, no arm effect
+    }
+    val r = ExperimentQueries.cuped(
+      rows.toDF("event_type", "user_id", "ts", "value"),
+      lit("2024-01-15")).collect().head
+    assert(math.abs(r.getDouble(4)) > 5, s"raw ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5)) < 1e-6, s"cuped ${r.getDouble(5)}")
+    assert(r.getDouble(6) > 0.99) // y is a deterministic function of x
+  }
+
+  test("msprt: a real arm effect rejects and the null doesn't; p is monotone") {
+    // 40 users × 30 days; arm 0 gets +3 — a decisive effect
+    def frame(effect: Double) = (1 to 30).flatMap { d =>
+      (0L to 39L).map { u =>
+        val base = 10.0 + (u % 5) + (d % 3)
+        ("t", u, pre(d), base + (if (u % 2 == 0) effect else 0.0)) }
+    }.toDF("event_type", "user_id", "ts", "value")
+    val hit = ExperimentQueries.msprt(frame(3.0)).collect()
+    val ps = hit.map(_.getDouble(6))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 },
+      "always-valid p must be non-increasing")
+    assert(hit.last.getInt(7) === 1, s"effect must reject (p ${ps.last})")
+    val nul = ExperimentQueries.msprt(frame(0.0)).collect()
+    assert(nul.map(_.getInt(7)).sum === 0,
+      "the null experiment must never reject")
+    val nps = nul.map(_.getDouble(6))
+    assert(nps.zip(nps.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+}
