@@ -227,4 +227,41 @@ class MlSpec extends AnyFunSuite {
     val metrics = model.avgMetrics
     assert(metrics(0) < metrics(1), metrics.toSeq.toString)
   }
+
+  test("isotonic calibration: exact PAV pooling on a hand case (M14)") {
+    import spark.implicits._
+    // scores 1..4, labels 0,1,0,1: PAV pools the (2:1, 3:0) violation
+    // into 0.5 — fitted values 0, .5, .5, 1 (deterministic, no RNG)
+    val df = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 0.0), (4.0, 1.0))
+      .toDF("s", "y")
+    val m = Calibrate.fitIsotonic(df)
+    val cal = Calibrate.apply(m, df).orderBy($"s")
+      .select($"s_cal").collect().map(_.getDouble(0)).toSeq
+    assert(cal === Seq(0.0, 0.5, 0.5, 1.0))
+  }
+
+  test("isotonic calibration closes q217's reliability gap on a miscalibrated score") {
+    import spark.implicits._
+    // planted overconfidence: raw score 0.9 where the true rate is
+    // 0.6, raw 0.1 where the truth is 0.4 — ECE(raw) = 0.3; the
+    // isotonic fit maps each score bucket to its empirical rate, so
+    // ECE(calibrated) collapses to ~0. Monotonicity must hold.
+    // 50 hi-score rows with 30 ones (rate .6); 50 lo with 20 (rate .4)
+    val planted = ((0 until 50).map(i => (0.9, if (i < 30) 1.0 else 0.0))
+      ++ (0 until 50).map(i => (0.1, if (i < 20) 1.0 else 0.0)))
+      .toDF("s", "y")
+    val m = Calibrate.fitIsotonic(planted)
+    val cal = Calibrate.apply(m, planted)
+    val got = cal.groupBy($"s").agg(avg($"s_cal").as("c"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0.9) - 0.6) < 1e-9, s"hi ${got(0.9)}")
+    assert(math.abs(got(0.1) - 0.4) < 1e-9, s"lo ${got(0.1)}")
+    // and the calibrated ECE through q217's own measurement collapses
+    // (raw ECE on this frame is 0.3; the 4dp-rounded gap of the
+    // float-dust rates stays at 0.0)
+    val ece = graft.queries.EvalQueries.calibration(
+      cal.select($"s_cal".as("s"), $"y".cast("int").as("y")))
+      .select($"ece").head.getDouble(0)
+    assert(ece === 0.0)
+  }
 }
