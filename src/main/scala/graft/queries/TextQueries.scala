@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingMinHash.rolling_min_hash
@@ -21,7 +22,8 @@ object TextQueries {
     q54JaccardPrefix, q67Int8Quantize, q93BpeishTokens,
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
     q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
-    q169ContainmentDedup, q204EditVerifyDedup, q213Readability)
+    q169ContainmentDedup, q204EditVerifyDedup, q213Readability,
+    q241Rake)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -767,5 +769,104 @@ object TextQueries {
         round(lit(0.39) * col("n_words") / col("n_sentences")
           + lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59)
           + 1e-9, 4).as("fk_grade"))
+  }
+
+  /** RAKE keyword extraction — the unsupervised keyword pass a
+    * training-data pipeline runs for doc tagging/routing (q57's
+    * TF-IDF scores WORDS against the corpus; RAKE scores PHRASES from
+    * within-phrase co-occurrence, no idf table needed). Candidate
+    * phrases are stopword-delimited runs, long runs chunked at 4
+    * words (the stopword-poor synthetic corpus would otherwise
+    * produce degenerate 15-word "phrases"; the cap is the documented
+    * convention, replayed identically in the oracle). Word score =
+    * degree/frequency over the CORPUS phrase table (one shuffle on
+    * word); phrase score = Σ word scores, ranked per doc at 9dp (the
+    * q215 jw9 tie convention — dust-level score ties collapse before
+    * the phrase-string tie-break). Windows are doc-partitioned
+    * (doc-bounded, the q213 argument). Output: top phrase per doc for
+    * doc_id < 50 (the q57 output-cap convention); the stats remain
+    * corpus-wide. On this uniform corpus scores cluster ≈15.2 —
+    * honest: RAKE separates documents by topical phrases, and the
+    * synthetic corpus has none; TextSpec plants a topical doc where
+    * the ranking is meaningful.
+    */
+  val q241Rake = GraftQuery(
+    "q241_rake",
+    "RAKE top keyword phrase per doc (stopword-delimited, 4-word chunks)",
+    Some(s"""WITH toks AS (
+        SELECT doc_id, g.i AS pos, arr[g.i] AS w
+        FROM (SELECT doc_id,
+            regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+          FROM documents),
+        LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) g),
+      fl AS (
+        SELECT doc_id, pos, w,
+          w IN ($stopList) AS stop,
+          SUM(CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM toks),
+      np AS (
+        SELECT doc_id, run_id, pos, w,
+          CAST((ROW_NUMBER() OVER (PARTITION BY doc_id, run_id
+            ORDER BY pos) - 1) // 4 AS BIGINT) AS chunk
+        FROM fl WHERE NOT stop),
+      ph AS (
+        SELECT doc_id, run_id, chunk,
+          string_agg(w, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+        FROM np GROUP BY 1, 2, 3),
+      pw AS (
+        SELECT np.doc_id, np.run_id, np.chunk, np.w, ph.plen
+        FROM np JOIN ph USING (doc_id, run_id, chunk)),
+      ws AS (SELECT w, SUM(plen) * 1.0 / COUNT(*) AS wscore
+        FROM pw GROUP BY 1),
+      ps AS (
+        SELECT pw.doc_id, pw.run_id, pw.chunk, SUM(ws.wscore) AS score
+        FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3),
+      top AS (
+        SELECT ps.doc_id, ph.phrase, ps.score,
+          ROW_NUMBER() OVER (PARTITION BY ps.doc_id
+            ORDER BY ROUND(ps.score, 9) DESC, ph.phrase) AS rn
+        FROM ps JOIN ph USING (doc_id, run_id, chunk))
+      SELECT doc_id, phrase, ROUND(score, 4) AS score
+      FROM top WHERE rn = 1 AND doc_id < 50 ORDER BY 1"""),
+    (s, d) => rake(documents(s, d)).where(col("doc_id") < 50)
+      .orderBy(col("doc_id")))
+
+  /** The q241 pipeline over any (doc_id, text) frame — TextSpec
+    * plants a topical doc and pins the winning phrase. */
+  def rake(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wRun = Window.partitionBy(col("doc_id"), col("run_id"))
+      .orderBy(col("pos"))
+    val np = docs
+      .select(col("doc_id"), posexplode(
+        split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isInCollection(TA.Stopwords))
+      .withColumn("run_id", sum(col("stop").cast("int")).over(wDoc))
+      .where(!col("stop"))
+      .withColumn("chunk",
+        floor((row_number().over(wRun) - 1) / 4).cast("long"))
+      .localCheckpoint(true) // feeds the phrase table AND the word join
+    val ph = np.groupBy(col("doc_id"), col("run_id"), col("chunk"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("w")))),
+        x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .localCheckpoint(true) // feeds pw AND the final phrase lookup
+    val pw = np.join(ph, Seq("doc_id", "run_id", "chunk"))
+      .select(col("doc_id"), col("run_id"), col("chunk"), col("w"),
+        col("plen"))
+    val ws = pw.groupBy(col("w"))
+      .agg((sum(col("plen")) * 1.0 / count(lit(1))).as("wscore"))
+    val ps = pw.join(ws, Seq("w"))
+      .groupBy(col("doc_id"), col("run_id"), col("chunk"))
+      .agg(sum(col("wscore")).as("score"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 9).desc, col("phrase"))
+    ps.join(ph, Seq("doc_id", "run_id", "chunk"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("phrase"), round(col("score"), 4).as("score"))
   }
 }

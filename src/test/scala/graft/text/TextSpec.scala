@@ -330,4 +330,21 @@ class TextSpec extends AnyFunSuite {
     assert(cut(5L) === ((5L, "k l m n o"))) // untouched
     assert(cut(6L) === ((1L, "q1")))
   }
+
+  test("RAKE: hand degree/frequency scores, stopword splits, 4-word chunking") {
+    // doc 1: two identical runs → freq 2 / deg 6 per word → wscore 3,
+    //   phrase score 9; doc 2: singleton runs → wscore 1; doc 3: a
+    //   6-word run chunks 4+2 — the 4-chunk's words carry deg 4 each
+    //   → phrase score 16 beats the 2-chunk's 4
+    val in = Seq(
+      (1L, "spark shuffle join in spark shuffle join"),
+      (2L, "scan the scan"),
+      (3L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.rake(in).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L) === (("spark shuffle join", 9.0)))
+    assert(got(2L) === (("scan", 1.0)))
+    assert(got(3L) === (("w1 w2 w3 w4", 16.0)))
+  }
 }
