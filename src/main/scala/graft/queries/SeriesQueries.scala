@@ -25,7 +25,7 @@ import graft.model.Tables._
 object SeriesQueries {
 
   def queries: Seq[GraftQuery] = Seq(q229Holt, q230PageHinkley,
-    q231RollingZ, q234MannKendall)
+    q231RollingZ, q234MannKendall, q242Binseg)
 
   /** Holt linear-trend (double exponential) smoothing, α=0.5 β=0.3:
     * l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
@@ -329,6 +329,85 @@ object SeriesQueries {
         * (col("n") * (col("n") - 1) / 2.0)), 4).as("tau_b"),
       round(zc, 4).as("z"),
       (abs(zc) > 1.96).cast("int").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Binary-segmentation changepoint LOCALIZATION per event type — the
+    * missing third of the drift family: q201/q230 detect THAT a series
+    * moved, this finds WHERE. One split: the day t maximizing the SSE
+    * reduction n_l·n_r/n · (μ_l − μ_r)² — the exact single-changepoint
+    * least-squares fit, and the recursion step of full binary
+    * segmentation. Every candidate split's reduction comes from ONE
+    * cumulative-sum window over the daily table (calendar-bounded, the
+    * q122/q201 argument) in INTEGER CENTS — a float cumsum hit a
+    * half-ulp rounding boundary against DuckDB's tree-aggregated
+    * window sum on this very fixture, integer prefixes can't. The
+    * output means are emitted UNROUNDED: cents/t is rational with a
+    * small denominator, so 4dp display rounding lands exactly on
+    * .xxxx5 boundaries where the two engines' ROUND-of-double
+    * conventions split — the raw doubles are bit-identical and the
+    * gate compares at 9dp. The argmax ranks at 9dp (the q215/q241 dust
+    * convention) with the EARLIEST day winning ties. Reported shift is
+    * μ_r − μ_l at the best split.
+    */
+  val q242Binseg = GraftQuery(
+    "q242_binseg",
+    "binary-segmentation changepoint: argmax SSE-reduction split per type",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          CAST(ROUND(SUM(value) * 100) AS BIGINT) AS vc
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, ds,
+          ROW_NUMBER() OVER w AS t, SUM(vc) OVER w AS cs,
+          COUNT(*) OVER (PARTITION BY event_type) AS n,
+          SUM(vc) OVER (PARTITION BY event_type) AS s
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+      red AS (
+        SELECT event_type, ds, t, n,
+          cs / 100.0 / t AS ml, (s - cs) / 100.0 / (n - t) AS mr,
+          t * (n - t) * 1.0 / n
+            * (cs / 100.0 / t - (s - cs) / 100.0 / (n - t))
+            * (cs / 100.0 / t - (s - cs) / 100.0 / (n - t)) AS reduction
+        FROM cum WHERE t < n),
+      best AS (
+        SELECT event_type, ds, t, n, ml, mr, reduction,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ROUND(reduction, 9) DESC, ds) AS rn
+        FROM red)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days, ds AS split_ds,
+        CAST(t AS BIGINT) AS split_t, ml AS mean_left,
+        mr AS mean_right, mr - ml AS shift, reduction
+      FROM best WHERE rn = 1 ORDER BY 1"""),
+    (s, d) => binseg(events(s, d)))
+
+  /** The q242 pipeline over any (event_type, ts, value) frame —
+    * SeriesSpec pins exact localization of a planted step. */
+  def binseg(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ds"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")) * 100).cast("bigint").as("vc"))
+      .select(col("event_type"), col("ds"),
+        row_number().over(w).as("t"), sum(col("vc")).over(w).as("cs"),
+        count(lit(1)).over(wAll).as("n"), sum(col("vc")).over(wAll).as("s"))
+    val red = cum.where(col("t") < col("n"))
+      .select(col("event_type"), col("ds"), col("t"), col("n"),
+        (col("cs") / 100.0 / col("t")).as("ml"),
+        ((col("s") - col("cs")) / 100.0 / (col("n") - col("t"))).as("mr"))
+      .withColumn("reduction",
+        col("t") * (col("n") - col("t")) * 1.0 / col("n")
+          * (col("ml") - col("mr")) * (col("ml") - col("mr")))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(round(col("reduction"), 9).desc, col("ds"))
+    red.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("ds").as("split_ds"), col("t").cast("long").as("split_t"),
+        col("ml").as("mean_left"), col("mr").as("mean_right"),
+        (col("mr") - col("ml")).as("shift"), col("reduction"))
       .orderBy(col("event_type"))
   }
 }

@@ -115,6 +115,30 @@ class SeriesSpec extends AnyFunSuite {
     assert(r.getInt(6) === 0)
   }
 
+  test("binseg: localizes a planted step exactly, with the closed-form reduction") {
+    // 10 days at 100 then 10 at 200: best split is day 10 with
+    // reduction 10·10/20 · 100² = 50000, shift +100
+    val in = ((1 to 10).map(d => ev(d, 100.0)) ++
+      (11 to 20).map(d => ev(d, 200.0)))
+      .toDF("event_type", "ts", "value")
+    val r = SeriesQueries.binseg(in).collect().head
+    assert(r.getLong(3) === 10L)                       // split_t
+    assert(r.getDate(2).toString === "2024-01-10")     // split_ds
+    assert(r.getDouble(4) === 100.0)                   // mean_left
+    assert(r.getDouble(5) === 200.0)                   // mean_right
+    assert(r.getDouble(6) === 100.0)                   // shift
+    assert(r.getDouble(7) === 50000.0)                 // reduction
+  }
+
+  test("binseg: symmetric reductions tie to the earliest day") {
+    // v = 100, 200, 100: t=1 and t=2 both reduce 1·2/3·50² — the
+    // 9dp-rank tie must resolve to the earlier split
+    val in = Seq(ev(1, 100), ev(2, 200), ev(3, 100))
+      .toDF("event_type", "ts", "value")
+    val r = SeriesQueries.binseg(in).collect().head
+    assert(r.getLong(3) === 1L)
+  }
+
   test("mann-kendall: a strict ramp is a certain trend with tau 1") {
     val in = (1 to 30).map(d => ev(d, 10.0 * d))
       .toDF("event_type", "ts", "value")
