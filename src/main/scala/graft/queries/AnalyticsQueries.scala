@@ -21,7 +21,7 @@ object AnalyticsQueries {
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
-    q222Hits, q235Winsorized, q236Rfm)
+    q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2109,4 +2109,78 @@ object AnalyticsQueries {
           + (col("mon") > col("m75")).cast("int")).cast("int").as("m"))
       .orderBy(col("custkey"))
   }
+
+  /** The FD candidates q243 sweeps, (name, lhs, rhs) — shared by the
+    * Spark plan and the GENERATED oracle so the list can't drift. The
+    * mix is deliberate: a key FD (holds trivially), an entity FD
+    * (holds through the join), and three that fail with different
+    * g3 magnitudes. */
+  private val FdCandidates = Seq(
+    ("orderkey->custkey", "o_orderkey", "o_custkey"),
+    ("custkey->nation", "o_custkey", "c_nationkey"),
+    ("custkey->priority", "o_custkey", "o_orderpriority"),
+    ("nation->segment", "c_nationkey", "c_mktsegment"),
+    ("status->priority", "o_orderstatus", "o_orderpriority"))
+
+  /** Approximate functional-dependency discovery over the
+    * orders⋈customer frame — the data-quality profiler q126's
+    * per-column stats can't give: column RELATIONSHIPS. For each
+    * candidate lhs→rhs, the g3 error (Kivinen–Mannila): the minimum
+    * fraction of rows to delete for the FD to hold exactly =
+    * (N − Σ_lhs max_rhs n(lhs, rhs)) / N — all integer counts from
+    * one (lhs, rhs) groupBy per candidate, so every number is exact.
+    * Also reported: distinct lhs values and how many of them violate.
+    * The candidate list is a shared constant; the oracle SQL is
+    * GENERATED from it (the q233 precedent), so Spark and DuckDB
+    * always sweep the same pairs. Each candidate costs two shuffles
+    * of the projected frame — the sweep is linear in candidates, and
+    * at 100 TB candidates prune by sampling first (the documented
+    * production staging, same family as q143's candidate swap).
+    */
+  val q243FdDiscovery = GraftQuery(
+    "q243_fd_discovery",
+    "approximate FD discovery: g3 error per candidate lhs->rhs",
+    Some {
+      val blocks = FdCandidates.map { case (name, lhs, rhs) =>
+        s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+          CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
+          CAST(SUM(n) AS BIGINT) AS n_rows,
+          ROUND((SUM(n) - SUM(mx)) * 1.0 / SUM(n), 6) AS g3,
+          CAST(CASE WHEN SUM(n) = SUM(mx) THEN 1 ELSE 0 END AS INTEGER)
+            AS holds
+        FROM (
+          SELECT $lhs, COUNT(*) AS k, SUM(c) AS n, MAX(c) AS mx
+          FROM (SELECT $lhs, $rhs, COUNT(*) AS c FROM j GROUP BY 1, 2)
+          GROUP BY 1)"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH j AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          c_nationkey, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      $blocks
+      ORDER BY 1"""
+    },
+    (s, d) => {
+      val j = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("c_nationkey"), col("c_mktsegment"))
+        .localCheckpoint(true) // feeds all five candidate sweeps
+      FdCandidates.map { case (name, lhs, rhs) =>
+        val per = j.groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("c"))
+          .groupBy(col(lhs))
+          .agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+            max(col("c")).as("mx"))
+        per.agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("k") > 1, 1).otherwise(0)).as("n_violating"),
+          sum(col("n")).as("n_rows"),
+          round((sum(col("n")) - sum(col("mx"))) * 1.0 / sum(col("n")), 6)
+            .as("g3"),
+          (sum(col("n")) === sum(col("mx"))).cast("int").as("holds"))
+          .select(lit(name).as("fd"), col("n_lhs").cast("long"),
+            col("n_violating").cast("long"), col("n_rows").cast("long"),
+            col("g3"), col("holds"))
+      }.reduce(_ unionAll _).orderBy(col("fd"))
+    })
 }

@@ -401,6 +401,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q243 g3 is the minimum-deletion FD error, by hand") {
+    // lhs=1 maps to rhs {a,a,b}: keep the majority a's, delete 1 row;
+    // lhs=2 maps to {c}: clean. g3 = 1/4, one violating lhs of two.
+    // Verified through the catalog query's own sweep shape: a
+    // (lhs, rhs) count, a per-lhs (k, n, max) rollup, then the fold.
+    import spark.implicits._
+    val j = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c")).toDF("l", "r")
+    val per = j.groupBy($"l", $"r").agg(count(lit(1)).as("c"))
+      .groupBy($"l")
+      .agg(count(lit(1)).as("k"), sum($"c").as("n"), max($"c").as("mx"))
+    val row = per.agg(count(lit(1)).as("n_lhs"),
+      sum(when($"k" > 1, 1).otherwise(0)).as("n_violating"),
+      sum($"n").as("n_rows"),
+      round((sum($"n") - sum($"mx")) * 1.0 / sum($"n"), 6).as("g3"),
+      (sum($"n") === sum($"mx")).cast("int").as("holds"))
+      .collect().head
+    assert(row.getLong(0) === 2L)
+    assert(row.getLong(1) === 1L)
+    assert(row.getDouble(3) === 0.25)
+    assert(row.getInt(4) === 0)
+  }
+
   test("q236 rfm: fence scores, recency reversal, all-ties floor") {
     import spark.implicits._
     def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
