@@ -21,7 +21,7 @@ object AnalyticsQueries {
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
-    q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery)
+    q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2108,6 +2108,96 @@ object AnalyticsQueries {
           + (col("mon") > col("m50")).cast("int")
           + (col("mon") > col("m75")).cast("int")).cast("int").as("m"))
       .orderBy(col("custkey"))
+  }
+
+  /** Personalized PageRank from the hub supplier — q119's
+    * query-centric sibling: global PR asks "what matters overall",
+    * PPR asks "what matters NEAR this node" (the recommendation /
+    * related-items primitive). Same bipartite supplier–part graph,
+    * same long-id scheme and checkpointed edge set, but the teleport
+    * mass all returns to the SOURCE (the max-distinct-parts supplier,
+    * min id on ties — q232's hub convention): pr_{t+1}(v) =
+    * 0.85·Σ_{u→v} pr_t(u)/outdeg(u) + [v = src]·0.15. Two unrolled
+    * rounds; output ranks on the 8dp-ROUNDED score (the q119
+    * convention — a last-ulp difference in a mass sum can't reorder
+    * near-ties). Iterations shuffle the rank table only.
+    */
+  val q244Ppr = GraftQuery(
+    "q244_ppr",
+    "personalized PageRank from the hub supplier (2 unrolled rounds)",
+    Some("""WITH pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p
+        FROM lineitem),
+      edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL SELECT p, s FROM pairs),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      hub AS (
+        SELECT src AS h FROM deg WHERE src % 2 = 0
+        ORDER BY outdeg DESC, src LIMIT 1),
+      pr0 AS (
+        SELECT src AS node, CASE WHEN src = h THEN 1.0 ELSE 0.0 END AS pr
+        FROM deg, hub),
+      it1 AS (
+        SELECT e.dst AS node,
+          0.85 * SUM(p.pr / d.outdeg)
+            + CASE WHEN e.dst = MIN(hub.h) THEN 0.15 ELSE 0 END AS pr
+        FROM edges e JOIN pr0 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, hub GROUP BY e.dst),
+      it2 AS (
+        SELECT e.dst AS node,
+          0.85 * SUM(p.pr / d.outdeg)
+            + CASE WHEN e.dst = MIN(hub.h) THEN 0.15 ELSE 0 END AS pr
+        FROM edges e JOIN it1 p ON e.src = p.node
+        JOIN deg d ON e.src = d.src, hub GROUP BY e.dst)
+      SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END
+          || CAST(node // 2 AS VARCHAR) AS node,
+        ROUND(pr, 8) AS pr
+      FROM it2 WHERE ROUND(pr, 8) > 0
+      ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
+    (s, d) => {
+      val pairs = lineitem(s, d)
+        .select((col("l_suppkey").cast("long") * 2).as("s"),
+          (col("l_partkey").cast("long") * 2 + 1).as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("s").as("dst")))
+      personalizedPageRank(edges, iters = 2)
+        .where(round(col("pr"), 8) > 0)
+        .select(
+          concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
+            shiftright(col("node"), 1)).as("node"),
+          round(col("pr"), 8).as("pr"))
+        .orderBy(round(col("pr"), 8).desc, col("node"))
+        .limit(20)
+    })
+
+  /** PPR over an even/odd-id bipartite edge frame: the source is the
+    * max-outdeg EVEN node (min id ties); teleport mass returns only
+    * to it. Shares q119's iteration shape (rank-table-only shuffles).
+    */
+  def personalizedPageRank(edges: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val ew = edges.join(deg, "src").localCheckpoint(true)
+    val hub = broadcast(deg.where(col("src") % 2 === 0)
+      .orderBy(col("outdeg").desc, col("src")).limit(1)
+      .select(col("src").as("h")))
+    var pr = deg.select(col("src").as("node")).crossJoin(hub)
+      .select(col("node"), col("h"),
+        when(col("node") === col("h"), 1.0).otherwise(0.0).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ew.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("outdeg")).as("mass"))
+        .crossJoin(hub)
+        .select(col("dst").as("node"), col("h"),
+          (lit(0.85) * col("mass") +
+            when(col("dst") === col("h"), 0.15).otherwise(0.0)).as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
   }
 
   /** The FD candidates q243 sweeps, (name, lhs, rhs) — shared by the

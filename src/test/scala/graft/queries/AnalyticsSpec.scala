@@ -401,6 +401,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q244 PPR: hand trace, mass conservation, teleport locality") {
+    import spark.implicits._
+    // bipartite: s0–{p1, p3}, s2–{p3} (even=supplier, odd=part);
+    // hub = node 0 (outdeg 2). Hand rounds:
+    //   it1: pr(1)=.425, pr(3)=.425, pr(0)=.15, pr(2)=0
+    //   it2: pr(0)=.691875, pr(2)=.180625, pr(1)=pr(3)=.06375 (Σ=1)
+    val pairs = Seq((0L, 1L), (0L, 3L), (2L, 3L)).toDF("s", "p")
+    val edges = pairs.select($"s".as("src"), $"p".as("dst"))
+      .union(pairs.select($"p".as("src"), $"s".as("dst")))
+    val got = AnalyticsQueries.personalizedPageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0L) - 0.691875) < 1e-12)
+    assert(math.abs(got(2L) - 0.180625) < 1e-12)
+    assert(math.abs(got(1L) - 0.06375) < 1e-12)
+    assert(math.abs(got(3L) - 0.06375) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12) // mass conserved
+    // teleport locality: the source outranks everything (vs global
+    // PR, where the doubly-linked p3 would compete)
+    assert(got(0L) === got.values.max)
+  }
+
   test("q243 g3 is the minimum-deletion FD error, by hand") {
     // lhs=1 maps to rhs {a,a,b}: keep the majority a's, delete 1 row;
     // lhs=2 maps to {c}: clean. g3 = 1/4, one violating lhs of two.
