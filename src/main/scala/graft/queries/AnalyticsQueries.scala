@@ -21,7 +21,8 @@ object AnalyticsQueries {
     q195EventPaths, q196MarkovTransitions, q199AssociationRules, q201Cusum,
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
-    q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr)
+    q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
+    q245TimeToConvert)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2198,6 +2199,78 @@ object AnalyticsQueries {
             when(col("dst") === col("h"), 0.15).otherwise(0.0)).as("pr"))
     }
     pr.select(col("node"), col("pr"))
+  }
+
+  /** Funnel time-to-convert per signup cohort — the LATENCY
+    * dimension q86's funnel counts and q87's retention offsets both
+    * flatten: how long the signup→purchase step takes, not just
+    * whether it completes. Per user: first signup ts and first
+    * purchase AT-OR-AFTER it (a purchase predating signup is not a
+    * conversion — the convention both engines share); cohort = first
+    * signup day. Per cohort: size, conversions, rate, and exact
+    * median/p90 days-to-convert (integer day gaps → the interpolated
+    * percentile is dust-free; the 100 TB form swaps to
+    * approx_percentile exactly as the executed q235 fence test).
+    * Timestamps never touch floats, so every number is exact. One
+    * (user) shuffle + one (cohort) rollup.
+    */
+  val q245TimeToConvert = GraftQuery(
+    "q245_time_to_convert",
+    "signup-cohort conversion rate + median/p90 days to first purchase",
+    Some("""WITH su AS (
+        SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (
+        SELECT su.user_id, su.s_ts, MIN(e.ts) AS p_ts
+        FROM su LEFT JOIN events e
+          ON e.user_id = su.user_id AND e.event_type = 'purchase'
+          AND e.ts >= su.s_ts
+        GROUP BY 1, 2),
+      d AS (
+        SELECT CAST(s_ts AS DATE) AS cohort,
+          CASE WHEN p_ts IS NOT NULL THEN date_diff('day',
+            CAST(s_ts AS DATE), CAST(p_ts AS DATE)) END AS days
+        FROM pu)
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups,
+        CAST(COUNT(days) AS BIGINT) AS n_converted,
+        ROUND(COUNT(days) * 1.0 / COUNT(*), 4) AS conv_rate,
+        quantile_cont(days, 0.5) AS median_days,
+        quantile_cont(days, 0.9) AS p90_days
+      FROM d GROUP BY 1 ORDER BY 1"""),
+    (s, d) => timeToConvert(events(s, d)))
+
+  /** The q245 pipeline over any (user_id, event_type, ts) frame —
+    * AnalyticsSpec pins the at-or-after convention and the hand
+    * quantiles. */
+  def timeToConvert(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      .localCheckpoint(true) // feeds the conversion join AND the cohort
+    // the at-or-after condition lives IN the join: filtering after a
+    // plain left join would drop users whose only purchases predate
+    // signup instead of keeping them unconverted
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"))
+    val pu = su.join(p,
+        su("user_id") === p("p_uid") && p("pts") >= su("s_ts"), "left")
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(col("pts")).as("p_ts"))
+    pu.select(to_date(col("s_ts")).as("cohort"),
+        when(col("p_ts").isNotNull,
+          datediff(to_date(col("p_ts")), to_date(col("s_ts"))))
+          .as("days"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("days")).as("n_converted"),
+        round(count(col("days")) * 1.0 / count(lit(1)), 4)
+          .as("conv_rate"),
+        expr("percentile(days, 0.5)").as("median_days"),
+        expr("percentile(days, 0.9)").as("p90_days"))
+      .select(col("cohort"), col("n_signups").cast("long"),
+        col("n_converted").cast("long"), col("conv_rate"),
+        col("median_days"), col("p90_days"))
+      .orderBy(col("cohort"))
   }
 
   /** The FD candidates q243 sweeps, (name, lhs, rhs) — shared by the

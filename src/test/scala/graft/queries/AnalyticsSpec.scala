@@ -401,6 +401,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q245 time-to-convert: at-or-after convention and hand quantiles") {
+    import spark.implicits._
+    def t(day: Int, h: Int = 12) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // u1: signs day 1, converts day 3 → 2 days
+      (1L, "signup", t(1)), (1L, "purchase", t(3)),
+      // u2: signs day 1, converts day 5 → 4 days
+      (2L, "signup", t(1)), (2L, "purchase", t(5)),
+      // u3: signs day 1, never converts — must still count in cohort
+      (3L, "signup", t(1)), (3L, "view", t(2)),
+      // u4: only purchase PREDATES signup — unconverted, not dropped
+      (4L, "purchase", t(1)), (4L, "signup", t(2)),
+      // u5: pre-signup purchase is ignored, later one counts → 1 day
+      (5L, "purchase", t(1)), (5L, "signup", t(2)), (5L, "purchase", t(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = AnalyticsQueries.timeToConvert(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // cohort day 1: u1, u2, u3 → 3 signups, 2 conversions,
+    // median of {2, 4} = 3.0
+    assert(got("2024-01-01") === ((3L, 2L, 0.6667, 3.0)))
+    // cohort day 2: u4 (unconverted — NULL days) + u5 (1 day)
+    assert(got("2024-01-02") === ((2L, 1L, 0.5, 1.0)))
+  }
+
   test("q244 PPR: hand trace, mass conservation, teleport locality") {
     import spark.implicits._
     // bipartite: s0–{p1, p3}, s2–{p3} (even=supplier, odd=part);
