@@ -22,7 +22,7 @@ object AnalyticsQueries {
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
-    q245TimeToConvert)
+    q245TimeToConvert, q246ShapleyAttribution)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2271,6 +2271,133 @@ object AnalyticsQueries {
         col("n_converted").cast("long"), col("conv_rate"),
         col("median_days"), col("p90_days"))
       .orderBy(col("cohort"))
+  }
+
+  /** Shapley-value channel attribution — the game-theoretic closure
+    * of q212's heuristic family (first/last/linear touch each pick an
+    * arbitrary convention; Shapley is the unique allocation satisfying
+    * efficiency/symmetry/dummy). The coalition value v(S) is the
+    * OBSERVED 3-day conversion rate of users whose pre-purchase
+    * exposure set is exactly S (channels = the four non-purchase
+    * event types as a 4-bit mask; unobserved sets contribute v = 0 —
+    * the documented convention), and each channel's value is the
+    * exact k=4 Shapley sum Σ_S w(|S|)·(v(S∪c) − v(S)) over the
+    * 16-mask universe. The corpus crosses TWO shuffles (first-ts
+    * mins, then the per-user bit_or mask); everything after is
+    * arithmetic over a ≤16-row broadcast table — the powerset never
+    * touches row data, which is what makes Shapley (naively
+    * exponential) a fixed-cost operator here. On this fixture the
+    * value function INVERTS with set size (broad pre-purchase
+    * wandering converts slower), so channel marginals go genuinely
+    * negative — more honest than a toy monotone v. Shapley values are
+    * emitted UNROUNDED (the q242 lesson: 1/24-weighted rationals land
+    * exactly on display-round boundaries where the engines' dust
+    * splits; the gate compares at 9dp, which collapses it).
+    */
+  val q246ShapleyAttribution = GraftQuery(
+    "q246_shapley_attribution",
+    "Shapley-value channel attribution over 3-day-conversion coalition rates",
+    Some("""WITH fe AS (
+        SELECT user_id, MIN(ts) AS f_ts FROM events GROUP BY 1),
+      fp AS (SELECT user_id, MIN(ts) AS p_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      conv AS (
+        SELECT fe.user_id,
+          CASE WHEN fp.p_ts IS NOT NULL AND date_diff('day',
+              CAST(fe.f_ts AS DATE), CAST(fp.p_ts AS DATE)) <= 3
+            THEN 1 ELSE 0 END AS conv,
+          fp.p_ts
+        FROM fe LEFT JOIN fp ON fp.user_id = fe.user_id),
+      expo AS (
+        SELECT e.user_id,
+          bit_or(CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+            WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END) AS mask,
+          MAX(conv.conv) AS conv
+        FROM events e JOIN conv ON conv.user_id = e.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (conv.p_ts IS NULL OR e.ts < conv.p_ts)
+        GROUP BY 1),
+      v AS (SELECT mask, COUNT(*) AS n, SUM(conv) * 1.0 / COUNT(*) AS v
+        FROM expo GROUP BY 1),
+      spine AS (SELECT unnest(range(16)) AS s),
+      ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+        ('signup', 4), ('error', 8)) AS t(channel, bit)),
+      terms AS (
+        SELECT ch.channel, ch.bit,
+          CASE bit_count(spine.s) WHEN 0 THEN 0.25
+            WHEN 1 THEN 0.08333333333333333
+            WHEN 2 THEN 0.08333333333333333 ELSE 0.25 END
+            * (COALESCE(vw.v, 0) - COALESCE(vo.v, 0)) AS term
+        FROM ch JOIN spine ON (spine.s & ch.bit) = 0
+        LEFT JOIN v vo ON vo.mask = spine.s
+        LEFT JOIN v vw ON vw.mask = (spine.s | ch.bit)),
+      nx AS (
+        SELECT ch.channel, CAST(SUM(v.n) AS BIGINT) AS n_exposed
+        FROM ch JOIN v ON (v.mask & ch.bit) > 0 GROUP BY 1)
+      SELECT terms.channel,
+        CAST(COALESCE(MIN(nx.n_exposed), 0) AS BIGINT) AS n_exposed,
+        SUM(term) AS shapley
+      FROM terms LEFT JOIN nx ON nx.channel = terms.channel
+      GROUP BY 1 ORDER BY 1"""),
+    (s, d) => shapleyAttribution(events(s, d)))
+
+  /** The q246 pipeline over any (user_id, event_type, ts) frame —
+    * AnalyticsSpec hand-traces a 2-channel game and pins the
+    * efficiency axiom. */
+  def shapleyAttribution(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    val fe = ev.groupBy(col("user_id")).agg(min(col("ts")).as("f_ts"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val conv = fe.join(fp, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_ts").isNotNull &&
+          datediff(to_date(col("p_ts")), to_date(col("f_ts"))) <= 3, 1)
+          .otherwise(0).as("conv"),
+        col("p_ts"))
+    val expo = ev.where(col("event_type") =!= "purchase")
+      .join(conv, Seq("user_id"))
+      .where(col("p_ts").isNull || col("ts") < col("p_ts"))
+      .groupBy(col("user_id"))
+      .agg(expr("""bit_or(CASE event_type WHEN 'click' THEN 1
+          WHEN 'view' THEN 2 WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+          END)""").as("mask"),
+        max(col("conv")).as("conv"))
+    val v = expo.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("conv")) * 1.0 / count(lit(1))).as("v"))
+      .localCheckpoint(true) // ≤16 rows; feeds both marginal joins + nx
+    import spark.implicits._
+    val spine = spark.range(16).select(col("id").cast("int").as("s"))
+    val ch = Seq(("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+      .toDF("channel", "bit")
+    val terms = ch.join(spine, (col("s").bitwiseAND(col("bit"))) === 0)
+      .join(broadcast(v.select(col("mask").as("mo"), col("v").as("vo"))),
+        col("mo") === col("s"), "left")
+      .join(broadcast(v.select(col("mask").as("mw"), col("v").as("vw"))),
+        col("mw") === (col("s").bitwiseOR(col("bit"))), "left")
+      .select(col("channel"),
+        // 0.0833… as a literal: Spark parses `1.0 / 12` as DECIMAL
+        // division (truncated precision); DuckDB as double — the 1e-7
+        // gap the gate caught. The parsed double literal is identical
+        // in both engines.
+        (expr("""CASE bit_count(s) WHEN 0 THEN 0.25D
+            WHEN 1 THEN 0.08333333333333333D
+            WHEN 2 THEN 0.08333333333333333D ELSE 0.25D END""")
+          * (coalesce(col("vw"), lit(0.0))
+            - coalesce(col("vo"), lit(0.0)))).as("term"))
+    val nx = ch.join(broadcast(v), (col("mask").bitwiseAND(col("bit"))) > 0)
+      .groupBy(col("channel")).agg(sum(col("n")).as("n_exposed"))
+    // left join: a channel nobody was exposed to still has a Shapley
+    // value under the unobserved-as-0 convention (and the efficiency
+    // axiom needs all k channels in the sum)
+    terms.groupBy(col("channel")).agg(sum(col("term")).as("shapley"))
+      .join(broadcast(nx), Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_exposed"), lit(0L)).cast("long").as("n_exposed"),
+        col("shapley"))
+      .orderBy(col("channel"))
   }
 
   /** The FD candidates q243 sweeps, (name, lhs, rhs) — shared by the

@@ -401,6 +401,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q246 shapley: hand 2-channel game, negative marginals, efficiency") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // v({click}) = 1 (u1,u2), v({view}) = 0 (u3,u4),
+    // v({click,view}) = .5 (u5 converts in 3d, u6 in 19d)
+    val ev = Seq(
+      (1L, "click", t(1)), (1L, "purchase", t(2)),
+      (2L, "click", t(1)), (2L, "purchase", t(2)),
+      (3L, "view", t(1)), (4L, "view", t(1)),
+      (5L, "click", t(1)), (5L, "view", t(1)), (5L, "purchase", t(2)),
+      (6L, "click", t(1)), (6L, "view", t(1)), (6L, "purchase", t(20)))
+      .toDF("user_id", "event_type", "ts")
+    val got = AnalyticsQueries.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // click: w0·(1−0) + w1·(.5−0) = .25 + 1/24 = .2916667
+    assert(got("click")._1 === 4L)
+    assert(math.abs(got("click")._2 - (0.25 + 1.0 / 24)) < 1e-12)
+    // view's marginal on top of click is NEGATIVE: (1/12)(.5−1)
+    assert(math.abs(got("view")._2 - (-1.0 / 24)) < 1e-12)
+    // absent channels: only unobserved-set marginals → −1/12 − 1/24
+    assert(math.abs(got("signup")._2 - (-0.125)) < 1e-12)
+    assert(math.abs(got("error")._2 - (-0.125)) < 1e-12)
+    // efficiency: Σ shapley = v(full) − v(∅) = 0 − 0 under the
+    // unobserved-as-0 convention
+    assert(math.abs(got.values.map(_._2).sum) < 1e-12)
+  }
+
   test("q245 time-to-convert: at-or-after convention and hand quantiles") {
     import spark.implicits._
     def t(day: Int, h: Int = 12) =

@@ -140,6 +140,10 @@ class PlanLintSpec extends AnyFunSuite {
       "bounded: 4-row literal day-offset frame broadcast onto cohorts",
     "q125_chi2_drift" ->
       "bounded: per-language totals attach (rows = |langs|)",
+    "q246_shapley_attribution" ->
+      ("bounded: coalition arithmetic joins run on the 16-row mask " +
+        "spine x 4-row channel table (the powerset universe is a " +
+        "domain constant); the corpus never enters a non-equi join"),
     "q189_neyman_alloc" ->
       ("bounded: fractional-premium rank self-join over the per-" +
         "event-type table (rows = |event types|)"),
