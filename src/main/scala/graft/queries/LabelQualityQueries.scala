@@ -22,7 +22,8 @@ object LabelQualityQueries {
   def queries: Seq[GraftQuery] =
     Seq(q141KnnLabelAgreement, q142CentroidOutliers, q143AnnLabelAgreement,
       q166HardNegatives, q177CentroidConfusion, q200MatryoshkaAgreement,
-      q202IvfHardNegatives, q203IvfMatryoshkaAgreement)
+      q202IvfHardNegatives, q203IvfMatryoshkaAgreement,
+      q247ConfidentLearning)
 
   /** Matryoshka truncation fidelity — does the 16-dim PREFIX of each
     * embedding retrieve the same nearest neighbor as the full vector?
@@ -584,5 +585,96 @@ object LabelQualityQueries {
       .select(col("vec_id"), col("label"),
         round(col("cosc"), 6).as("cos_centroid"),
         (col("prk") <= 0.05).cast("int").as("is_far"))
+  }
+
+  /** Confident-learning label-noise estimation (Northcutt et al.) —
+    * the PROBABILISTIC member of the label-quality family (q141/q143
+    * test geometric neighborhood agreement, q167 graph agreement;
+    * this one needs only a per-row score): class thresholds t_j =
+    * mean self-class probability over rows LABELED j, a row is
+    * confidently class j when its probability for j clears t_j
+    * (both-clear → larger margin, margin ties → class 1; neither →
+    * abstain), and the off-diagonal of the confident joint C[y][ŷ]
+    * estimates the label-error mass. Scored by q217's transparent
+    * rational return-risk score against the return flag. Thresholds
+    * are rounded to 9dp in BOTH engines before the comparisons — the
+    * distributed-mean dust must not flip a boundary row. Two scans of
+    * the scored frame (thresholds, then the confident sweep), all
+    * group sums; one output row.
+    */
+  val q247ConfidentLearning = GraftQuery(
+    "q247_confident_learning",
+    "confident-learning joint + label-noise estimate from the q217 score",
+    Some("""WITH b AS (
+        SELECT least(0.99, 0.05 + l_discount * 3 + l_quantity / 200.0)
+            AS s,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      t AS (
+        SELECT ROUND(AVG(CASE WHEN y = 1 THEN s END), 9) AS t1,
+          ROUND(AVG(CASE WHEN y = 0 THEN 1 - s END), 9) AS t0
+        FROM b),
+      conf AS (
+        SELECT y,
+          CASE
+            WHEN s >= t1 AND (1 - s) >= t0 THEN
+              CASE WHEN s - t1 >= (1 - s) - t0 THEN 1 ELSE 0 END
+            WHEN s >= t1 THEN 1
+            WHEN (1 - s) >= t0 THEN 0
+          END AS yhat
+        FROM b, t),
+      c AS (
+        SELECT
+          SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS c00,
+          SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS c01,
+          SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS c10,
+          SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS c11,
+          COUNT(*) AS n_all, COUNT(yhat) AS n_conf
+        FROM conf)
+      SELECT t.t1, t.t0, CAST(n_all AS BIGINT) AS n_rows,
+        CAST(n_conf AS BIGINT) AS n_confident,
+        CAST(c00 AS BIGINT) AS c00, CAST(c01 AS BIGINT) AS c01,
+        CAST(c10 AS BIGINT) AS c10, CAST(c11 AS BIGINT) AS c11,
+        ROUND((c01 + c10) * 1.0 / n_conf, 6) AS noise_rate
+      FROM c, t"""),
+    (s, d) => confidentLearning(lineitem(s, d).select(
+      least(lit(0.99), lit(0.05) + col("l_discount") * 3 +
+        col("l_quantity") / 200.0).as("s"),
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))))
+
+  /** The q247 pipeline over any (s: double, y: 0/1) frame —
+    * LabelQualitySpec hand-traces the thresholds, the abstain band,
+    * and a planted flipped label caught off-diagonal. */
+  def confidentLearning(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = base.localCheckpoint(true) // feeds thresholds AND the sweep
+    val t = b.agg(
+      round(avg(when(col("y") === 1, col("s"))), 9).as("t1"),
+      round(avg(when(col("y") === 0, lit(1) - col("s"))), 9).as("t0"))
+    val conf = b.crossJoin(broadcast(t))
+      .select(col("y"),
+        when(col("s") >= col("t1") && (lit(1) - col("s")) >= col("t0"),
+          when(col("s") - col("t1") >= (lit(1) - col("s")) - col("t0"), 1)
+            .otherwise(0))
+          .when(col("s") >= col("t1"), 1)
+          .when((lit(1) - col("s")) >= col("t0"), 0)
+          .as("yhat"))
+    conf.agg(
+      sum(when(col("y") === 0 && col("yhat") === 0, 1).otherwise(0))
+        .as("c00"),
+      sum(when(col("y") === 0 && col("yhat") === 1, 1).otherwise(0))
+        .as("c01"),
+      sum(when(col("y") === 1 && col("yhat") === 0, 1).otherwise(0))
+        .as("c10"),
+      sum(when(col("y") === 1 && col("yhat") === 1, 1).otherwise(0))
+        .as("c11"),
+      count(lit(1)).as("n_all"), count(col("yhat")).as("n_conf"))
+      .crossJoin(broadcast(t))
+      .select(col("t1"), col("t0"), col("n_all").cast("long").as("n_rows"),
+        col("n_conf").cast("long").as("n_confident"),
+        col("c00").cast("long").as("c00"), col("c01").cast("long").as("c01"),
+        col("c10").cast("long").as("c10"), col("c11").cast("long").as("c11"),
+        round((col("c01") + col("c10")) * 1.0 / col("n_conf"), 6)
+          .as("noise_rate"))
   }
 }

@@ -258,4 +258,42 @@ class LabelQualitySpec extends AnyFunSuite {
     assert(suffixFrac <= 0.4,
       s"suffix-informative corpus must lose its neighborhoods ($suffixFrac)")
   }
+
+  test("q247 confident learning: planted flips land off-diagonal; abstain band works") {
+    import spark.implicits._
+    // separable score: class 1 clusters at 0.9, class 0 at 0.1, two
+    // FLIPPED labels (high score labeled 0, low labeled 1), one
+    // mid-band point (s=0.5) that must ABSTAIN.
+    //   t1 = mean s over y=1 = (0.9·10 + 0.1) / 11 ≈ 0.8273
+    //   t0 = mean (1−s) over y=0 = (0.9·10 + 0.1) / 11 ≈ 0.8273
+    // so s=0.9 rows clear t1 only, s=0.1 rows clear t0 only, and the
+    // 0.5 row clears neither → NULL yhat
+    val rows = (1 to 10).map(_ => (0.9, 1)) ++ (1 to 10).map(_ => (0.1, 0)) ++
+      Seq((0.9, 0), (0.1, 1), (0.5, 0))
+    val r = LabelQualityQueries.confidentLearning(rows.toDF("s", "y"))
+      .collect().head
+    assert(r.getLong(2) === 23L)  // n_rows
+    assert(r.getLong(3) === 22L)  // the 0.5 point abstained
+    assert(r.getLong(4) === 10L)  // c00: clean zeros
+    assert(r.getLong(5) === 1L)   // c01: the flipped high-score zero
+    assert(r.getLong(6) === 1L)   // c10: the flipped low-score one
+    assert(r.getLong(7) === 10L)  // c11: clean ones
+    assert(r.getDouble(8) === 0.090909) // 2/22 at the 6dp round: flips only
+  }
+
+  test("q247 on a degenerate constant score reports exactly half noise") {
+    import spark.implicits._
+    // s = 0.5 for everyone, labels alternating: both thresholds are
+    // 0.5, every row clears both with zero margins → the documented
+    // tie goes to class 1 → c01 = c11 = 50, noise_rate = 0.5 exactly.
+    // This is the fixture regime in miniature (noise 0.4982 at
+    // sf0.01): CL must NOT invent structure where there is none.
+    val rows = (0 until 100).map(i => (0.5, i % 2))
+    val r = LabelQualityQueries.confidentLearning(rows.toDF("s", "y"))
+      .collect().head
+    assert(r.getLong(3) === 100L)
+    assert(r.getLong(5) === 50L)  // c01
+    assert(r.getLong(7) === 50L)  // c11
+    assert(r.getDouble(8) === 0.5)
+  }
 }
