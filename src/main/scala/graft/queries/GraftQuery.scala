@@ -54,7 +54,7 @@ object Catalog {
         MultimodalQueries.queries ++ SelectionQueries.queries ++
         StructureQueries.queries ++ ResolutionQueries.queries ++
         EvalQueries.queries ++ SeriesQueries.queries ++
-        ExperimentQueries.queries
+        ExperimentQueries.queries ++ RankingQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

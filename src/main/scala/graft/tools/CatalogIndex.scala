@@ -37,7 +37,8 @@ object CatalogIndex {
       "resolution" -> ResolutionQueries.queries,
       "eval" -> EvalQueries.queries,
       "series" -> SeriesQueries.queries,
-      "experiment" -> ExperimentQueries.queries)
+      "experiment" -> ExperimentQueries.queries,
+      "ranking" -> RankingQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

@@ -127,6 +127,16 @@ class PlanLintSpec extends AnyFunSuite {
     "q166_hard_negatives" ->
       ("twin=q202_ivf_hard_negatives: exact triplet mining ground " +
         "truth; IVF-probed candidates are the parity-pinned scale form"),
+    "q248_ndcg" ->
+      ("twin=q83_ann_join: exact brute-force ranking is the judged " +
+        "ground-truth retriever; the IVF cell join is the candidate " +
+        "source at scale — the metric arithmetic downstream is bounded"),
+    "q249_retrieval_metrics" ->
+      ("twin=q83_ann_join: same exact-ranker candidate stage as q248; " +
+        "everything after the top-10 table is |queries|-bounded"),
+    "q250_rbo" ->
+      ("twin=q83_ann_join: two exact rankings (full + prefix) as the " +
+        "compared systems; RBO itself is a top-10 x top-10 equi-join"),
     "q200_matryoshka_agreement" ->
       ("twin=q203_ivf_matryoshka_agreement: exact full-vs-prefix " +
         "agreement ground truth; IVF-probed candidates are the " +
