@@ -54,7 +54,8 @@ object Catalog {
         MultimodalQueries.queries ++ SelectionQueries.queries ++
         StructureQueries.queries ++ ResolutionQueries.queries ++
         EvalQueries.queries ++ SeriesQueries.queries ++
-        ExperimentQueries.queries ++ RankingQueries.queries
+        ExperimentQueries.queries ++ RankingQueries.queries ++
+        AgreementQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

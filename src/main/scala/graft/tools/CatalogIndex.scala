@@ -38,7 +38,8 @@ object CatalogIndex {
       "eval" -> EvalQueries.queries,
       "series" -> SeriesQueries.queries,
       "experiment" -> ExperimentQueries.queries,
-      "ranking" -> RankingQueries.queries)
+      "ranking" -> RankingQueries.queries,
+      "agreement" -> AgreementQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

@@ -143,6 +143,10 @@ class PlanLintSpec extends AnyFunSuite {
         "parity-pinned scale form"),
     // ---- bounded-by-construction broadcast sides: the build side's
     // row count is a model/domain constant, not a corpus statistic ----
+    "q253_krippendorff" ->
+      ("bounded: coincidence-marginal self-join runs on the per-" +
+        "category totals table (rows = |categories| = 3, a rater-" +
+        "design constant)"),
     "q34_activity_rank" ->
       ("bounded: rank map self-join runs on the per-user-count " +
         "DISTRIBUTION (rows <= max events per user), never the user table"),
