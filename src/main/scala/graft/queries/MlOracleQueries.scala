@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables._
+
+/** Closed-form ML with value-exact oracles — the deterministic slices
+  * of the M-family (music.md:618-748's regression/clustering stages)
+  * that CAN be replayed in ANSI SQL, complementing the spec-pinned
+  * iterative fits in `graft/ml/`: OLS by normal equations (M3's exact
+  * solution), Gaussian Naive Bayes (the one classical classifier whose
+  * "fit" is a GROUP BY), a decision stump (the depth-1 slice of
+  * M4/M5's tree machinery), and one Lloyd iteration from pinned seeds
+  * (M6's inner loop, made deterministic by fixing the seeds).
+  *
+  * Scale design: every "model" here is a table of GROUP-SUM moments —
+  * 10 sums per regression group, 8 stats per (label, dim), a
+  * value-histogram per feature, k centroid rows. The corpus crosses
+  * one shuffle to build that table; fit arithmetic runs on the tiny
+  * model table; scoring (NB, Lloyd) re-streams the corpus against the
+  * BROADCAST model. That two-phase shape (moment pass → broadcast
+  * score pass) is exactly how the closed forms stay one-pass-per-stage
+  * at 100 TB.
+  *
+  * Float discipline: per-row score arithmetic (log-likelihoods,
+  * distances) is written as the same left-associated expression in
+  * both engines over identical inputs, so even argmax/argmin survive
+  * the compare; cross-row SUMs differ only by accumulation order
+  * (~1e-13 relative) and every reported double is rounded 4dp.
+  */
+object MlOracleQueries {
+
+  def queries: Seq[GraftQuery] =
+    Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep)
+
+  /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
+    * solved exactly by the 3×3 normal equations (adjugate inverse of
+    * the symmetric moment matrix [[n,Sq,Sd],[Sq,Sqq,Sqd],[Sd,Sqd,Sdd]])
+    * — one aggregation pass collects ten moments, the solve is scalar
+    * arithmetic on the 3-row group table. R² from SSE = Syy − β·X'y.
+    */
+  val q254Ols = GraftQuery(
+    "q254_ols",
+    "exact OLS (normal equations): price ~ quantity + discount per return flag",
+    Some("""WITH m AS (
+        SELECT l_returnflag,
+          COUNT(*) * 1.0 AS a, SUM(l_quantity) AS b, SUM(l_discount) AS c,
+          SUM(l_quantity * l_quantity) AS d,
+          SUM(l_quantity * l_discount) AS e,
+          SUM(l_discount * l_discount) AS f,
+          SUM(l_extendedprice) AS sy,
+          SUM(l_quantity * l_extendedprice) AS sqy,
+          SUM(l_discount * l_extendedprice) AS sdy,
+          SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem GROUP BY 1),
+      k AS (
+        SELECT *, a * (d * f - e * e) - b * (b * f - c * e)
+            + c * (b * e - c * d) AS det,
+          d * f - e * e AS i00, c * e - b * f AS i01, b * e - c * d AS i02,
+          a * f - c * c AS i11, b * c - a * e AS i12, a * d - b * b AS i22
+        FROM m),
+      s AS (
+        SELECT l_returnflag, a,
+          (i00 * sy + i01 * sqy + i02 * sdy) / det AS b0,
+          (i01 * sy + i11 * sqy + i12 * sdy) / det AS b1,
+          (i02 * sy + i12 * sqy + i22 * sdy) / det AS b2,
+          sy, sqy, sdy, syy
+        FROM k)
+      SELECT l_returnflag, CAST(a AS BIGINT) AS n,
+        ROUND(b0, 4) AS beta0, ROUND(b1, 4) AS beta1,
+        ROUND(b2, 4) AS beta2,
+        ROUND(1 - (syy - (b0 * sy + b1 * sqy + b2 * sdy))
+          / (syy - sy * sy / a), 4) AS r2
+      FROM s ORDER BY 1"""),
+    (s, d) => ols(lineitem(s, d)))
+
+  /** The q254 pipeline — MlOracleSpec pins recovery of an exactly
+    * linear frame (β hit to 1e-9, R² = 1). */
+  def ols(li: DataFrame): DataFrame = {
+    val qn = col("l_quantity"); val dc = col("l_discount")
+    val y = col("l_extendedprice")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      (count(lit(1)) * lit(1.0)).as("a"), sum(qn).as("b"), sum(dc).as("c"),
+      sum(qn * qn).as("d"), sum(qn * dc).as("e"), sum(dc * dc).as("f"),
+      sum(y).as("sy"), sum(qn * y).as("sqy"), sum(dc * y).as("sdy"),
+      sum(y * y).as("syy"))
+    val k = m
+      .withColumn("det", col("a") * (col("d") * col("f") - col("e") * col("e"))
+        - col("b") * (col("b") * col("f") - col("c") * col("e"))
+        + col("c") * (col("b") * col("e") - col("c") * col("d")))
+      .withColumn("i00", col("d") * col("f") - col("e") * col("e"))
+      .withColumn("i01", col("c") * col("e") - col("b") * col("f"))
+      .withColumn("i02", col("b") * col("e") - col("c") * col("d"))
+      .withColumn("i11", col("a") * col("f") - col("c") * col("c"))
+      .withColumn("i12", col("b") * col("c") - col("a") * col("e"))
+      .withColumn("i22", col("a") * col("d") - col("b") * col("b"))
+    val s = k.select(col("l_returnflag"), col("a"),
+      ((col("i00") * col("sy") + col("i01") * col("sqy")
+        + col("i02") * col("sdy")) / col("det")).as("b0"),
+      ((col("i01") * col("sy") + col("i11") * col("sqy")
+        + col("i12") * col("sdy")) / col("det")).as("b1"),
+      ((col("i02") * col("sy") + col("i12") * col("sqy")
+        + col("i22") * col("sdy")) / col("det")).as("b2"),
+      col("sy"), col("sqy"), col("sdy"), col("syy"))
+    s.select(col("l_returnflag"), col("a").cast("long").as("n"),
+      round(col("b0"), 4).as("beta0"), round(col("b1"), 4).as("beta1"),
+      round(col("b2"), 4).as("beta2"),
+      round(lit(1) - (col("syy") - (col("b0") * col("sy")
+        + col("b1") * col("sqy") + col("b2") * col("sdy")))
+        / (col("syy") - col("sy") * col("sy") / col("a")), 4).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Gaussian Naive Bayes over embedding dims 1–4 (resubstitution):
+    * the per-(label, dim) mean/variance table IS the fitted model
+    * (one GROUP BY), scoring is a broadcast attach of the 10-row model
+    * and an argmax of ln n_label + Σ_j [−½ln(2πσ²) − (x−μ)²/(2σ²)]
+    * (the constant −ln N dropped — it shifts every class equally).
+    * Output is the confusion matrix, integer-exact.
+    */
+  val q255NaiveBayes = GraftQuery(
+    "q255_naive_bayes",
+    "Gaussian Naive Bayes on embedding dims 1-4: confusion matrix (resubstitution)",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings),
+      st AS (
+        SELECT label AS l, COUNT(*) * 1.0 AS cnt,
+          AVG(v[1]) AS m1, var_samp(v[1]) AS s1,
+          AVG(v[2]) AS m2, var_samp(v[2]) AS s2,
+          AVG(v[3]) AS m3, var_samp(v[3]) AS s3,
+          AVG(v[4]) AS m4, var_samp(v[4]) AS s4
+        FROM e GROUP BY 1),
+      ll AS (
+        SELECT vec_id, label, l,
+          ln(cnt)
+            - 0.5 * ln(2 * pi() * s1) - pow(v[1] - m1, 2) / (2 * s1)
+            - 0.5 * ln(2 * pi() * s2) - pow(v[2] - m2, 2) / (2 * s2)
+            - 0.5 * ln(2 * pi() * s3) - pow(v[3] - m3, 2) / (2 * s3)
+            - 0.5 * ln(2 * pi() * s4) - pow(v[4] - m4, 2) / (2 * s4)
+            AS score
+        FROM e, st),
+      p AS (
+        SELECT vec_id, label, l AS pred,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, l) AS rk
+        FROM ll)
+      SELECT CAST(label AS INTEGER) AS label, CAST(pred AS INTEGER) AS pred,
+        COUNT(*) AS n
+      FROM p WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => naiveBayes(embeddings(s, d)))
+
+  /** The q255 pipeline — MlOracleSpec pins perfect separation on two
+    * shifted blobs and the prior tie-break on an ambiguous point. */
+  def naiveBayes(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+      .localCheckpoint(true) // feeds the model fit AND the score pass
+    def x(j: Int) = element_at(col("v"), j)
+    val st = e.groupBy(col("label").as("l")).agg(
+      (count(lit(1)) * lit(1.0)).as("cnt"),
+      avg(x(1)).as("m1"), var_samp(x(1)).as("s1"),
+      avg(x(2)).as("m2"), var_samp(x(2)).as("s2"),
+      avg(x(3)).as("m3"), var_samp(x(3)).as("s3"),
+      avg(x(4)).as("m4"), var_samp(x(4)).as("s4"))
+    def term(j: Int, m: String, s: String): Column =
+      lit(-0.5) * log(lit(2) * lit(math.Pi) * col(s)) -
+        pow(x(j) - col(m), 2) / (lit(2) * col(s))
+    val ll = e.crossJoin(broadcast(st))
+      .select(col("vec_id"), col("label"), col("l"),
+        (log(col("cnt")) + term(1, "m1", "s1") + term(2, "m2", "s2")
+          + term(3, "m3", "s3") + term(4, "m4", "s4")).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("l"))
+    ll.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("label").cast("int").as("label"),
+        col("l").cast("int").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
+  /** Depth-1 decision tree (stump) for `l_returnflag = 'R'` over three
+    * numeric features: the corpus collapses to a per-(feature, value)
+    * histogram first (≤50 rows per feature — the features are discrete
+    * grids), the threshold sweep is a cumulative window over that
+    * histogram, and the reported split per feature minimizes weighted
+    * Gini (ties → smaller threshold). The histogram-then-sweep shape
+    * is what keeps an exact stump one shuffle at any corpus size.
+    */
+  val q256Stump = GraftQuery(
+    "q256_stump",
+    "decision stump for returnflag='R': best Gini split per numeric feature",
+    Some("""WITH f AS (
+        SELECT 'quantity' AS feature, l_quantity AS x,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+        UNION ALL
+        SELECT 'tax', l_tax,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+      h AS (SELECT feature, x, COUNT(*) AS cnt, SUM(t) AS pos
+            FROM f GROUP BY 1, 2),
+      c AS (
+        SELECT feature, x,
+          SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl,
+          SUM(cnt) OVER (PARTITION BY feature) AS n,
+          SUM(pos) OVER (PARTITION BY feature) AS p,
+          ROW_NUMBER() OVER (PARTITION BY feature ORDER BY x DESC) AS last
+        FROM h WINDOW w AS (PARTITION BY feature ORDER BY x)),
+      g AS (
+        SELECT feature, x AS threshold,
+          2.0 * (pl * 1.0 / nl) * (1 - pl * 1.0 / nl) AS gl,
+          2.0 * ((p - pl) * 1.0 / (n - nl))
+            * (1 - (p - pl) * 1.0 / (n - nl)) AS gr,
+          nl * 1.0 / n AS wl
+        FROM c WHERE last > 1),
+      b AS (
+        SELECT feature, threshold, gl, gr,
+          wl * gl + (1 - wl) * gr AS wg,
+          ROW_NUMBER() OVER (PARTITION BY feature
+            ORDER BY wl * gl + (1 - wl) * gr, threshold) AS rk
+        FROM g)
+      SELECT feature, threshold, ROUND(gl, 4) AS gini_left,
+        ROUND(gr, 4) AS gini_right, ROUND(wg, 4) AS weighted_gini
+      FROM b WHERE rk = 1 ORDER BY 1"""),
+    (s, d) => stump(lineitem(s, d)))
+
+  /** The q256 pipeline — MlOracleSpec pins a perfectly separable
+    * feature (weighted Gini 0 at the true cut) beating a noise one. */
+  def stump(li: DataFrame): DataFrame = {
+    val t = when(col("l_returnflag") === "R", 1).otherwise(0)
+    val f = li.select(lit("quantity").as("feature"),
+        col("l_quantity").as("x"), t.as("t"))
+      .unionAll(li.select(lit("discount"), col("l_discount"), t))
+      .unionAll(li.select(lit("tax"), col("l_tax"), t))
+    val h = f.groupBy(col("feature"), col("x"))
+      .agg(count(lit(1)).as("cnt"), sum(col("t")).as("pos"))
+    val wcum = Window.partitionBy(col("feature")).orderBy(col("x"))
+    val wall = Window.partitionBy(col("feature"))
+    val wdesc = Window.partitionBy(col("feature")).orderBy(col("x").desc)
+    val c = h.select(col("feature"), col("x"),
+      sum(col("cnt")).over(wcum).as("nl"), sum(col("pos")).over(wcum).as("pl"),
+      sum(col("cnt")).over(wall).as("n"), sum(col("pos")).over(wall).as("p"),
+      row_number().over(wdesc).as("last"))
+    val g = c.filter(col("last") > 1).select(col("feature"),
+      col("x").as("threshold"),
+      (lit(2.0) * (col("pl") * lit(1.0) / col("nl"))
+        * (lit(1) - col("pl") * lit(1.0) / col("nl"))).as("gl"),
+      (lit(2.0) * ((col("p") - col("pl")) * lit(1.0) / (col("n") - col("nl")))
+        * (lit(1) - (col("p") - col("pl")) * lit(1.0)
+          / (col("n") - col("nl")))).as("gr"),
+      (col("nl") * lit(1.0) / col("n")).as("wl"))
+    val wg = col("wl") * col("gl") + (lit(1) - col("wl")) * col("gr")
+    val wbest = Window.partitionBy(col("feature"))
+      .orderBy(wg, col("threshold"))
+    g.withColumn("rk", row_number().over(wbest)).filter(col("rk") === 1)
+      .select(col("feature"), col("threshold"),
+        round(col("gl"), 4).as("gini_left"),
+        round(col("gr"), 4).as("gini_right"),
+        round(wg, 4).as("weighted_gini"))
+      .orderBy(col("feature"))
+  }
+
+  /** One Lloyd (k-means) iteration from pinned seeds (the vectors
+    * with vec_id ∈ {0,100,200,300}): assign every vector to its
+    * nearest seed (L2², ties → smaller seed id), then report per
+    * cluster the size, WCSS against the seed, the centroid shift
+    * ‖μ−c‖, and the post-update WCSS via the exact identity
+    * Σ‖x−μ‖² = Σ‖x−c‖² − n‖μ−c‖² — the second scoring pass a naive
+    * implementation makes is algebraically free. Distances fold
+    * left-to-right over the zipped dims in both engines.
+    */
+  val q257LloydStep = GraftQuery(
+    "q257_lloyd_step",
+    "one k-means Lloyd step from pinned seeds: per-cluster size, WCSS before/after, shift",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cl, v AS cv FROM e
+               WHERE vec_id IN (0, 100, 200, 300)),
+      d AS (
+        SELECT vec_id, v, cl,
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+            i -> pow(v[i] - cv[i], 2))), (a, b) -> a + b) AS d2
+        FROM e, cent),
+      asg AS (
+        SELECT vec_id, v, cl, d2, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY d2, cl) AS rk
+        FROM d),
+      a AS (SELECT vec_id, v, cl, d2 FROM asg WHERE rk = 1),
+      mu AS (
+        SELECT cl, r.range AS pos, AVG(v[r.range]) AS m
+        FROM a, range(1, 65) r GROUP BY 1, 2),
+      sh AS (
+        SELECT mu.cl, SUM(pow(m - cv[pos], 2)) AS shift2
+        FROM mu JOIN cent ON mu.cl = cent.cl GROUP BY 1),
+      agg AS (
+        SELECT cl, COUNT(*) AS n, SUM(d2) AS wb FROM a GROUP BY 1)
+      SELECT agg.cl AS cluster, CAST(n AS BIGINT) AS n,
+        ROUND(wb, 4) AS wcss_before,
+        ROUND(wb - n * shift2, 4) AS wcss_after,
+        ROUND(sqrt(shift2), 4) AS shift
+      FROM agg JOIN sh ON agg.cl = sh.cl ORDER BY 1"""),
+    (s, d) => lloydStep(embeddings(s, d), Seq(0L, 100L, 200L, 300L)))
+
+  /** The q257 pipeline — MlOracleSpec pins a 1-dim hand trace (means,
+    * the WCSS identity) and that wcss_after ≤ wcss_before always. */
+  def lloydStep(emb: DataFrame, seeds: Seq[Long]): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // feeds the centroid pick AND assignment
+    val cent = e.filter(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id").as("cl"), col("v").as("cv"))
+    val d = e.crossJoin(broadcast(cent))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)),
+           cast(0.0 as double), (acc, t) -> acc + t)"""))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))
+    val a = d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cl"), col("d2"))
+      .localCheckpoint(true) // feeds sizes/WCSS AND the new means
+    val mu = a.select(col("cl"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cl"), (col("pos0") + 1).as("pos"))
+      .agg(avg(col("x")).as("m"))
+    val sh = mu.join(broadcast(cent), Seq("cl"))
+      .groupBy(col("cl"))
+      .agg(sum(pow(col("m") - element_at(col("cv"), col("pos").cast("int")),
+        2)).as("shift2"))
+    val agg = a.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("wb"))
+    agg.join(sh, Seq("cl"))
+      .select(col("cl").as("cluster"), col("n").cast("long").as("n"),
+        round(col("wb"), 4).as("wcss_before"),
+        round(col("wb") - col("n") * col("shift2"), 4).as("wcss_after"),
+        round(sqrt(col("shift2")), 4).as("shift"))
+      .orderBy(col("cluster"))
+  }
+}

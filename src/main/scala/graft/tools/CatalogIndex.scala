@@ -39,7 +39,8 @@ object CatalogIndex {
       "series" -> SeriesQueries.queries,
       "experiment" -> ExperimentQueries.queries,
       "ranking" -> RankingQueries.queries,
-      "agreement" -> AgreementQueries.queries)
+      "agreement" -> AgreementQueries.queries,
+      "ml-oracle" -> MlOracleQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Planted-signal regimes for the closed-form ML wave (q254 OLS, q255
+  * Gaussian NB, q256 stump, q257 Lloyd step) — the fixture is
+  * signal-free by construction (R² ≈ 0, NB ≈ chance), so the specs
+  * plant the structure each estimator must recover exactly.
+  */
+class MlOracleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ols: recovers an exactly linear surface with r2 = 1") {
+    // y = 10 + 2q + 3d on a non-singular (q, d) grid
+    val rows = for { q <- 1 to 4; d <- 0 to 2 }
+      yield ("A", q.toDouble, d.toDouble, 10.0 + 2.0 * q + 3.0 * d)
+    val r = MlOracleQueries.ols(rows.toDF(
+      "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+      .collect().head
+    assert(r.getLong(1) === 12)
+    assert(r.getDouble(2) === 10.0)   // beta0
+    assert(r.getDouble(3) === 2.0)    // beta1
+    assert(r.getDouble(4) === 3.0)    // beta2
+    assert(r.getDouble(5) === 1.0)    // r2
+  }
+
+  test("naive bayes: separates two shifted blobs perfectly") {
+    // label 0 near the origin, label 1 shifted +10 in all four dims;
+    // within-label jitter keeps every per-dim variance positive
+    def blob(base: Float, label: Int, off: Long) =
+      (0 until 6).map { i =>
+        (off + i, Seq.fill(4)(base + 0.1f * (i % 3)), label) }
+    val r = MlOracleQueries.naiveBayes(
+      (blob(0f, 0, 0L) ++ blob(10f, 1, 100L))
+        .toDF("vec_id", "embedding", "label"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    assert(r === Set((0, 0, 6L), (1, 1, 6L)))
+  }
+
+  test("stump: a perfectly separating feature hits weighted gini 0") {
+    // returnflag R exactly when quantity < 5; discount is noise; tax
+    // constant (one distinct value → no valid split → absent)
+    val rows = (0 until 20).map { i =>
+      val q = (i % 10).toDouble
+      (if (q < 5) "R" else "N", q, if (i % 2 == 0) 0.0 else 0.05, 0.0)
+    }
+    val out = MlOracleQueries.stump(rows.toDF(
+      "l_returnflag", "l_quantity", "l_discount", "l_tax")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("discount", "quantity"))
+    val qrow = out.find(_.getString(0) == "quantity").get
+    assert(qrow.getDouble(1) === 4.0)  // threshold: left = {0..4} all R
+    assert(qrow.getDouble(4) === 0.0)  // weighted gini
+    assert(out.find(_.getString(0) == "discount").get.getDouble(4) > 0.4)
+  }
+
+  test("lloyd step: 1-dim hand trace and the WCSS identity") {
+    // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
+    // each: wb = 1, mu at the midpoint, shift 0.5,
+    // wcss_after = wb − n·shift² = 0.5 (= Σ(x−μ)² directly)
+    val rows = Seq((0L, Seq(0f), 0), (1L, Seq(1f), 0),
+      (2L, Seq(4f), 0), (3L, Seq(5f), 0))
+    val r = MlOracleQueries.lloydStep(
+      rows.toDF("vec_id", "embedding", "label"), Seq(0L, 3L))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq === Seq((0L, 2L, 1.0, 0.5, 0.5),
+      (3L, 2L, 1.0, 0.5, 0.5)))
+  }
+}

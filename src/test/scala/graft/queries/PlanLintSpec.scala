@@ -147,6 +147,9 @@ class PlanLintSpec extends AnyFunSuite {
       ("bounded: coincidence-marginal self-join runs on the per-" +
         "category totals table (rows = |categories| = 3, a rater-" +
         "design constant)"),
+    "q255_naive_bayes" ->
+      ("bounded: the fitted model attach (rows = |labels|, a class-" +
+        "design constant); scoring is one corpus stream against it"),
     "q34_activity_rank" ->
       ("bounded: rank map self-join runs on the per-user-count " +
         "DISTRIBUTION (rows <= max events per user), never the user table"),
