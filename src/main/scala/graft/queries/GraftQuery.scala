@@ -55,7 +55,8 @@ object Catalog {
         StructureQueries.queries ++ ResolutionQueries.queries ++
         EvalQueries.queries ++ SeriesQueries.queries ++
         ExperimentQueries.queries ++ RankingQueries.queries ++
-        AgreementQueries.queries ++ MlOracleQueries.queries
+        AgreementQueries.queries ++ MlOracleQueries.queries ++
+        CausalQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

@@ -40,7 +40,8 @@ object CatalogIndex {
       "experiment" -> ExperimentQueries.queries,
       "ranking" -> RankingQueries.queries,
       "agreement" -> AgreementQueries.queries,
-      "ml-oracle" -> MlOracleQueries.queries)
+      "ml-oracle" -> MlOracleQueries.queries,
+      "causal" -> CausalQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the
