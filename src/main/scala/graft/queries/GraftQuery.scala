@@ -56,7 +56,7 @@ object Catalog {
         EvalQueries.queries ++ SeriesQueries.queries ++
         ExperimentQueries.queries ++ RankingQueries.queries ++
         AgreementQueries.queries ++ MlOracleQueries.queries ++
-        CausalQueries.queries
+        CausalQueries.queries ++ LinkPredQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

@@ -41,7 +41,8 @@ object CatalogIndex {
       "ranking" -> RankingQueries.queries,
       "agreement" -> AgreementQueries.queries,
       "ml-oracle" -> MlOracleQueries.queries,
-      "causal" -> CausalQueries.queries)
+      "causal" -> CausalQueries.queries,
+      "structure" -> LinkPredQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the
