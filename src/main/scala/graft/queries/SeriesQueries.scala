@@ -25,7 +25,7 @@ import graft.model.Tables._
 object SeriesQueries {
 
   def queries: Seq[GraftQuery] = Seq(q229Holt, q230PageHinkley,
-    q231RollingZ, q234MannKendall, q242Binseg)
+    q231RollingZ, q234MannKendall, q242Binseg, q261HoltWinters)
 
   /** Holt linear-trend (double exponential) smoothing, α=0.5 β=0.3:
     * l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
@@ -409,5 +409,99 @@ object SeriesQueries {
         col("ml").as("mean_left"), col("mr").as("mean_right"),
         (col("mr") - col("ml")).as("shift"), col("reduction"))
       .orderBy(col("event_type"))
+  }
+
+  /** Additive Holt–Winters (α=0.5, β=0.3, γ=0.2, weekly m=7) — the
+    * seasonal member q229's linear form can't express: the standing
+    * one-step forecast is l+b+s[slot], the level update first
+    * DE-seasonALIZES the observation (l' = α(v−s[slot]) + (1−α)(l+b)),
+    * and the slot's seasonal state refreshes from the residual
+    * (s' = γ(v−l') + (1−γ)s). Slots cycle (rn−1) mod 7 — row-order
+    * slots, not calendar weekday, so a gappy series keeps a full
+    * 7-phase rotation. Init: l=v₁, b=0, s≡0 (additive seasonal
+    * states warm up from zero; the spec measures the warm-up). State
+    * is (l, b, s[7]) — nine coupled scalars folded through one
+    * lambda per type exactly like q229/q230; the oracle replays the
+    * identical recurrence as a recursive CTE carrying the seasonal
+    * LIST in the recursion. The reported `seasonal` column is the
+    * slot value USED by that day's forecast (pre-update).
+    */
+  val q261HoltWinters = GraftQuery(
+    "q261_holt_winters",
+    "additive Holt-Winters (α=0.5, β=0.3, γ=0.2, m=7) over daily event sums",
+    Some("""WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2),
+      z AS (SELECT event_type, ds, v,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS rn
+        FROM daily),
+      hw AS (
+        SELECT event_type, ds, rn, v, v AS l, 0.0::DOUBLE AS b,
+          [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS sn,
+          0.0::DOUBLE AS si, v AS f
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT z.event_type, z.ds, z.rn, z.v,
+          0.5 * (z.v - hw.sn[(hw.rn % 7) + 1]) + 0.5 * (hw.l + hw.b),
+          0.3 * ((0.5 * (z.v - hw.sn[(hw.rn % 7) + 1])
+            + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b,
+          list_transform(range(7), i -> CASE WHEN i = hw.rn % 7
+            THEN 0.2 * (z.v - (0.5 * (z.v - hw.sn[(hw.rn % 7) + 1])
+              + 0.5 * (hw.l + hw.b))) + 0.8 * hw.sn[(hw.rn % 7) + 1]
+            ELSE hw.sn[i + 1] END),
+          hw.sn[(hw.rn % 7) + 1],
+          hw.l + hw.b + hw.sn[(hw.rn % 7) + 1]
+        FROM z JOIN hw ON z.event_type = hw.event_type
+          AND z.rn = hw.rn + 1)
+      SELECT event_type, ds, v, ROUND(l, 4) AS level,
+        ROUND(b, 4) AS trend, ROUND(si, 4) AS seasonal,
+        ROUND(f, 4) AS forecast, ROUND(v - f, 4) AS err
+      FROM hw ORDER BY 1, 2"""),
+    (s, d) => holtWinters(events(s, d)))
+
+  /** The q261 pipeline over any (event_type, ts, value) frame —
+    * SeriesSpec replays the recurrence in plain Scala row-for-row and
+    * pins seasonal capture on a planted 7-periodic pattern. */
+  def holtWinters(ev: DataFrame): DataFrame = {
+    val si = "element_at(acc.sn, int(pmod(acc.n, 7)) + 1)"
+    val l2 = s"0.5d * (e.v - $si) + 0.5d * (acc.l + acc.b)"
+    val b2 = s"0.3d * (($l2) - acc.l) + 0.7d * acc.b"
+    val s2 = s"0.2d * (e.v - ($l2)) + 0.8d * $si"
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .select(col("event_type"), struct(col("ds"), col("v")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("e"))).as("series"))
+      .withColumn("run", expr(
+        s"""aggregate(series,
+             named_struct(
+               'rows', cast(array() as array<struct<ds:date, v:double,
+                 l:double, b:double, si:double, f:double>>),
+               'l', cast(0.0 as double), 'b', cast(0.0 as double),
+               'sn', array_repeat(cast(0.0 as double), 7), 'n', 0),
+             (acc, e) -> if(acc.n = 0,
+               named_struct(
+                 'rows', array(named_struct('ds', e.ds, 'v', e.v,
+                   'l', e.v, 'b', cast(0.0 as double),
+                   'si', cast(0.0 as double), 'f', e.v)),
+                 'l', e.v, 'b', cast(0.0 as double), 'sn', acc.sn, 'n', 1),
+               named_struct(
+                 'rows', array_append(acc.rows, named_struct('ds', e.ds,
+                   'v', e.v, 'l', $l2, 'b', $b2, 'si', $si,
+                   'f', acc.l + acc.b + $si)),
+                 'l', $l2, 'b', $b2,
+                 'sn', transform(sequence(0, 6),
+                   i -> if(i = pmod(acc.n, 7), $s2,
+                     element_at(acc.sn, i + 1))),
+                 'n', acc.n + 1)),
+             acc -> acc.rows)"""))
+      .select(col("event_type"), explode(col("run")).as("r"))
+      .select(col("event_type"), col("r.ds").as("ds"), col("r.v").as("v"),
+        round(col("r.l"), 4).as("level"), round(col("r.b"), 4).as("trend"),
+        round(col("r.si"), 4).as("seasonal"),
+        round(col("r.f"), 4).as("forecast"),
+        round(col("r.v") - col("r.f"), 4).as("err"))
+      .orderBy(col("event_type"), col("ds"))
   }
 }

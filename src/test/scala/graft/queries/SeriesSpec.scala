@@ -147,4 +147,56 @@ class SeriesSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 1.0)      // tau_b
     assert(r.getInt(6) === 1)           // |z| ≈ 7.74 > 1.96
   }
+
+  /** Plain-Scala replay of the q261 Holt–Winters recurrence — the
+    * strongest pin available: every output row of the Spark fold must
+    * match the reference loop bit-for-bit before the 4dp round. */
+  private def hwReference(vs: Seq[Double])
+      : Seq[(Double, Double, Double, Double)] = {
+    var l = vs.head; var b = 0.0; val sn = Array.fill(7)(0.0)
+    (vs.head, 0.0, 0.0, vs.head) +: vs.zipWithIndex.tail.map {
+      case (v, t) =>
+        val slot = t % 7; val si = sn(slot)
+        val f = l + b + si
+        val l2 = 0.5 * (v - si) + 0.5 * (l + b)
+        val b2 = 0.3 * (l2 - l) + 0.7 * b
+        sn(slot) = 0.2 * (v - l2) + 0.8 * si
+        l = l2; b = b2
+        (l2, b2, si, f)
+    }
+  }
+
+  test("holt-winters: the Spark fold replays the reference loop exactly") {
+    val vs = Seq(10.0, 25.0, 14.0, 31.0, 8.0, 19.0, 22.0, 12.0, 27.0,
+      16.0, 33.0, 10.0, 21.0, 24.0, 14.0, 29.0)
+    val in = vs.zipWithIndex.map { case (v, i) => ev(i + 1, v) }
+      .toDF("event_type", "ts", "value")
+    val got = SeriesQueries.holtWinters(in).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    val want = hwReference(vs).map { case (l, b, si, f) =>
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r4(l), r4(b), r4(si), r4(f))
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("holt-winters: seasonal states absorb a planted weekly pattern") {
+    // pure 7-periodic signal, no trend: after 20 cycles (γ=0.2 needs
+    // ~a dozen per-slot updates to absorb a strong pattern) the
+    // standing forecast must track the pattern 10x better than the
+    // seasonal-blind first cycle did
+    val pattern = Seq(50.0, 80.0, 20.0, 65.0, 35.0, 90.0, 10.0)
+    val in = (0 until 140).map { t =>
+      ("x", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(t).atTime(12, 0)),
+        pattern(t % 7))
+    }.toDF("event_type", "ts", "value")
+    val err = SeriesQueries.holtWinters(in).collect()
+      .map(r => math.abs(r.getDouble(7)))
+    val early = err.slice(1, 8).sum / 7
+    val late = err.slice(133, 140).sum / 7
+    assert(late < early / 10, s"late $late vs early $early")
+  }
 }
