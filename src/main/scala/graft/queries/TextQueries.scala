@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,7 +24,7 @@ object TextQueries {
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
     q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
     q169ContainmentDedup, q204EditVerifyDedup, q213Readability,
-    q241Rake)
+    q241Rake, q262Textrank)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -868,5 +869,87 @@ object TextQueries {
       .withColumn("rn", row_number().over(wTop))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("phrase"), round(col("score"), 4).as("score"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004), corpus-wide:
+    * the co-occurrence graph links CONSECUTIVE kept tokens (length ≥ 4
+    * — the cheap content-word filter; RAKE's q241 stoplist convention
+    * would also work but the length filter keeps the oracle's lambda
+    * pure), undirected and deduplicated; scores are two unrolled
+    * damped-PageRank rounds from S₀ ≡ 1 (the q222 HITS / q244 PPR
+    * unrolling precedent): S(v) = 0.15 + 0.85·Σ_{u∼v} S(u)/deg(u)
+    * with unweighted distinct-neighbor degrees. Where RAKE scores
+    * phrases within one document, TextRank ranks the corpus's
+    * vocabulary by graph centrality — the two standard keyword
+    * extractors, now both in the catalog. Top-20 on the 6dp-rounded
+    * score (tie → word) via TakeOrdered.
+    *
+    * Scale: pair generation is per-document (fan-out = doc length),
+    * the graph lives on (word, word) distinct edges — one shuffle to
+    * dedup, one per round; degree attaches are equi-joins.
+    */
+  val q262Textrank = GraftQuery(
+    "q262_textrank",
+    "TextRank top-20 corpus keywords (2 damped-PageRank rounds on the co-occurrence graph)",
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(trim(text)), '\s+'),
+          w -> length(w) >= 4) AS f
+        FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(len(f) - 1),
+          i -> struct_pack(u := f[i + 1], w := f[i + 2]))) AS pr
+        FROM t WHERE len(f) >= 2),
+      e AS (
+        SELECT DISTINCT LEAST(pr.u, pr.w) AS a, GREATEST(pr.u, pr.w) AS b
+        FROM p WHERE pr.u != pr.w),
+      und AS (SELECT a AS src, b AS dst FROM e
+              UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1),
+      s1 AS (
+        SELECT dst AS node, 0.15 + 0.85 * SUM(1.0 / deg.d) AS s
+        FROM und JOIN deg ON und.src = deg.node GROUP BY 1),
+      s2 AS (
+        SELECT dst AS node, 0.15 + 0.85 * SUM(s1.s / deg.d) AS s
+        FROM und JOIN deg ON und.src = deg.node
+          JOIN s1 ON und.src = s1.node
+        GROUP BY 1)
+      SELECT s2.node AS word, CAST(deg.d AS BIGINT) AS deg,
+        ROUND(s2.s, 4) AS score
+      FROM s2 JOIN deg ON s2.node = deg.node
+      ORDER BY ROUND(s2.s, 6) DESC, word LIMIT 20"""),
+    (s, d) => textrank(documents(s, d), 20))
+
+  /** The q262 pipeline — TextSpec (TextrankSpec section) hand-traces
+    * a 3-word chain where both rounds are pencil arithmetic. */
+  def textrank(docs: DataFrame, k: Int): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"),
+        w => length(w) >= 4).as("f"))
+    val p = t.where(size(col("f")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(f) - 2),
+           i -> struct(element_at(f, i + 1) AS u,
+                       element_at(f, i + 2) AS w))""")).as("pr"))
+    val e = p.where(col("pr.u") =!= col("pr.w"))
+      .select(least(col("pr.u"), col("pr.w")).as("a"),
+        greatest(col("pr.u"), col("pr.w")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds both directions and both rounds
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b"), col("a")))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val s1 = und.join(deg, col("src") === col("node"))
+      .groupBy(col("dst").as("n1"))
+      .agg((lit(0.15) + lit(0.85) * sum(lit(1.0) / col("d"))).as("s"))
+    val s2 = und.join(deg, col("src") === col("node"))
+      .join(s1, col("src") === col("n1"))
+      .groupBy(col("dst").as("n2"))
+      .agg((lit(0.15) + lit(0.85) * sum(col("s") / col("d"))).as("s2"))
+    s2.join(deg, col("n2") === col("node"))
+      .select(col("n2").as("word"), col("d").cast("long").as("deg"),
+        round(col("s2"), 4).as("score"))
+      .orderBy(round(col("s2"), 6).desc, col("word"))
+      .limit(k)
   }
 }
