@@ -24,7 +24,7 @@ import graft.model.Tables._
   */
 object ExperimentQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q239Cuped, q240Msprt)
+  def queries: Seq[GraftQuery] = Seq(q239Cuped, q240Msprt, q263Power)
 
   /** CUPED per event type: units are users, arm = user_id % 2 (the
     * q124 assignment), metric y = post-period (days 16+) per-user
@@ -214,5 +214,58 @@ object ExperimentQueries {
         col("delta"), col("log_lambda"), round(col("p0"), 6).as("p"),
         (col("p0") < 0.05).cast("int").as("reject"))
       .orderBy(col("event_type"), col("ds"))
+  }
+
+  /** Experiment power analysis per event type: from the observed
+    * per-user metric moments (mean μ, variance σ² of 2dp-rounded user
+    * sums — q239's unit), the two-sided-α=0.05 / power=0.8 sample
+    * size per arm for a grid of relative MDEs:
+    *   n = ⌈2σ²(z_{.975} + z_{.8})² / (μ·mde)²⌉
+    * with the normal quantiles as shared literal constants
+    * (1.959963985, 0.8416212336). `x_current` says how many times the
+    * current per-arm sample the experiment needs — the go/no-go
+    * number a platform shows before anyone launches an A/B test.
+    * One per-user shuffle; the grid is a 3-element literal explode.
+    */
+  val q263Power = GraftQuery(
+    "q263_power",
+    "A/B sample-size per arm at α=0.05/power=0.8 for a 5/10/20% MDE grid",
+    Some("""WITH u AS (
+        SELECT event_type, user_id, ROUND(SUM(value), 2) AS y
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, COUNT(*) * 1.0 AS n_users,
+          AVG(y) AS mu, var_samp(y) AS s2
+        FROM u GROUP BY 1),
+      g AS (SELECT m.*, unnest([0.05, 0.10, 0.20]::DOUBLE[]) AS mde
+            FROM m),
+      p AS (
+        SELECT event_type, mde, n_users, mu, s2,
+          CAST(CEIL(2 * s2 * POW(1.959963985 + 0.8416212336, 2)
+            / POW(mu * mde, 2)) AS BIGINT) AS n_per_arm
+        FROM g)
+      SELECT event_type, mde, ROUND(mu, 4) AS mu,
+        ROUND(sqrt(s2), 4) AS sigma, n_per_arm,
+        ROUND(n_per_arm / (n_users / 2), 4) AS x_current
+      FROM p ORDER BY 1, 2"""),
+    (s, d) => power(events(s, d), Seq(0.05, 0.10, 0.20)))
+
+  /** The q263 pipeline — ExperimentSpec pins the closed form on a
+    * two-point distribution and the 1/mde² scaling law. */
+  def power(ev: DataFrame, mdes: Seq[Double]): DataFrame = {
+    val u = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("y"))
+    val m = u.groupBy(col("event_type"))
+      .agg((count(lit(1)) * lit(1.0)).as("n_users"),
+        avg(col("y")).as("mu"), var_samp(col("y")).as("s2"))
+    val zsum = lit(1.959963985) + lit(0.8416212336)
+    m.select(col("*"), explode(array(mdes.map(lit): _*)).as("mde"))
+      .withColumn("n_per_arm",
+        ceil(lit(2) * col("s2") * pow(zsum, 2)
+          / pow(col("mu") * col("mde"), 2)).cast("long"))
+      .select(col("event_type"), col("mde"), round(col("mu"), 4).as("mu"),
+        round(sqrt(col("s2")), 4).as("sigma"), col("n_per_arm"),
+        round(col("n_per_arm") / (col("n_users") / 2), 4).as("x_current"))
+      .orderBy(col("event_type"), col("mde"))
   }
 }

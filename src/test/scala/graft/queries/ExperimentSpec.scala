@@ -20,6 +20,27 @@ class ExperimentSpec extends AnyFunSuite {
   private def post(day: Int) =
     java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
 
+  test("power: closed form on a two-point metric and the 1/mde² law") {
+    // 20 users, half at 90, half at 110 → μ = 100, s² = 2000/19;
+    // n(mde) = ceil(2·s²·(z.975+z.8)² / (100·mde)²) — replayed here
+    // with the same double arithmetic; halving mde ≈ 4× the sample
+    val rows = (0L until 20L).map(u =>
+      ("t", u, pre(10), if (u % 2 == 0) 90.0 else 110.0))
+    val r = ExperimentQueries.power(
+      rows.toDF("event_type", "user_id", "ts", "value"),
+      Seq(0.05, 0.10, 0.20)).collect()
+    val s2 = 2000.0 / 19
+    val zsum = 1.959963985 + 0.8416212336
+    def n(mde: Double) =
+      math.ceil(2 * s2 * math.pow(zsum, 2)
+        / math.pow(100.0 * mde, 2)).toLong
+    assert(r.map(x => (x.getDouble(1), x.getLong(4))).toSeq
+      === Seq((0.05, n(0.05)), (0.10, n(0.10)), (0.20, n(0.20))))
+    assert(r.head.getDouble(2) === 100.0)         // mu
+    assert(n(0.05) >= 4 * n(0.10) - 3)            // the 1/mde² law
+    assert(r.head.getDouble(5) === n(0.05) / 10.0) // x_current, 10/arm
+  }
+
   test("cuped: hand theta on a 4-user frame") {
     // per-user (x, y): (0,1) (2,2) (4,2) (6,3) →
     // cov = 6/3 = 2, var(x) = 20/3 → θ = 0.3
