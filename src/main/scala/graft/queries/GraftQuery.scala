@@ -56,7 +56,8 @@ object Catalog {
         EvalQueries.queries ++ SeriesQueries.queries ++
         ExperimentQueries.queries ++ RankingQueries.queries ++
         AgreementQueries.queries ++ MlOracleQueries.queries ++
-        CausalQueries.queries ++ LinkPredQueries.queries
+        CausalQueries.queries ++ LinkPredQueries.queries ++
+        GovernanceQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

@@ -33,7 +33,8 @@ import graft.model.Tables._
 object MlOracleQueries {
 
   def queries: Seq[GraftQuery] =
-    Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep)
+    Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep,
+      q265Mahalanobis, q266Pca2)
 
   /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
     * solved exactly by the 3×3 normal equations (adjugate inverse of
@@ -336,5 +337,121 @@ object MlOracleQueries {
         round(col("wb") - col("n") * col("shift2"), 4).as("wcss_after"),
         round(sqrt(col("shift2")), 4).as("shift"))
       .orderBy(col("cluster"))
+  }
+
+  /** Mahalanobis outlier fence over embedding dims 1–2 per label —
+    * the MULTIVARIATE complement of q226's Hampel (univariate MAD)
+    * fence: per-label mean vector and 2×2 sample covariance (one
+    * moment pass), the closed-form inverse
+    * Σ⁻¹ = [[c,−b],[−b,a]]/(ac−b²), then one scoring pass computing
+    * d² = (x−μ)'Σ⁻¹(x−μ). Reported per label: n, mean d² (EXACTLY
+    * p(n−1)/n = 2(n−1)/n by the trace identity
+    * Σᵢ(xᵢ−x̄)'S⁻¹(xᵢ−x̄) = (n−1)p — the self-check column any other
+    * value falsifies), max d², and
+    * the count beyond the χ²₂ 99th percentile 9.21 (compared on the
+    * 6dp-rounded d² so moment dust can't flip a boundary point).
+    */
+  val q265Mahalanobis = GraftQuery(
+    "q265_mahalanobis",
+    "Mahalanobis outlier fence (dims 1-2, chi2 99%) per embedding label",
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings),
+      m AS (
+        SELECT label AS l, COUNT(*) * 1.0 AS n,
+          AVG(v[1]) AS m1, AVG(v[2]) AS m2,
+          var_samp(v[1]) AS a, covar_samp(v[1], v[2]) AS b,
+          var_samp(v[2]) AS c
+        FROM e GROUP BY 1),
+      d AS (
+        SELECT label, n,
+          ((v[1] - m1) * (c * (v[1] - m1) - b * (v[2] - m2))
+            + (v[2] - m2) * (a * (v[2] - m2) - b * (v[1] - m1)))
+            / (a * c - b * b) AS d2
+        FROM e JOIN m ON e.label = m.l)
+      SELECT CAST(label AS INTEGER) AS label, CAST(n AS BIGINT) AS n,
+        ROUND(AVG(d2), 4) AS mean_d2, ROUND(MAX(d2), 4) AS max_d2,
+        CAST(SUM(CASE WHEN ROUND(d2, 6) > 9.21 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM d GROUP BY 1, 2 ORDER BY 1"""),
+    (s, d) => mahalanobis(embeddings(s, d)))
+
+  /** The q265 pipeline — MlOracleSpec pins the trace identity
+    * (mean d² = 2(n−1)/n on ANY non-degenerate cloud) and a planted
+    * far point caught by the fence. */
+  def mahalanobis(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+      .localCheckpoint(true) // feeds the moment pass AND scoring
+    def x(j: Int) = element_at(col("v"), j)
+    val m = e.groupBy(col("label").as("l")).agg(
+      (count(lit(1)) * lit(1.0)).as("n"),
+      avg(x(1)).as("m1"), avg(x(2)).as("m2"),
+      var_samp(x(1)).as("a"), covar_samp(x(1), x(2)).as("b"),
+      var_samp(x(2)).as("c"))
+    val dx = x(1) - col("m1"); val dy = x(2) - col("m2")
+    val quad = dx * (col("c") * dx - col("b") * dy) +
+      dy * (col("a") * dy - col("b") * dx)
+    val d2 = quad / (col("a") * col("c") - col("b") * col("b"))
+    e.join(broadcast(m), col("label") === col("l"))
+      .select(col("label"), col("n"), d2.as("d2"))
+      .groupBy(col("label").cast("int").as("label"),
+        col("n").cast("long").as("n"))
+      .agg(round(avg(col("d2")), 4).as("mean_d2"),
+        round(max(col("d2")), 4).as("max_d2"),
+        sum(when(round(col("d2"), 6) > 9.21, 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  /** Exact 2-dimensional PCA per embedding label — the closed-form
+    * slice of M2's PCA stage (music.md:640-659): eigenvalues of the
+    * 2×2 sample covariance from the trace/determinant quadratic
+    * λ = (tr ± √(tr² − 4·det))/2, explained-variance ratio λ₁/tr,
+    * and the first principal axis angle θ = ½·atan2(2b, a−c) in
+    * degrees — every quantity a pure scalar expression over the
+    * 5-moment table, no iteration, no linear-algebra library.
+    */
+  val q266Pca2 = GraftQuery(
+    "q266_pca2",
+    "closed-form 2x2 PCA (dims 1-2) per label: eigenvalues, EVR, axis angle",
+    Some("""WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      m AS (
+        SELECT label, COUNT(*) AS n,
+          var_samp(v[1]) AS a, covar_samp(v[1], v[2]) AS b,
+          var_samp(v[2]) AS c
+        FROM e GROUP BY 1)
+      SELECT CAST(label AS INTEGER) AS label, CAST(n AS BIGINT) AS n,
+        ROUND((a + c + sqrt(POW(a + c, 2) - 4 * (a * c - b * b))) / 2, 4)
+          AS lambda1,
+        ROUND((a + c - sqrt(POW(a + c, 2) - 4 * (a * c - b * b))) / 2, 4)
+          AS lambda2,
+        ROUND((a + c + sqrt(POW(a + c, 2) - 4 * (a * c - b * b))) / 2
+          / (a + c), 4) AS evr1,
+        ROUND(degrees(0.5 * atan2(2 * b, a - c)), 4) AS theta_deg
+      FROM m ORDER BY 1"""),
+    (s, d) => pca2(embeddings(s, d)))
+
+  /** The q266 pipeline — MlOracleSpec pins a hand-rotated anisotropic
+    * cloud (known eigenvalues and a 45° axis) and that λ₁+λ₂ = tr. */
+  def pca2(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("embedding").cast("array<double>").as("v"),
+      col("label"))
+    def x(j: Int) = element_at(col("v"), j)
+    val m = e.groupBy(col("label")).agg(count(lit(1)).as("n"),
+      var_samp(x(1)).as("a"), covar_samp(x(1), x(2)).as("b"),
+      var_samp(x(2)).as("c"))
+    val tr = col("a") + col("c")
+    val disc = sqrt(pow(tr, 2) - lit(4)
+      * (col("a") * col("c") - col("b") * col("b")))
+    m.select(col("label").cast("int").as("label"),
+      col("n").cast("long").as("n"),
+      round((tr + disc) / 2, 4).as("lambda1"),
+      round((tr - disc) / 2, 4).as("lambda2"),
+      round((tr + disc) / 2 / tr, 4).as("evr1"),
+      round(degrees(lit(0.5) * atan2(lit(2) * col("b"),
+        col("a") - col("c"))), 4).as("theta_deg"))
+      .orderBy(col("label"))
   }
 }

@@ -42,7 +42,8 @@ object CatalogIndex {
       "agreement" -> AgreementQueries.queries,
       "ml-oracle" -> MlOracleQueries.queries,
       "causal" -> CausalQueries.queries,
-      "structure" -> LinkPredQueries.queries)
+      "structure" -> LinkPredQueries.queries,
+      "governance" -> GovernanceQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the

@@ -56,6 +56,38 @@ class MlOracleSpec extends AnyFunSuite {
     assert(out.find(_.getString(0) == "discount").get.getDouble(4) > 0.4)
   }
 
+  test("mahalanobis: the trace identity holds and a far point is fenced") {
+    // For sample covariance fitted on the scored cloud,
+    // Σ d² = (n−1)·p exactly → mean d² = 2(n−1)/n whatever the data.
+    // 20 jittered ring points + 1 point 1000σ out: the outlier's d²
+    // approaches the (n−1)²/n ≈ 19 ceiling, far past χ²₂(0.99)=9.21.
+    val ring = (0 until 20).map { i =>
+      val a = 2 * math.Pi * i / 20
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        0f, 0f), 0)
+    }
+    val far = (100L, Seq(1000f, 1000f, 0f, 0f), 0)
+    val r = MlOracleQueries.mahalanobis(
+      (ring :+ far).toDF("vec_id", "embedding", "label")).collect().head
+    assert(r.getLong(1) === 21)
+    assert(r.getDouble(2) === math.round(2.0 * 20 / 21 * 1e4) / 1e4)
+    assert(r.getDouble(3) > 9.21)   // max d2: the planted point
+    assert(r.getLong(4) === 1)      // exactly one beyond the fence
+  }
+
+  test("pca2: a perfectly correlated cloud has one axis at 45 degrees") {
+    // points (t, t), t = 1..5: a = c = b = 2.5 → λ = (5, 0),
+    // evr1 = 1, θ = ½·atan2(5, 0) = 45°
+    val rows = (1 to 5).map(t =>
+      (t.toLong, Seq(t.toFloat, t.toFloat, 0f, 0f), 0))
+    val r = MlOracleQueries.pca2(
+      rows.toDF("vec_id", "embedding", "label")).collect().head
+    assert(r.getDouble(2) === 5.0)    // lambda1 = 2·var
+    assert(r.getDouble(3) === 0.0)    // lambda2
+    assert(r.getDouble(4) === 1.0)    // evr1
+    assert(r.getDouble(5) === 45.0)   // theta
+  }
+
   test("lloyd step: 1-dim hand trace and the WCSS identity") {
     // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
     // each: wb = 1, mu at the midpoint, shift 0.5,
