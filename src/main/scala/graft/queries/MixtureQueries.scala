@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,7 +19,8 @@ import graft.text.{TextAnalysis => TA}
 object MixtureQueries {
 
   def queries: Seq[GraftQuery] = Seq(q101MixtureSample, q102SeqPacking,
-    q120WeightedSample, q180TemperatureMix, q182SpanCorruption)
+    q120WeightedSample, q180TemperatureMix, q182SpanCorruption,
+    q267UcbMixture)
 
   /** Span-corruption accounting (the T5 denoising-objective prep):
     * deterministic mask-span starts (pure integer hash of
@@ -285,4 +287,113 @@ object MixtureQueries {
           col("es_key"), col("rk"))
         .orderBy(col("source"), col("rk"))
     })
+
+  /** UCB1 mixture scheduling, replayed on the logged event stream:
+    * arms = event types (read: data sources in a mixture), rounds =
+    * calendar days, reward = the arm's 2dp-rounded daily mean value.
+    * Each day the policy scores every PREVIOUSLY-SEEN arm with
+    * ucb = prior_mean + √(2·ln T_prior / n_prior) (counts from logged
+    * exposure — the standard logged-data scoring, no simulated pulls,
+    * so cumulative windows replace any sequential fold) and picks the
+    * max (unseen arms first, then the 6dp-rounded ucb, then name);
+    * regret tracks the hindsight-best fixed arm's cumulative daily
+    * reward (days it lacks traffic contribute 0, documented). This is
+    * the bandit view of the q180 temperature mixture: temperature
+    * mixes by static counts, UCB re-weights by observed reward.
+    *
+    * Scale: all state is cumulative windows over the per-(type, day)
+    * table — calendar-bounded (the q122 argument; registered in
+    * PlanLintSpec's boundedGlobalWindow for the day-level cumsums).
+    */
+  val q267UcbMixture = GraftQuery(
+    "q267_ucb_mixture",
+    "UCB1 mixture scheduler replayed on logged daily rewards, with regret",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, COUNT(*) AS n,
+          ROUND(SUM(value), 2) AS s
+        FROM events GROUP BY 1, 2),
+      pri AS (
+        SELECT event_type, ds, n, s / n AS rbar,
+          SUM(n) OVER w AS pn, SUM(s) OVER w AS ps
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY ds
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      tot AS (
+        SELECT ds, SUM(SUM(n)) OVER (ORDER BY ds
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp
+        FROM daily GROUP BY ds),
+      sc AS (
+        SELECT pri.event_type, pri.ds, rbar, tot.tp,
+          ps / pn + sqrt(2 * ln(tp) / pn) AS ucb,
+          ROW_NUMBER() OVER (PARTITION BY pri.ds ORDER BY
+            CASE WHEN pn IS NULL THEN 0 ELSE 1 END,
+            ROUND(ps / pn + sqrt(2 * ln(tp) / pn), 6) DESC,
+            pri.event_type) AS rk
+        FROM pri JOIN tot ON pri.ds = tot.ds),
+      best AS (
+        SELECT event_type AS bt FROM daily
+        GROUP BY 1 ORDER BY SUM(s) / SUM(n) DESC, event_type LIMIT 1),
+      ch AS (
+        SELECT sc.ds, sc.event_type AS chosen, sc.ucb, sc.rbar AS reward,
+          COALESCE(bd.rbar, 0.0) AS best_reward
+        FROM sc
+        LEFT JOIN (SELECT ds, s / n AS rbar FROM daily, best
+          WHERE event_type = bt) bd ON sc.ds = bd.ds
+        WHERE rk = 1)
+      SELECT ds, CAST(COALESCE(
+          (SELECT tp FROM tot t WHERE t.ds = ch.ds), 0) AS BIGINT)
+          AS t_prior,
+        chosen, ROUND(ucb, 4) AS ucb, ROUND(reward, 4) AS reward,
+        ROUND(SUM(best_reward - reward) OVER (ORDER BY ds
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+          AS cum_regret
+      FROM ch ORDER BY ds"""),
+    (s, d) => ucbMixture(events(s, d)))
+
+  /** The q267 pipeline over any (event_type, ts, value) frame —
+    * MixtureSpec hand-traces the explore phase and pins that a
+    * clearly-best arm dominates the schedule with flat regret. */
+  def ucbMixture(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .localCheckpoint(true) // feeds priors, totals, best arm, rewards
+    val wPrior = Window.partitionBy(col("event_type")).orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pri = daily.select(col("event_type"), col("ds"),
+      (col("s") / col("n")).as("rbar"),
+      sum(col("n")).over(wPrior).as("pn"), sum(col("s")).over(wPrior).as("ps"))
+    val wTot = Window.orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = daily.groupBy(col("ds")).agg(sum(col("n")).as("dn"))
+      .select(col("ds"), sum(col("dn")).over(wTot).as("tp"))
+      .localCheckpoint(true) // reused for the t_prior readout
+    val ucb = col("ps") / col("pn") +
+      sqrt(lit(2) * log(col("tp")) / col("pn"))
+    val wPick = Window.partitionBy(col("ds")).orderBy(
+      when(col("pn").isNull, 0).otherwise(1),
+      round(ucb, 6).desc_nulls_last, col("event_type"))
+    val sc = pri.join(tot, Seq("ds"))
+      .select(col("event_type"), col("ds"), col("rbar"), col("tp"),
+        ucb.as("ucb"), row_number().over(wPick).as("rk"))
+    val best = daily.groupBy(col("event_type"))
+      .agg((sum(col("s")) / sum(col("n"))).as("om"))
+      .orderBy(col("om").desc, col("event_type")).limit(1)
+      .select(col("event_type").as("bt"))
+    val bd = daily.join(broadcast(best), col("event_type") === col("bt"))
+      .select(col("ds"), (col("s") / col("n")).as("brbar"))
+    val ch = sc.where(col("rk") === 1)
+      .join(bd, Seq("ds"), "left")
+      .select(col("ds"), col("tp"), col("event_type").as("chosen"),
+        col("ucb"), col("rbar").as("reward"),
+        coalesce(col("brbar"), lit(0.0)).as("best_reward"))
+    val wCum = Window.orderBy(col("ds"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ch.select(col("ds"),
+        coalesce(col("tp"), lit(0L)).cast("long").as("t_prior"),
+        col("chosen"), round(col("ucb"), 4).as("ucb"),
+        round(col("reward"), 4).as("reward"),
+        round(sum(col("best_reward") - col("reward")).over(wCum), 4)
+          .as("cum_regret"))
+      .orderBy(col("ds"))
+  }
 }

@@ -125,4 +125,28 @@ class MixtureSpec extends AnyFunSuite {
     // chain ends are sinks: no root may itself have an out-edge
     assert(got.forall { case (_, root, _) => !edges.contains(root) })
   }
+
+  test("q267 ucb: day-1 name-order explore costs regret once, then the best arm holds") {
+    import spark.implicits._
+    // arm 'aa' pays 1/day, 'zz' pays 100/day, 10 days of both.
+    // Day 1 has no priors at all → name-order explore picks 'aa'
+    // (regret 99). From day 2 BOTH arms are seen (priors come from
+    // logged exposure, not the policy's own picks), and the ucb bonus
+    // (≤ √(2·ln 40 / 2) ≈ 1.9) can never bridge the 99-point mean
+    // gap → 'zz' forever, regret flat at 99.
+    val rows = (1 to 10).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+      Seq(("aa", ts, 1.0), ("aa", ts, 1.0),
+        ("zz", ts, 100.0), ("zz", ts, 100.0))
+    }
+    val out = MixtureQueries.ucbMixture(
+      rows.toDF("event_type", "ts", "value")).collect()
+    assert(out.map(_.getString(2)).toSeq ===
+      ("aa" +: Seq.fill(9)("zz")))
+    assert(out.head.getLong(1) === 0)          // t_prior starts at 0
+    assert(out.head.isNullAt(3))               // explore row has no ucb
+    assert(out(1).getLong(1) === 4)            // day 1's 4 logged events
+    assert(out(1).getDouble(5) === 99.0)       // the one explore day
+    assert(out.last.getDouble(5) === 99.0)     // …and flat ever after
+  }
 }

@@ -86,6 +86,10 @@ class PlanLintSpec extends AnyFunSuite {
       ("running sum over the PER-DAY aggregate: rows = #calendar days " +
         "(~30 at fixture, 365/year at any corpus size) — input is " +
         "calendar-bounded, not data-bounded"),
+    "q267_ucb_mixture" ->
+      ("UCB exposure totals and the regret cumsum run over PER-DAY " +
+        "aggregates: rows = #calendar days (q122 argument) — " +
+        "calendar-bounded, not data-bounded"),
     "q206_mann_whitney" ->
       ("midrank sweep over the pooled VALUE DISTRIBUTION: rows = " +
         "|distinct l_quantity| (= 50 at any corpus size — a domain " +
