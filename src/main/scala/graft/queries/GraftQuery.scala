@@ -57,7 +57,7 @@ object Catalog {
         ExperimentQueries.queries ++ RankingQueries.queries ++
         AgreementQueries.queries ++ MlOracleQueries.queries ++
         CausalQueries.queries ++ LinkPredQueries.queries ++
-        GovernanceQueries.queries
+        GovernanceQueries.queries ++ DiagnosticsQueries.queries
     val dupes = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate catalog query names: ${dupes.mkString(", ")}")
     qs

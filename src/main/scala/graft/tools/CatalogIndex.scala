@@ -43,7 +43,8 @@ object CatalogIndex {
       "ml-oracle" -> MlOracleQueries.queries,
       "causal" -> CausalQueries.queries,
       "structure" -> LinkPredQueries.queries,
-      "governance" -> GovernanceQueries.queries)
+      "governance" -> GovernanceQueries.queries,
+      "diagnostics" -> DiagnosticsQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
       qs.map(_.name -> f) }.toMap
     // consistency guard: the generator's family list must cover the
