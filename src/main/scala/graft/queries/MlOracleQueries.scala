@@ -34,7 +34,7 @@ object MlOracleQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep,
-      q265Mahalanobis, q266Pca2)
+      q265Mahalanobis, q266Pca2, q270LooInfluence)
 
   /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
     * solved exactly by the 3×3 normal equations (adjugate inverse of
@@ -453,5 +453,127 @@ object MlOracleQueries {
       round(degrees(lit(0.5) * atan2(lit(2) * col("b"),
         col("a") - col("c"))), 4).as("theta_deg"))
       .orderBy(col("label"))
+  }
+
+  /** Exact leave-one-out influence diagnostics for the q254 OLS — no
+    * refitting: with the hat diagonal h_i = x_i'(X'X)⁻¹x_i (the same
+    * closed-form 3×3 adjugate as q254), the LOO residual is
+    * e_i/(1−h_i) exactly, so PRESS and Cook's distance come out of
+    * ONE scoring pass. Reported per flag as dimensionless ratios —
+    * press_ratio = PRESS/SSE (the LOO inflation factor) and
+    * mean_h (= p/n EXACTLY by the trace identity Σh_i = p, the
+    * self-check column) — because the raw sums sit at 1e13 where
+    * cross-engine accumulation dust is absolute-visible; the ratios
+    * cancel it. Residuals are computed from the 4dp-ROUNDED betas in
+    * both engines so per-row e_i are bit-identical; Cook's
+    * D = e²h/(p·s²(1−h)²), influence bar D > 4/n.
+    */
+  val q270LooInfluence = GraftQuery(
+    "q270_loo_influence",
+    "exact LOO diagnostics for the q254 OLS: PRESS ratio, mean hat, Cook's D",
+    Some("""WITH m AS (
+        SELECT l_returnflag,
+          COUNT(*) * 1.0 AS a, SUM(l_quantity) AS b, SUM(l_discount) AS c,
+          SUM(l_quantity * l_quantity) AS d,
+          SUM(l_quantity * l_discount) AS e,
+          SUM(l_discount * l_discount) AS f,
+          SUM(l_extendedprice) AS sy,
+          SUM(l_quantity * l_extendedprice) AS sqy,
+          SUM(l_discount * l_extendedprice) AS sdy
+        FROM lineitem GROUP BY 1),
+      k AS (
+        SELECT *, a * (d * f - e * e) - b * (b * f - c * e)
+            + c * (b * e - c * d) AS det,
+          d * f - e * e AS i00, c * e - b * f AS i01, b * e - c * d AS i02,
+          a * f - c * c AS i11, b * c - a * e AS i12, a * d - b * b AS i22
+        FROM m),
+      bb AS (
+        SELECT l_returnflag, a, det, i00, i01, i02, i11, i12, i22,
+          ROUND((i00 * sy + i01 * sqy + i02 * sdy) / det, 4) AS b0,
+          ROUND((i01 * sy + i11 * sqy + i12 * sdy) / det, 4) AS b1,
+          ROUND((i02 * sy + i12 * sqy + i22 * sdy) / det, 4) AS b2
+        FROM k),
+      r AS (
+        SELECT li.l_returnflag, a,
+          l_extendedprice - (b0 + b1 * l_quantity + b2 * l_discount) AS e2,
+          (i00 + 2 * i01 * l_quantity + 2 * i02 * l_discount
+            + i11 * l_quantity * l_quantity
+            + 2 * i12 * l_quantity * l_discount
+            + i22 * l_discount * l_discount) / det AS h
+        FROM lineitem li JOIN bb ON li.l_returnflag = bb.l_returnflag),
+      s AS (
+        SELECT l_returnflag, a AS n, SUM(e2 * e2) AS sse,
+          SUM(POW(e2 / (1 - h), 2)) AS press, AVG(h) AS mean_h
+        FROM r GROUP BY 1, 2),
+      cd AS (
+        SELECT r.l_returnflag,
+          MAX(e2 * e2 * h / (3 * (sse / (n - 3)) * POW(1 - h, 2))) AS maxd,
+          SUM(CASE WHEN e2 * e2 * h
+            / (3 * (sse / (n - 3)) * POW(1 - h, 2)) > 4 / n
+            THEN 1 ELSE 0 END) AS n_infl
+        FROM r JOIN s ON r.l_returnflag = s.l_returnflag
+        GROUP BY 1)
+      SELECT s.l_returnflag, CAST(n AS BIGINT) AS n,
+        ROUND(press / sse, 6) AS press_ratio,
+        ROUND(mean_h, 8) AS mean_h,
+        ROUND(maxd, 6) AS max_cooks,
+        CAST(n_infl AS BIGINT) AS n_influential
+      FROM s JOIN cd ON s.l_returnflag = cd.l_returnflag
+      ORDER BY 1"""),
+    (s, d) => looInfluence(lineitem(s, d)))
+
+  /** The q270 pipeline — MlOracleSpec pins Σh = p on any frame and
+    * that a planted leverage point owns max Cook's D. */
+  def looInfluence(li: DataFrame): DataFrame = {
+    val qn = col("l_quantity"); val dc = col("l_discount")
+    val y = col("l_extendedprice")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      (count(lit(1)) * lit(1.0)).as("a"), sum(qn).as("b"), sum(dc).as("c"),
+      sum(qn * qn).as("d"), sum(qn * dc).as("e"), sum(dc * dc).as("f"),
+      sum(y).as("sy"), sum(qn * y).as("sqy"), sum(dc * y).as("sdy"))
+    val k = m
+      .withColumn("det", col("a") * (col("d") * col("f") - col("e") * col("e"))
+        - col("b") * (col("b") * col("f") - col("c") * col("e"))
+        + col("c") * (col("b") * col("e") - col("c") * col("d")))
+      .withColumn("i00", col("d") * col("f") - col("e") * col("e"))
+      .withColumn("i01", col("c") * col("e") - col("b") * col("f"))
+      .withColumn("i02", col("b") * col("e") - col("c") * col("d"))
+      .withColumn("i11", col("a") * col("f") - col("c") * col("c"))
+      .withColumn("i12", col("b") * col("c") - col("a") * col("e"))
+      .withColumn("i22", col("a") * col("d") - col("b") * col("b"))
+    val bb = k.select(col("l_returnflag").as("fl"), col("a"), col("det"),
+      col("i00"), col("i01"), col("i02"), col("i11"), col("i12"), col("i22"),
+      round((col("i00") * col("sy") + col("i01") * col("sqy")
+        + col("i02") * col("sdy")) / col("det"), 4).as("b0"),
+      round((col("i01") * col("sy") + col("i11") * col("sqy")
+        + col("i12") * col("sdy")) / col("det"), 4).as("b1"),
+      round((col("i02") * col("sy") + col("i12") * col("sqy")
+        + col("i22") * col("sdy")) / col("det"), 4).as("b2"))
+    val r = li.join(broadcast(bb), col("l_returnflag") === col("fl"))
+      .select(col("l_returnflag"), col("a"),
+        (y - (col("b0") + col("b1") * qn + col("b2") * dc)).as("e2"),
+        ((col("i00") + lit(2) * col("i01") * qn + lit(2) * col("i02") * dc
+          + col("i11") * qn * qn + lit(2) * col("i12") * qn * dc
+          + col("i22") * dc * dc) / col("det")).as("h"))
+      .localCheckpoint(true) // feeds the SSE/PRESS pass AND Cook's pass
+    val s = r.groupBy(col("l_returnflag"), col("a").as("n"))
+      .agg(sum(col("e2") * col("e2")).as("sse"),
+        sum(pow(col("e2") / (lit(1) - col("h")), 2)).as("press"),
+        avg(col("h")).as("mean_h"))
+    val dExpr = col("e2") * col("e2") * col("h") /
+      (lit(3) * (col("sse") / (col("n") - 3))
+        * pow(lit(1) - col("h"), 2))
+    val cd = r.join(broadcast(s.select(col("l_returnflag"), col("n"),
+        col("sse"))), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(dExpr).as("maxd"),
+        sum(when(dExpr > lit(4) / col("n"), 1).otherwise(0)).as("n_infl"))
+    s.join(cd, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(col("press") / col("sse"), 6).as("press_ratio"),
+        round(col("mean_h"), 8).as("mean_h"),
+        round(col("maxd"), 6).as("max_cooks"),
+        col("n_infl").cast("long").as("n_influential"))
+      .orderBy(col("l_returnflag"))
   }
 }

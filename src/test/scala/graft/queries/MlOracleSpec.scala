@@ -88,6 +88,31 @@ class MlOracleSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 45.0)   // theta
   }
 
+  test("loo influence: hat trace identity, and a leverage point inflates PRESS") {
+    // noisy linear surface: y = 10 + 2q + 3d ± 1 on a 12-point grid
+    def base = (for { q <- 1 to 4; d <- 0 to 2 } yield {
+      val noise = if ((q + d) % 2 == 0) 1.0 else -1.0
+      ("A", q.toDouble, d.toDouble, 10.0 + 2.0 * q + 3.0 * d + noise)
+    })
+    val clean = MlOracleQueries.looInfluence(base.toDF(
+      "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+      .collect().head
+    // Σh_i = p exactly → mean_h = 3/12 = 0.25 whatever the data
+    assert(clean.getDouble(3) === 0.25)
+    val cleanPress = clean.getDouble(2)
+    // one point far out in covariate space (q = 50) and off the line:
+    // its hat → 1, the LOO residual blows up, PRESS inflates hard
+    val dirty = MlOracleQueries.looInfluence(
+      (base :+ ("A", 50.0, 0.0, 500.0)).toDF(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+      .collect().head
+    assert(dirty.getDouble(3) === math.round(3.0 / 13 * 1e8) / 1e8)
+    assert(dirty.getDouble(2) > cleanPress * 2,
+      s"press ${dirty.getDouble(2)} vs clean $cleanPress")
+    assert(dirty.getDouble(4) > clean.getDouble(4)) // max Cook's D up
+    assert(dirty.getLong(5) >= 1)                   // flagged influential
+  }
+
   test("lloyd step: 1-dim hand trace and the WCSS identity") {
     // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
     // each: wb = 1, mu at the midpoint, shift 0.5,
