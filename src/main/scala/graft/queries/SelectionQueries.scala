@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,7 +21,7 @@ object SelectionQueries {
   def queries: Seq[GraftQuery] = Seq(
     q172RagChunks, q173VocabOov, q174RrfFusion, q175DsirSelect,
     q176StratifiedSplit, q178RougeOverlap, q179SubwordSegment,
-    q181PieceUtilization)
+    q181PieceUtilization, q271QlDirichlet)
 
   /** RAG-style chunking ([[graft.text.Chunker]]): 16-token windows,
     * stride 12 (4-token overlap). Shuffle-free scan-stage fan-out —
@@ -485,4 +486,73 @@ object SelectionQueries {
         .agg(sum(col("c")).as("n_occ"), countDistinct(col("w")).as("n_words"))
         .orderBy(col("piece"))
     })
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001, μ=100) over q174's probe terms — the OTHER
+    * classic lexical scorer next to BM25, and semantically different
+    * where it matters: a document missing a query term still scores
+    * via the collection model μ·P(t|C)/(dl+μ) instead of dropping the
+    * term, so EVERY document gets a full |Q|-term score and document
+    * length acts as the smoothing prior, not a tf normalizer.
+    * score(d) = Σ_t ln((tf_{t,d} + μ·ctf_t/|C|)/(dl_d + μ)).
+    *
+    * Scale: the (doc × 3-term) grid comes from a broadcast attach of
+    * the 3-row collection-model table onto the per-doc length table;
+    * observed tf joins in equi on (doc, term); top-20 by the
+    * 6dp-rounded score via TakeOrdered.
+    */
+  val q271QlDirichlet = GraftQuery(
+    "q271_ql_dirichlet",
+    "query-likelihood retrieval (Dirichlet μ=100) over the probe terms, top 20",
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+          '\s+')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      tot AS (SELECT COUNT(*) * 1.0 AS ctot FROM toks),
+      cm AS (
+        SELECT term, COUNT(*) * 1.0 AS ctf FROM toks
+        WHERE term IN ('spark', 'filter', 'stream') GROUP BY 1),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term IN ('spark', 'filter', 'stream') GROUP BY 1, 2),
+      g AS (
+        SELECT dl.doc_id, dl.dl, cm.term, cm.ctf, tot.ctot,
+          COALESCE(tf.tf, 0) AS tf
+        FROM dl CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cm.term),
+      sc AS (
+        SELECT doc_id, MIN(dl) AS dl,
+          SUM(ln((tf + 100.0 * ctf / ctot) / (dl + 100.0))) AS score
+        FROM g GROUP BY 1)
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl, ROUND(score, 4) AS score
+      FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20"""),
+    (s, d) => qlDirichlet(documents(s, d),
+      Seq("spark", "filter", "stream"), 100.0, 20))
+
+  /** The q271 pipeline — SelectionSpec hand-traces a 2-doc corpus and
+    * pins the smoothing semantics (a term-free doc still scores). */
+  def qlDirichlet(docs: DataFrame, terms: Seq[String], mu: Double,
+      k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .localCheckpoint(true) // feeds lengths, the collection model, tf
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = toks.agg((count(lit(1)) * lit(1.0)).as("ctot"))
+    val cm = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg((count(lit(1)) * lit(1.0)).as("ctf"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val g = dl.crossJoin(broadcast(cm)).crossJoin(broadcast(tot))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .select(col("doc_id"), col("dl"), col("ctf"), col("ctot"),
+        coalesce(col("tf"), lit(0L)).as("tf"))
+    val sc = g.groupBy(col("doc_id"))
+      .agg(min(col("dl")).as("dl"),
+        sum(log((col("tf") + lit(mu) * col("ctf") / col("ctot"))
+          / (col("dl") + lit(mu)))).as("score"))
+    sc.select(col("doc_id"), col("dl").cast("long").as("dl"),
+        round(col("score"), 4).as("score"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -154,6 +154,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q255_naive_bayes" ->
       ("bounded: the fitted model attach (rows = |labels|, a class-" +
         "design constant); scoring is one corpus stream against it"),
+    "q271_ql_dirichlet" ->
+      ("bounded: collection-model attach (rows = |query terms| = 3, " +
+        "a query constant); scoring is one stream of the per-doc " +
+        "length table against it"),
     "q34_activity_rank" ->
       ("bounded: rank map self-join runs on the per-user-count " +
         "DISTRIBUTION (rows <= max events per user), never the user table"),

@@ -111,4 +111,25 @@ class SelectionSpec extends AnyFunSuite {
       .where(col("n_fallback") === 0).count()
     assert(noFallback === 0)
   }
+
+  test("q271 ql-dirichlet: smoothing scores term-free docs; hand trace") {
+    import spark.implicits._
+    // corpus: d1 = "spark spark filter" (dl 3), d2 = "data base"
+    // (dl 2, NO probe term). ctot = 5, ctf(spark) = 2, ctf(filter)
+    // = 1; 'stream' is absent from the whole collection → P(t|C) = 0
+    // → the term drops for every doc identically (documented).
+    // d1: ln(42/103) + ln(21/103); d2: ln(40/102) + ln(20/102) —
+    // BOTH docs score (the Dirichlet point: zero-tf isn't zero), and
+    // d1 ranks above d2.
+    val docs = Seq((1L, "spark spark filter"), (2L, "data base"))
+      .toDF("doc_id", "text")
+    val r = SelectionQueries.qlDirichlet(docs,
+      Seq("spark", "filter", "stream"), 100.0, 20).collect()
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(r(0).getDouble(2) ===
+      r4(math.log(42.0 / 103) + math.log(21.0 / 103)))
+    assert(r(1).getDouble(2) ===
+      r4(math.log(40.0 / 102) + math.log(20.0 / 102)))
+  }
 }
