@@ -34,7 +34,8 @@ object MlOracleQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep,
-      q265Mahalanobis, q266Pca2, q270LooInfluence)
+      q265Mahalanobis, q266Pca2, q270LooInfluence, q272RidgePath,
+      q273BoostRound)
 
   /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
     * solved exactly by the 3×3 normal equations (adjugate inverse of
@@ -521,6 +522,191 @@ object MlOracleQueries {
       FROM s JOIN cd ON s.l_returnflag = cd.l_returnflag
       ORDER BY 1"""),
     (s, d) => looInfluence(lineitem(s, d)))
+
+  /** Ridge shrinkage path for the q254 regression: the same 3×3
+    * normal equations with λ added to the SLOPE diagonal only (the
+    * intercept is never penalized — as λ→∞ the slopes shrink to 0
+    * and the intercept recovers ȳ, which the spec pins), solved by
+    * the same adjugate with d→d+λ, f→f+λ, over a literal λ grid
+    * {0, 10³, 10⁵, 10⁷}. λ=0 reproduces q254 exactly. One moment
+    * pass; the path is a 4-row explode on the 3-row moment table.
+    */
+  val q272RidgePath = GraftQuery(
+    "q272_ridge_path",
+    "ridge shrinkage path (λ = 0/1e3/1e5/1e7) for price ~ quantity + discount",
+    Some("""WITH m AS (
+        SELECT l_returnflag,
+          COUNT(*) * 1.0 AS a, SUM(l_quantity) AS b, SUM(l_discount) AS c,
+          SUM(l_quantity * l_quantity) AS d0,
+          SUM(l_quantity * l_discount) AS e,
+          SUM(l_discount * l_discount) AS f0,
+          SUM(l_extendedprice) AS sy,
+          SUM(l_quantity * l_extendedprice) AS sqy,
+          SUM(l_discount * l_extendedprice) AS sdy
+        FROM lineitem GROUP BY 1),
+      g AS (
+        SELECT m.*, unnest([0.0, 1000.0, 100000.0, 10000000.0]::DOUBLE[])
+          AS lam
+        FROM m),
+      k AS (
+        SELECT l_returnflag, lam, sy, sqy, sdy,
+          d0 + lam AS d, f0 + lam AS f, a, b, c, e
+        FROM g),
+      z AS (
+        SELECT l_returnflag, lam,
+          a * (d * f - e * e) - b * (b * f - c * e)
+            + c * (b * e - c * d) AS det,
+          d * f - e * e AS i00, c * e - b * f AS i01, b * e - c * d AS i02,
+          a * f - c * c AS i11, b * c - a * e AS i12, a * d - b * b AS i22,
+          sy, sqy, sdy
+        FROM k)
+      SELECT l_returnflag, lam,
+        ROUND((i00 * sy + i01 * sqy + i02 * sdy) / det, 4) AS beta0,
+        ROUND((i01 * sy + i11 * sqy + i12 * sdy) / det, 4) AS beta1,
+        ROUND((i02 * sy + i12 * sqy + i22 * sdy) / det, 4) AS beta2,
+        ROUND(sqrt(POW((i01 * sy + i11 * sqy + i12 * sdy) / det, 2)
+          + POW((i02 * sy + i12 * sqy + i22 * sdy) / det, 2)), 4)
+          AS slope_l2
+      FROM z ORDER BY 1, 2"""),
+    (s, d) => ridgePath(lineitem(s, d),
+      Seq(0.0, 1000.0, 100000.0, 10000000.0)))
+
+  /** The q272 pipeline — MlOracleSpec pins λ=0 == OLS and the λ→∞
+    * limit (slopes → 0, intercept → ȳ). */
+  def ridgePath(li: DataFrame, lambdas: Seq[Double]): DataFrame = {
+    val qn = col("l_quantity"); val dc = col("l_discount")
+    val y = col("l_extendedprice")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      (count(lit(1)) * lit(1.0)).as("a"), sum(qn).as("b"), sum(dc).as("c"),
+      sum(qn * qn).as("d0"), sum(qn * dc).as("e"), sum(dc * dc).as("f0"),
+      sum(y).as("sy"), sum(qn * y).as("sqy"), sum(dc * y).as("sdy"))
+    val g = m.select(col("*"),
+        explode(array(lambdas.map(lit): _*)).as("lam"))
+      .withColumn("d", col("d0") + col("lam"))
+      .withColumn("f", col("f0") + col("lam"))
+    val z = g
+      .withColumn("det", col("a") * (col("d") * col("f") - col("e") * col("e"))
+        - col("b") * (col("b") * col("f") - col("c") * col("e"))
+        + col("c") * (col("b") * col("e") - col("c") * col("d")))
+      .withColumn("i00", col("d") * col("f") - col("e") * col("e"))
+      .withColumn("i01", col("c") * col("e") - col("b") * col("f"))
+      .withColumn("i02", col("b") * col("e") - col("c") * col("d"))
+      .withColumn("i11", col("a") * col("f") - col("c") * col("c"))
+      .withColumn("i12", col("b") * col("c") - col("a") * col("e"))
+      .withColumn("i22", col("a") * col("d") - col("b") * col("b"))
+    val b1 = (col("i01") * col("sy") + col("i11") * col("sqy")
+      + col("i12") * col("sdy")) / col("det")
+    val b2 = (col("i02") * col("sy") + col("i12") * col("sqy")
+      + col("i22") * col("sdy")) / col("det")
+    z.select(col("l_returnflag"), col("lam"),
+        round((col("i00") * col("sy") + col("i01") * col("sqy")
+          + col("i02") * col("sdy")) / col("det"), 4).as("beta0"),
+        round(b1, 4).as("beta1"), round(b2, 4).as("beta2"),
+        round(sqrt(pow(b1, 2) + pow(b2, 2)), 4).as("slope_l2"))
+      .orderBy(col("l_returnflag"), col("lam"))
+  }
+
+  /** One exact gradient-boosting round per return flag: stage 0 is
+    * the per-flag mean, the round fits a REGRESSION stump (SSE
+    * criterion) to the residuals — the depth-1 slice of M5's GBT
+    * mechanism with a value-exact oracle. The sweep runs over the
+    * per-(feature, value) histogram of residual (count, sum, sumsq)
+    * cumulative sums; split choice ranks on the DIMENSIONLESS
+    * 9dp-rounded SSE ratio (cost/base — raw SSEs sit at 1e13 where
+    * accumulation dust is absolute-visible), ties → feature then
+    * threshold. Leaf values are the residual means; the reported
+    * gain is 1 − cost/base.
+    */
+  val q273BoostRound = GraftQuery(
+    "q273_boost_round",
+    "one exact GBT round: SSE stump on residuals of the per-flag mean",
+    Some("""WITH mu AS (
+        SELECT l_returnflag, AVG(l_extendedprice) AS m
+        FROM lineitem GROUP BY 1),
+      f AS (
+        SELECT li.l_returnflag, fx.feature, fx.x,
+          l_extendedprice - m AS r
+        FROM lineitem li JOIN mu ON li.l_returnflag = mu.l_returnflag,
+          LATERAL (VALUES ('quantity', l_quantity), ('discount', l_discount),
+            ('tax', l_tax)) AS fx(feature, x)),
+      h AS (
+        SELECT l_returnflag, feature, x, COUNT(*) AS cnt,
+          SUM(r) AS s, SUM(r * r) AS ss
+        FROM f GROUP BY 1, 2, 3),
+      c AS (
+        SELECT l_returnflag, feature, x,
+          SUM(cnt) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+          SUM(cnt) OVER t AS n, SUM(s) OVER t AS st, SUM(ss) OVER t AS sst,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag, feature
+            ORDER BY x DESC) AS last
+        FROM h
+        WINDOW w AS (PARTITION BY l_returnflag, feature ORDER BY x),
+          t AS (PARTITION BY l_returnflag, feature)),
+      g AS (
+        SELECT l_returnflag, feature, x AS threshold,
+          sl / nl AS left_val, (st - sl) / (n - nl) AS right_val,
+          ((ssl - sl * sl / nl)
+            + ((sst - ssl) - (st - sl) * (st - sl) / (n - nl)))
+            / (sst - st * st / n) AS cost_ratio
+        FROM c WHERE last > 1),
+      b AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY ROUND(cost_ratio, 9), feature, threshold) AS rk
+        FROM g)
+      SELECT l_returnflag, feature, threshold,
+        ROUND(left_val, 4) AS left_val, ROUND(right_val, 4) AS right_val,
+        ROUND(1 - cost_ratio, 6) AS sse_gain
+      FROM b WHERE rk = 1 ORDER BY 1"""),
+    (s, d) => boostRound(lineitem(s, d)))
+
+  /** The q273 pipeline — MlOracleSpec plants a stepwise target where
+    * the stump recovers the step exactly (gain → 1) and the leaves
+    * are the step means around the stage-0 mean. */
+  def boostRound(li: DataFrame): DataFrame = {
+    val mu = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("m"))
+    val base = li.join(broadcast(mu), Seq("l_returnflag"))
+      .withColumn("r", col("l_extendedprice") - col("m"))
+    val f = base.select(col("l_returnflag"), lit("quantity").as("feature"),
+        col("l_quantity").as("x"), col("r"))
+      .unionAll(base.select(col("l_returnflag"), lit("discount"),
+        col("l_discount"), col("r")))
+      .unionAll(base.select(col("l_returnflag"), lit("tax"),
+        col("l_tax"), col("r")))
+    val h = f.groupBy(col("l_returnflag"), col("feature"), col("x"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r")).as("s"),
+        sum(col("r") * col("r")).as("ss"))
+    val wc = Window.partitionBy(col("l_returnflag"), col("feature"))
+      .orderBy(col("x"))
+    val wt = Window.partitionBy(col("l_returnflag"), col("feature"))
+    val wd = Window.partitionBy(col("l_returnflag"), col("feature"))
+      .orderBy(col("x").desc)
+    val c = h.select(col("l_returnflag"), col("feature"), col("x"),
+      sum(col("cnt")).over(wc).as("nl"), sum(col("s")).over(wc).as("sl"),
+      sum(col("ss")).over(wc).as("ssl"),
+      sum(col("cnt")).over(wt).as("n"), sum(col("s")).over(wt).as("st"),
+      sum(col("ss")).over(wt).as("sst"),
+      row_number().over(wd).as("last"))
+    val costRatio = ((col("ssl") - col("sl") * col("sl") / col("nl"))
+      + ((col("sst") - col("ssl"))
+        - (col("st") - col("sl")) * (col("st") - col("sl"))
+          / (col("n") - col("nl"))))
+      ./(col("sst") - col("st") * col("st") / col("n"))
+    val g = c.filter(col("last") > 1).select(col("l_returnflag"),
+      col("feature"), col("x").as("threshold"),
+      (col("sl") / col("nl")).as("left_val"),
+      ((col("st") - col("sl")) / (col("n") - col("nl"))).as("right_val"),
+      costRatio.as("cost_ratio"))
+    val wb = Window.partitionBy(col("l_returnflag"))
+      .orderBy(round(col("cost_ratio"), 9), col("feature"),
+        col("threshold"))
+    g.withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("feature"), col("threshold"),
+        round(col("left_val"), 4).as("left_val"),
+        round(col("right_val"), 4).as("right_val"),
+        round(lit(1) - col("cost_ratio"), 6).as("sse_gain"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** The q270 pipeline — MlOracleSpec pins Σh = p on any frame and
     * that a planted leverage point owns max Cook's D. */

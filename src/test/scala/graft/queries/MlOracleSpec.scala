@@ -113,6 +113,42 @@ class MlOracleSpec extends AnyFunSuite {
     assert(dirty.getLong(5) >= 1)                   // flagged influential
   }
 
+  test("ridge: λ=0 reproduces OLS; λ→∞ kills slopes and recovers ȳ") {
+    val rows = for { q <- 1 to 4; d <- 0 to 2 }
+      yield ("A", q.toDouble, d.toDouble, 10.0 + 2.0 * q + 3.0 * d)
+    val df = rows.toDF(
+      "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    val path = MlOracleQueries.ridgePath(df, Seq(0.0, 1e9)).collect()
+    val ols = path.find(_.getDouble(1) == 0.0).get
+    assert((ols.getDouble(2), ols.getDouble(3), ols.getDouble(4))
+      === ((10.0, 2.0, 3.0)))
+    val inf = path.find(_.getDouble(1) == 1e9).get
+    assert(inf.getDouble(5) < 1e-4)                   // slopes gone
+    // ȳ = 10 + 2·2.5 + 3·1 = 18
+    assert(math.abs(inf.getDouble(2) - 18.0) < 1e-3)  // intercept → ȳ
+  }
+
+  test("boost round: a stepwise target is recovered exactly (gain 1)") {
+    // y = 100 for q ≤ 5, 200 for q > 5; discount/tax carry nothing.
+    // Stage-0 mean = 150, residuals ±50; the quantity stump at 5
+    // zeroes the SSE: leaves (−50, +50), gain = 1.
+    val rows = (0 until 20).map { i =>
+      val q = (i % 10).toDouble
+      ("A", q, (i % 2) * 0.05, (i % 3) * 0.01,
+        if (q <= 5) 100.0 else 200.0)
+    }
+    // 12 rows have q ≤ 5 (q ∈ 0..5 twice), 8 rows q ∈ 6..9 →
+    // mean = (12·100 + 8·200)/20 = 140; leaves −40 / +60
+    val r = MlOracleQueries.boostRound(rows.toDF("l_returnflag",
+      "l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+      .collect().head
+    assert(r.getString(1) === "quantity")
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getDouble(3) === -40.0)
+    assert(r.getDouble(4) === 60.0)
+    assert(r.getDouble(5) === 1.0)
+  }
+
   test("lloyd step: 1-dim hand trace and the WCSS identity") {
     // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
     // each: wb = 1, mu at the midpoint, shift 0.5,
