@@ -22,7 +22,7 @@ object AnalyticsQueries {
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
-    q245TimeToConvert, q246ShapleyAttribution)
+    q245TimeToConvert, q246ShapleyAttribution, q275Stickiness)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2473,4 +2473,63 @@ object AnalyticsQueries {
             col("g3"), col("holds"))
       }.reduce(_ unionAll _).orderBy(col("fd"))
     })
+
+  /** DAU / WAU / MAU engagement + stickiness ratios per day — the
+    * product-analytics readout q122's cumulative-distinct line
+    * doesn't give: trailing-window distinct users. The sliding
+    * distincts come from a range join of the deduped (user, day)
+    * table against the broadcast DAY SPINE (fan-out ≤ 28 per
+    * user-day, the standard scale-safe sliding-distinct form — never
+    * a distinct-over-window, which Spark can't do, and never a
+    * per-day rescan). Early days honestly report the partial-window
+    * value (a 3-day-old product has a 3-day "WAU").
+    */
+  val q275Stickiness = GraftQuery(
+    "q275_stickiness",
+    "DAU/WAU/MAU and stickiness ratios per day (trailing 7/28-day distinct)",
+    Some("""WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      spine AS (SELECT DISTINCT day FROM ud),
+      dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      wau AS (
+        SELECT s.day, COUNT(DISTINCT ud.user_id) AS wau
+        FROM spine s JOIN ud
+          ON ud.day BETWEEN s.day - 6 AND s.day GROUP BY 1),
+      mau AS (
+        SELECT s.day, COUNT(DISTINCT ud.user_id) AS mau
+        FROM spine s JOIN ud
+          ON ud.day BETWEEN s.day - 27 AND s.day GROUP BY 1)
+      SELECT dau.day, CAST(dau AS BIGINT) AS dau,
+        CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+        ROUND(dau * 1.0 / wau, 4) AS dau_wau,
+        ROUND(dau * 1.0 / mau, 4) AS dau_mau
+      FROM dau JOIN wau ON dau.day = wau.day
+        JOIN mau ON dau.day = mau.day
+      ORDER BY 1"""),
+    (s, d) => stickiness(events(s, d)))
+
+  /** The q275 pipeline — AnalyticsSpec pins the window semantics on
+    * a hand frame (a user active once stays in WAU exactly 7 days). */
+  def stickiness(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds the spine, dau, and both windows
+    val spine = ud.select(col("day")).distinct()
+      .select(col("day").as("sday"))
+    def sliding(back: Int, name: String) =
+      broadcast(spine).join(ud,
+          col("day").between(date_sub(col("sday"), back), col("sday")))
+        .groupBy(col("sday"))
+        .agg(countDistinct(col("user_id")).as(name))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(sliding(6, "wau"), col("day") === col("sday"))
+      .drop("sday")
+      .join(sliding(27, "mau"), col("day") === col("sday"))
+      .select(col("day"), col("dau").cast("long").as("dau"),
+        col("wau").cast("long").as("wau"), col("mau").cast("long").as("mau"),
+        round(col("dau") * lit(1.0) / col("wau"), 4).as("dau_wau"),
+        round(col("dau") * lit(1.0) / col("mau"), 4).as("dau_mau"))
+      .orderBy(col("day"))
+  }
 }

@@ -17,7 +17,7 @@ object CorpusQueries {
     q89Decontamination, q90QualityGate, q99SampledEstimate,
     q100HoppingWindows, q106PqAnn, q107DupSpans, q128BpeTrain,
     q162BigramLm, q163PiiRedact, q197GoodTuring, q198BigramPmi,
-    q220HeapsLaw, q221QuantileNorm)
+    q220HeapsLaw, q221QuantileNorm, q274Stylometry)
 
   /** Bigram PMI collocations — the collocation-mining primitive
     * (which adjacent pairs are "phrases"; feeds tokenizer merges
@@ -779,4 +779,67 @@ object CorpusQueries {
           round(col("norm_ref") - col("raw_mean"), 4).as("shift"))
         .orderBy(col("source"), col("decile"))
     })
+
+  /** Source stylometry: pairwise cosine similarity of per-source
+    * character-3-gram count vectors — the character-level sibling of
+    * q185's token-level JS divergence, and the standard authorship/
+    * provenance fingerprint (char n-grams survive tokenizer and
+    * vocabulary differences that token distributions don't). All
+    * arithmetic is INTEGER until the final division: counts, dots,
+    * and squared norms are exact in both engines, so the cosine is a
+    * single identical double op — no accumulation-order exposure.
+    *
+    * Scale: grams shuffle once to per-(source, gram) counts; the
+    * pair join is equi on gram with |sources|² output (a catalog
+    * constant, 190 pairs at 20 sources); norms attach broadcast.
+    */
+  val q274Stylometry = GraftQuery(
+    "q274_stylometry",
+    "pairwise char-3gram cosine between sources (stylometric fingerprint)",
+    Some("""WITH t AS (
+        SELECT source, lower(trim(text)) AS t FROM documents),
+      g AS (
+        SELECT source, unnest(list_transform(range(1, length(t) - 1),
+          i -> substring(t, CAST(i AS INTEGER), 3))) AS gram
+        FROM t),
+      c AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      nrm AS (SELECT source, SUM(c * c) AS n2 FROM c GROUP BY 1),
+      d AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+          SUM(a.c * b.c) AS dot
+        FROM c a JOIN c b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(dot AS BIGINT) AS dot,
+        ROUND(dot / sqrt(na.n2 * nb.n2), 4) AS cos
+      FROM d JOIN nrm na ON d.src_a = na.source
+        JOIN nrm nb ON d.src_b = nb.source
+      ORDER BY 1, 2"""),
+    (s, d) => stylometry(documents(s, d)))
+
+  /** The q274 pipeline — CorpusSpec pins identical sources at cos 1
+    * and disjoint alphabets at absent (no shared gram → no row). */
+  def stylometry(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // the lowered text is hoisted ONCE per row — recomputing
+    // lower(trim(text)) inside the per-gram lambda is O(len²)/doc
+    val g = docs.select(col("source"), lower(trim(col("text"))).as("t"))
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, length(t) - 2),
+           i -> substring(t, i, 3))""")).as("gram"))
+    val c = g.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds norms AND the pair join
+    val nrm = c.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
+    val d = c.as("a").join(c.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    d.join(broadcast(nrm.select(col("source").as("sa"), col("n2").as("na"))),
+        col("src_a") === col("sa"))
+      .join(broadcast(nrm.select(col("source").as("sb"), col("n2").as("nb"))),
+        col("src_b") === col("sb"))
+      .select(col("src_a"), col("src_b"), col("dot").cast("long").as("dot"),
+        round(col("dot") / sqrt(col("na") * col("nb")), 4).as("cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -517,4 +517,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(3L) === ((20L, 3L, 2, 3, 1)))
     assert(got(4L) === ((30L, 4L, 1, 4, 1)))  // stale but frequent
   }
+
+  test("q275 stickiness: a one-day user stays in WAU exactly 7 days") {
+    import spark.implicits._
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1 active day 1 only; u2 active daily for 10 days
+    val rows = ("e", 1L, ts(1), 1.0) +:
+      (1 to 10).map(d => ("e", 2L, ts(d), 1.0))
+    val r = AnalyticsQueries.stickiness(
+      rows.toDF("event_type", "user_id", "ts", "value")).collect()
+      .map(x => x.getDate(0).toString.takeRight(2).toInt ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1) === ((2L, 2L, 2L, 1.0)))   // both active day 1
+    assert(r(7) === ((1L, 2L, 2L, 0.5)))   // u1 still inside WAU
+    assert(r(8) === ((1L, 1L, 2L, 1.0)))   // …and out on day 8
+    assert(r(10) === ((1L, 1L, 2L, 1.0)))  // MAU holds the full month
+  }
 }

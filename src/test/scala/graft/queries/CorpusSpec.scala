@@ -105,4 +105,16 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(got - want) < 1e-3, s"decile $d: $got vs $want")
     }
   }
+
+  test("q274 stylometry: identical sources cos 1, disjoint alphabets absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcabc", "sA"), (2L, "abcabc", "sB"), (3L, "xyzxyz", "sC"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusQueries.stylometry(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r(("sA", "sB")) === 1.0)   // identical gram vectors
+    assert(!r.contains(("sA", "sC"))) // no shared gram, no row
+    assert(!r.contains(("sB", "sC")))
+  }
 }

@@ -158,6 +158,10 @@ class PlanLintSpec extends AnyFunSuite {
       ("bounded: collection-model attach (rows = |query terms| = 3, " +
         "a query constant); scoring is one stream of the per-doc " +
         "length table against it"),
+    "q275_stickiness" ->
+      ("bounded: the sliding-distinct range joins broadcast the DAY " +
+        "SPINE (rows = #calendar days, the q122 argument); per " +
+        "user-day fan-out is capped at the 28-day window"),
     "q34_activity_rank" ->
       ("bounded: rank map self-join runs on the per-user-count " +
         "DISTRIBUTION (rows <= max events per user), never the user table"),
