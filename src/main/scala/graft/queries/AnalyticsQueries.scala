@@ -22,7 +22,8 @@ object AnalyticsQueries {
     q205Spearman, q206MannWhitney, q207KaplanMeier, q208TheilSen,
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
-    q245TimeToConvert, q246ShapleyAttribution, q275Stickiness)
+    q245TimeToConvert, q246ShapleyAttribution, q275Stickiness,
+    q276Cvm)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2531,5 +2532,74 @@ object AnalyticsQueries {
         round(col("dau") * lit(1.0) / col("wau"), 4).as("dau_wau"),
         round(col("dau") * lit(1.0) / col("mau"), 4).as("dau_mau"))
       .orderBy(col("day"))
+  }
+
+  /** Two-sample Cramér–von Mises test per event type for the q124
+    * hash A/B split — the INTEGRATED-square companion of q192's KS
+    * sup-statistic (KS sees the single worst CDF gap; CvM weights
+    * every gap by pooled mass, so spread-out small distortions that
+    * KS misses accumulate). Ties-robust discrete form over the value
+    * histogram: ω² = Σ_v (F₀−F₁)²·(c₀+c₁)/N, reported with the
+    * conventional scaling T = n₀n₁/N · ω². Same cumulative-window
+    * shape as q192 (per-type partitions over the value histogram).
+    */
+  val q276Cvm = GraftQuery(
+    "q276_cvm",
+    "two-sample Cramér-von Mises statistic per event_type (hash A/B split)",
+    Some("""WITH e AS (
+        SELECT event_type, value, user_id % 2 AS arm FROM events),
+      c AS (
+        SELECT event_type, value,
+          COUNT(CASE WHEN arm = 0 THEN 1 END) AS c0,
+          COUNT(CASE WHEN arm = 1 THEN 1 END) AS c1
+        FROM e GROUP BY 1, 2),
+      n AS (
+        SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1
+        FROM c GROUP BY 1),
+      f AS (
+        SELECT c.event_type, c0, c1, n0, n1,
+          SUM(c0) OVER (PARTITION BY c.event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n0
+          - SUM(c1) OVER (PARTITION BY c.event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n1
+            AS diff
+        FROM c JOIN n USING (event_type)),
+      o AS (
+        SELECT event_type, MAX(n0) AS n0, MAX(n1) AS n1,
+          SUM(diff * diff * (c0 + c1) * 1.0 / (n0 + n1)) AS omega2
+        FROM f GROUP BY 1)
+      SELECT event_type, CAST(n0 AS BIGINT) AS n0,
+        CAST(n1 AS BIGINT) AS n1, ROUND(omega2, 6) AS omega2,
+        ROUND(n0 * n1 * omega2 / (n0 + n1), 4) AS cvm_t
+      FROM o ORDER BY 1"""),
+    (s, d) => cvm(events(s, d)))
+
+  /** The q276 pipeline — AnalyticsSpec pins identical samples at 0
+    * and a planted shift that CvM scores while the per-gap KS d
+    * stays modest (the integrated-vs-sup point). */
+  def cvm(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val arm = col("user_id") % 2
+    val c = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(when(arm === 0, 1)).as("c0"),
+        count(when(arm === 1, 1)).as("c1"))
+    val n = c.groupBy(col("event_type"))
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.join(broadcast(n), Seq("event_type"))
+      .withColumn("diff",
+        sum(col("c0")).over(w) * lit(1.0) / col("n0") -
+          sum(col("c1")).over(w) * lit(1.0) / col("n1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(col("diff") * col("diff") * (col("c0") + col("c1")) * lit(1.0)
+          / (col("n0") + col("n1"))).as("omega2"))
+      .select(col("event_type"), col("n0").cast("long").as("n0"),
+        col("n1").cast("long").as("n1"),
+        round(col("omega2"), 6).as("omega2"),
+        round(col("n0") * col("n1") * col("omega2")
+          / (col("n0") + col("n1")), 4).as("cvm_t"))
+      .orderBy(col("event_type"))
   }
 }

@@ -24,7 +24,7 @@ object TextQueries {
     q151ExactSubstrSpans, q152ExactSubstrCut, q154IncrementalSubstr,
     q157ExactSubstrHashed, q160IncrementalCut, q165SnmBlocking,
     q169ContainmentDedup, q204EditVerifyDedup, q213Readability,
-    q241Rake, q262Textrank)
+    q241Rake, q262Textrank, q277Mtld)
 
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -951,5 +951,89 @@ object TextQueries {
         round(col("s2"), 4).as("score"))
       .orderBy(round(col("s2"), 6).desc, col("word"))
       .limit(k)
+  }
+
+  /** MTLD lexical diversity (McCarthy & Jarvis 2010, forward pass,
+    * factor threshold 0.72) per document — the length-robust
+    * type-token ratio (raw TTR falls with length by construction;
+    * q220's Heaps law measures that corpus-wide, MTLD is its per-doc
+    * counterpart): walk the token stream, count a "factor" each time
+    * the running TTR of the current segment drops below 0.72, credit
+    * the trailing partial segment (1−ttr)/(1−0.72), and report
+    * tokens/factors. The per-doc fold carries (seen types, segment
+    * length, factors) through one `aggregate` lambda — doc-bounded
+    * state, same shape as q261's seasonal fold; the oracle replays
+    * the identical recurrence as a recursive CTE over token
+    * positions. The threshold literal and the (1−0.72) denominator
+    * are written identically in both engines so every branch and
+    * division folds the same doubles.
+    */
+  val q277Mtld = GraftQuery(
+    "q277_mtld",
+    "MTLD lexical diversity per document (forward pass, threshold 0.72)",
+    Some("""WITH RECURSIVE d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      base AS (SELECT doc_id, t, len(t) AS ntok FROM d),
+      rec AS (
+        SELECT doc_id, ntok, t, 0 AS i,
+          CAST([] AS VARCHAR[]) AS seen, 0 AS tokf, 0.0 AS factors
+        FROM base
+        UNION ALL
+        SELECT doc_id, ntok, t, i + 1,
+          CASE WHEN CAST(len(CASE WHEN list_contains(seen, t[i + 1])
+              THEN seen ELSE list_append(seen, t[i + 1]) END) AS DOUBLE)
+              / (tokf + 1) < 0.72
+            THEN CAST([] AS VARCHAR[])
+            ELSE CASE WHEN list_contains(seen, t[i + 1])
+              THEN seen ELSE list_append(seen, t[i + 1]) END END,
+          CASE WHEN CAST(len(CASE WHEN list_contains(seen, t[i + 1])
+              THEN seen ELSE list_append(seen, t[i + 1]) END) AS DOUBLE)
+              / (tokf + 1) < 0.72
+            THEN 0 ELSE tokf + 1 END,
+          CASE WHEN CAST(len(CASE WHEN list_contains(seen, t[i + 1])
+              THEN seen ELSE list_append(seen, t[i + 1]) END) AS DOUBLE)
+              / (tokf + 1) < 0.72
+            THEN factors + 1 ELSE factors END
+        FROM rec WHERE i < ntok),
+      fin AS (
+        SELECT doc_id, ntok,
+          factors + CASE WHEN tokf > 0
+            THEN (1 - CAST(len(seen) AS DOUBLE) / tokf) / (1 - 0.72)
+            ELSE 0 END AS ft
+        FROM rec WHERE i = ntok)
+      SELECT doc_id, CAST(ntok AS BIGINT) AS n_toks,
+        ROUND(ft, 4) AS factors,
+        ROUND(ntok / NULLIF(ft, 0), 4) AS mtld
+      FROM fin ORDER BY doc_id"""),
+    (s, d) => mtld(documents(s, d)))
+
+  /** The q277 pipeline — MtldSpec replays the fold in plain Scala
+    * and pins the repetition limits (all-same tokens → factors pile
+    * up; all-distinct → one partial factor of 0). */
+  def mtld(docs: DataFrame): DataFrame = {
+    val seen2 = "if(array_contains(acc.seen, t), acc.seen, " +
+      "array_append(acc.seen, t))"
+    val ttr = s"cast(size($seen2) as double) / (acc.tokf + 1)"
+    docs.select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("ft", expr(
+        s"""aggregate(toks,
+             named_struct('seen', cast(array() as array<string>),
+               'tokf', 0, 'factors', cast(0.0 as double)),
+             (acc, t) -> if($ttr < 0.72,
+               named_struct('seen', cast(array() as array<string>),
+                 'tokf', 0, 'factors', acc.factors + 1),
+               named_struct('seen', $seen2, 'tokf', acc.tokf + 1,
+                 'factors', acc.factors)),
+             acc -> acc.factors + if(acc.tokf > 0,
+               (1 - cast(size(acc.seen) as double) / acc.tokf)
+                 / (1 - 0.72), cast(0.0 as double)))"""))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        round(col("ft"), 4).as("factors"),
+        round(col("n_toks") / nullif(col("ft"), lit(0.0)), 4).as("mtld"))
+      .orderBy(col("doc_id"))
   }
 }

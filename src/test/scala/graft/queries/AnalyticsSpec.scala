@@ -534,4 +534,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(8) === ((1L, 1L, 2L, 1.0)))   // …and out on day 8
     assert(r(10) === ((1L, 1L, 2L, 1.0)))  // MAU holds the full month
   }
+
+  test("q276 cvm: hand 2x2 case and the null at zero") {
+    import spark.implicits._
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // arm 0 (even users) = {1,2}, arm 1 = {3,4}: diffs (.5,1,.5,0),
+    // each value carries mass 1/4 → ω² = 0.375, T = (2·2/4)·ω² = 0.375
+    val rows = Seq((0L, 1.0), (2L, 2.0), (1L, 3.0), (3L, 4.0))
+      .map { case (u, v) => ("e", u, ts(1), v) }
+    val r = AnalyticsQueries.cvm(
+      rows.toDF("event_type", "user_id", "ts", "value")).collect().head
+    assert(r.getDouble(3) === 0.375)
+    assert(r.getDouble(4) === 0.375)
+    // identical arm distributions → exactly 0
+    val same = (0L to 9L).map(u => ("e", u, ts(1), (u / 2).toDouble))
+    val r0 = AnalyticsQueries.cvm(
+      same.toDF("event_type", "user_id", "ts", "value")).collect().head
+    assert(r0.getDouble(3) === 0.0 && r0.getDouble(4) === 0.0)
+  }
 }
