@@ -23,7 +23,7 @@ object AnalyticsQueries {
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
     q245TimeToConvert, q246ShapleyAttribution, q275Stickiness,
-    q276Cvm)
+    q276Cvm, q279Hill)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2601,5 +2601,68 @@ object AnalyticsQueries {
         round(col("n0") * col("n1") * col("omega2")
           / (col("n0") + col("n1")), 4).as("cvm_t"))
       .orderBy(col("event_type"))
+  }
+
+  /** Hill tail-index estimator over order totals per priority class —
+    * the heavy-tail diagnostic (α < 2 → infinite variance, sample
+    * means untrustworthy; α < 1 → infinite mean) that tells a
+    * pipeline whether revenue aggregates can be trusted at all:
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k = 50 largest
+    * values. The top-(k+1) selection orders by (value DESC, orderkey)
+    * in BOTH engines so boundary ties pick identical multisets; the
+    * per-class rank is a window over the class partition (the q06
+    * top-k precedent — at 100 TB the bounded-heap TopKByScore form
+    * q44 ships is the swap-in). Also reported: the implied "does the
+    * mean exist" flags.
+    */
+  val q279Hill = GraftQuery(
+    "q279_hill",
+    "Hill tail index (k=50) of order totals per priority class",
+    Some("""WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders),
+      t AS (SELECT * FROM r WHERE rk <= 51),
+      b AS (SELECT o_orderpriority,
+          MAX(CASE WHEN rk = 51 THEN o_totalprice END) AS xk1
+        FROM t GROUP BY 1),
+      h AS (
+        SELECT t.o_orderpriority,
+          50.0 / SUM(ln(o_totalprice / xk1)) AS alpha,
+          MIN(xk1) AS xk1
+        FROM t JOIN b ON t.o_orderpriority = b.o_orderpriority
+        WHERE rk <= 50 GROUP BY 1)
+      SELECT o_orderpriority, 50 AS k, ROUND(xk1, 2) AS x_k1,
+        ROUND(alpha, 4) AS alpha,
+        CAST(CASE WHEN alpha > 1 THEN 1 ELSE 0 END AS INTEGER)
+          AS finite_mean,
+        CAST(CASE WHEN alpha > 2 THEN 1 ELSE 0 END AS INTEGER)
+          AS finite_var
+      FROM h ORDER BY 1"""),
+    (s, d) => hill(orders(s, d), 50))
+
+  /** The q279 pipeline — AnalyticsSpec pins an exact-Pareto sample
+    * (the estimator recovers the planted index) and the flags. */
+  def hill(ord: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val t = ord.select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k + 1)
+      .localCheckpoint(true) // feeds the boundary AND the log sum
+    val b = t.groupBy(col("o_orderpriority"))
+      .agg(max(when(col("rk") === k + 1, col("o_totalprice"))).as("xk1"))
+    t.join(broadcast(b), Seq("o_orderpriority"))
+      .filter(col("rk") <= k)
+      .groupBy(col("o_orderpriority"))
+      .agg((lit(k * 1.0) / sum(log(col("o_totalprice") / col("xk1"))))
+        .as("alpha"), min(col("xk1")).as("xk1"))
+      .select(col("o_orderpriority"), lit(k).as("k"),
+        round(col("xk1"), 2).as("x_k1"), round(col("alpha"), 4).as("alpha"),
+        (col("alpha") > 1).cast("int").as("finite_mean"),
+        (col("alpha") > 2).cast("int").as("finite_var"))
+      .orderBy(col("o_orderpriority"))
   }
 }

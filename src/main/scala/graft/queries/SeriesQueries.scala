@@ -25,7 +25,8 @@ import graft.model.Tables._
 object SeriesQueries {
 
   def queries: Seq[GraftQuery] = Seq(q229Holt, q230PageHinkley,
-    q231RollingZ, q234MannKendall, q242Binseg, q261HoltWinters)
+    q231RollingZ, q234MannKendall, q242Binseg, q261HoltWinters,
+    q278Gumbel)
 
   /** Holt linear-trend (double exponential) smoothing, α=0.5 β=0.3:
     * l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
@@ -503,5 +504,57 @@ object SeriesQueries {
         round(col("r.f"), 4).as("forecast"),
         round(col("r.v") - col("r.f"), 4).as("err"))
       .orderBy(col("event_type"), col("ds"))
+  }
+
+  /** Gumbel extreme-value fit over daily block maxima per event type
+    * — the capacity-planning readout ("what single-event spike should
+    * a day absorb?") none of the mean-centric monitors answer.
+    * Method-of-moments on the daily-max series: scale
+    * β = s·√6/π, location μ = m̄ − γβ (γ = 0.5772156649015329, a
+    * shared literal), return level x_T = μ − β·ln(−ln(1−1/T)) for
+    * the 30-day and 365-day horizons (a literal grid). Two moments
+    * and closed-form arithmetic — the corpus crosses one (type, day)
+    * shuffle, daily maxima rounded 2dp first (q226 convention).
+    */
+  val q278Gumbel = GraftQuery(
+    "q278_gumbel",
+    "Gumbel block-maxima fit per event type: scale, location, 30/365-day return levels",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds,
+          ROUND(MAX(value), 2) AS m
+        FROM events GROUP BY 1, 2),
+      mo AS (
+        SELECT event_type, COUNT(*) AS n, AVG(m) AS mbar,
+          STDDEV_SAMP(m) AS s
+        FROM daily GROUP BY 1),
+      fit AS (
+        SELECT event_type, n, mbar, s,
+          s * sqrt(6) / pi() AS beta,
+          mbar - 0.5772156649015329 * (s * sqrt(6) / pi()) AS mu
+        FROM mo)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        ROUND(mu, 4) AS mu, ROUND(beta, 4) AS beta,
+        ROUND(mu - beta * ln(-ln(1 - 1.0 / 30)), 4) AS rl_30d,
+        ROUND(mu - beta * ln(-ln(1 - 1.0 / 365)), 4) AS rl_365d
+      FROM fit ORDER BY 1"""),
+    (s, d) => gumbel(events(s, d)))
+
+  /** The q278 pipeline — SeriesSpec pins the MoM inversion (a series
+    * with known mean/sd recovers μ/β exactly) and return-level
+    * monotonicity (rl_365 > rl_30 > μ). */
+  def gumbel(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(round(max(col("value")), 2).as("m"))
+    val beta = col("s") * sqrt(lit(6)) / lit(math.Pi)
+    val mu = col("mbar") - lit(0.5772156649015329) * beta
+    def rl(t: Double) =
+      mu - beta * log(-log(lit(1) - lit(1.0) / t))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("m")).as("mbar"),
+        stddev_samp(col("m")).as("s"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(mu, 4).as("mu"), round(beta, 4).as("beta"),
+        round(rl(30), 4).as("rl_30d"), round(rl(365), 4).as("rl_365d"))
+      .orderBy(col("event_type"))
   }
 }

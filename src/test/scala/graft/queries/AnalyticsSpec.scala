@@ -553,4 +553,24 @@ class AnalyticsSpec extends AnyFunSuite {
       same.toDF("event_type", "user_id", "ts", "value")).collect().head
     assert(r0.getDouble(3) === 0.0 && r0.getDouble(4) === 0.0)
   }
+
+  test("q279 hill: recovers a planted Pareto tail index") {
+    import spark.implicits._
+    // exact Pareto(α=2) quantile grid: x_(i) = (n/i)^(1/2), n = 200.
+    // On exact quantiles Hill gives α·k / Σ ln((k+1)/i) — replayed
+    // here; the estimate must also sit near the planted 2.
+    val n = 200; val k = 50
+    val rows = (1 to n).map(i =>
+      (i.toLong, "P", math.pow(n.toDouble / i, 0.5)))
+    val r = AnalyticsQueries.hill(
+      rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice"), k)
+      .collect().head
+    val xs = rows.map(_._3).sorted.reverse
+    val expected = k / (0 until k).map(j =>
+      math.log(xs(j) / xs(k))).sum
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(r.getDouble(3) === r4(expected))
+    assert(math.abs(r.getDouble(3) - 2.0) < 0.3)
+    assert(r.getInt(4) === 1 && r.getInt(5) === 1)
+  }
 }

@@ -199,4 +199,25 @@ class SeriesSpec extends AnyFunSuite {
     val late = err.slice(133, 140).sum / 7
     assert(late < early / 10, s"late $late vs early $early")
   }
+
+  test("q278 gumbel: MoM inversion and return-level ordering") {
+    // one event/day, alternating 90/110 → daily maxima with
+    // m̄ = 100 and s = stddev_samp; replay the closed form
+    val in = (1 to 20).map(d => ev(d, if (d % 2 == 0) 110.0 else 90.0))
+      .toDF("event_type", "ts", "value")
+    val r = SeriesQueries.gumbel(in).collect().head
+    val xs = (1 to 20).map(d => if (d % 2 == 0) 110.0 else 90.0)
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum
+      / (xs.size - 1))
+    val beta = sd * math.sqrt(6) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(r.getLong(1) === 20)
+    assert(r.getDouble(2) === r4(mu))
+    assert(r.getDouble(3) === r4(beta))
+    // longer horizons demand higher capacity
+    assert(r.getDouble(5) > r.getDouble(4))
+    assert(r.getDouble(4) > r.getDouble(2))
+  }
 }
