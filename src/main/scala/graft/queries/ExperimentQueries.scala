@@ -24,7 +24,8 @@ import graft.model.Tables._
   */
 object ExperimentQueries {
 
-  def queries: Seq[GraftQuery] = Seq(q239Cuped, q240Msprt, q263Power)
+  def queries: Seq[GraftQuery] = Seq(q239Cuped, q240Msprt, q263Power,
+    q280BhFdr)
 
   /** CUPED per event type: units are users, arm = user_id % 2 (the
     * q124 assignment), metric y = post-period (days 16+) per-user
@@ -267,5 +268,121 @@ object ExperimentQueries {
         round(sqrt(col("s2")), 4).as("sigma"), col("n_per_arm"),
         round(col("n_per_arm") / (col("n_users") / 2), 4).as("x_current"))
       .orderBy(col("event_type"), col("mde"))
+  }
+
+  /** Benjamini–Hochberg FDR screening over the per-(type, day) arm
+    * z-tests — the multiple-testing correction an experiment platform
+    * applies before anyone reads 150 daily test rows as discoveries:
+    * Welch z per (event_type, day), two-sided p via the
+    * Abramowitz–Stegun 7.1.26 normal-CDF polynomial (written
+    * token-identically in both engines — no erf dependency), then the
+    * BH step-up at q = 0.05 across the WHOLE family (rank p
+    * ascending, reject ranks ≤ k* = max{i : p_(i) ≤ i·q/m}),
+    * reported per type next to the naive p<0.05 count and
+    * Bonferroni's p<q/m count. The global rank/threshold windows run
+    * over the hypothesis table — |types|×|days|, calendar-bounded
+    * (registered). On the null fixture all three columns stay ≈ 0;
+    * the spec plants effect days BH recovers while Bonferroni's
+    * conservatism shows.
+    */
+  val q280BhFdr = GraftQuery(
+    "q280_bh_fdr",
+    "BH/Bonferroni/naive discovery counts over per-(type, day) arm z-tests",
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS ds, user_id % 2 AS arm,
+          COUNT(*) AS n, ROUND(SUM(value), 2) AS s1,
+          ROUND(SUM(value * value), 2) AS s2
+        FROM events GROUP BY 1, 2, 3),
+      wide AS (
+        SELECT a.event_type, a.ds,
+          (a.s1 / a.n - b.s1 / b.n)
+            / sqrt(((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1)) / a.n
+              + ((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1)) / b.n) AS z
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.ds = b.ds
+          AND a.arm = 0 AND b.arm = 1
+        WHERE a.n >= 2 AND b.n >= 2),
+      pv AS (
+        SELECT event_type, ds,
+          2 * (exp(-abs(z) * abs(z) / 2) / sqrt(2 * pi())
+            * (0.319381530 * (1 / (1 + 0.2316419 * abs(z)))
+              - 0.356563782 * pow(1 / (1 + 0.2316419 * abs(z)), 2)
+              + 1.781477937 * pow(1 / (1 + 0.2316419 * abs(z)), 3)
+              - 1.821255978 * pow(1 / (1 + 0.2316419 * abs(z)), 4)
+              + 1.330274429 * pow(1 / (1 + 0.2316419 * abs(z)), 5)))
+            AS p
+        FROM wide),
+      rk AS (
+        SELECT event_type, ds, p,
+          ROW_NUMBER() OVER (ORDER BY p, event_type, ds) AS r,
+          COUNT(*) OVER () AS m
+        FROM pv),
+      kstar AS (
+        SELECT *, MAX(CASE WHEN p <= r * 0.05 / m THEN r END) OVER ()
+          AS ks
+        FROM rk)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tests,
+        CAST(SUM(CASE WHEN p < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_naive,
+        CAST(SUM(CASE WHEN p < 0.05 / m THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bonferroni,
+        CAST(SUM(CASE WHEN ks IS NOT NULL AND r <= ks
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_bh,
+        ROUND(MIN(p), 6) AS min_p
+      FROM kstar GROUP BY 1 ORDER BY 1"""),
+    (s, d) => bhFdr(events(s, d)))
+
+  /** The q280 pipeline — ExperimentSpec plants effect days and pins
+    * BH recovering them at controlled FDR while Bonferroni stays
+    * conservative and the null family reports zero discoveries. */
+  def bhFdr(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"), (col("user_id") % 2).as("arm"),
+        to_date(col("ts")).as("ds"), col("value"))
+      .groupBy(col("event_type"), col("arm"), col("ds"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s1"),
+        round(sum(col("value") * col("value")), 2).as("s2"))
+      .localCheckpoint(true) // feeds both arm sides of the day join
+    val a = daily.where(col("arm") === 0)
+      .select(col("event_type"), col("ds"), col("n").as("na"),
+        col("s1").as("sa1"), col("s2").as("sa2"))
+    val b = daily.where(col("arm") === 1)
+      .select(col("event_type"), col("ds"), col("n").as("nb"),
+        col("s1").as("sb1"), col("s2").as("sb2"))
+    val z = (col("sa1") / col("na") - col("sb1") / col("nb")) /
+      sqrt(((col("sa2") - col("sa1") * col("sa1") / col("na"))
+        / (col("na") - 1)) / col("na")
+        + ((col("sb2") - col("sb1") * col("sb1") / col("nb"))
+          / (col("nb") - 1)) / col("nb"))
+    val az = abs(col("z"))
+    val t = lit(1) / (lit(1) + lit(0.2316419) * az)
+    val p = lit(2) * (exp(-az * az / 2) / sqrt(lit(2) * lit(math.Pi))
+      * (lit(0.319381530) * t - lit(0.356563782) * pow(t, 2)
+        + lit(1.781477937) * pow(t, 3) - lit(1.821255978) * pow(t, 4)
+        + lit(1.330274429) * pow(t, 5)))
+    val pv = a.join(b, Seq("event_type", "ds"))
+      .where(col("na") >= 2 && col("nb") >= 2)
+      .withColumn("z", z)
+      .select(col("event_type"), col("ds"), p.as("p"))
+    val wr = Window.orderBy(col("p"), col("event_type"), col("ds"))
+    val wAll = Window.partitionBy()
+    val rk = pv.select(col("event_type"), col("ds"), col("p"),
+      row_number().over(wr).as("r"), count(lit(1)).over(wAll).as("m"))
+    val kstar = rk.withColumn("ks",
+      max(when(col("p") <= col("r") * 0.05 / col("m"), col("r")))
+        .over(wAll))
+    kstar.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tests"),
+        sum(when(col("p") < 0.05, 1).otherwise(0)).as("n_naive"),
+        sum(when(col("p") < lit(0.05) / col("m"), 1).otherwise(0))
+          .as("n_bonferroni"),
+        sum(when(col("ks").isNotNull && col("r") <= col("ks"), 1)
+          .otherwise(0)).as("n_bh"),
+        round(min(col("p")), 6).as("min_p"))
+      .select(col("event_type"), col("n_tests").cast("long").as("n_tests"),
+        col("n_naive").cast("long").as("n_naive"),
+        col("n_bonferroni").cast("long").as("n_bonferroni"),
+        col("n_bh").cast("long").as("n_bh"), col("min_p"))
+      .orderBy(col("event_type"))
   }
 }

@@ -105,4 +105,27 @@ class ExperimentSpec extends AnyFunSuite {
     val nps = nul.map(_.getDouble(6))
     assert(nps.zip(nps.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
+
+  test("bh fdr: planted effect days are discovered, the null family is quiet") {
+    // 30 null days (arm-symmetric) + 5 effect days (+50 for arm 0);
+    // 20 users/day. BH at q=.05 must find ≥ the 5 planted days and
+    // nothing on the pure-null frame.
+    def frame(effectDays: Set[Int]) = (1 to 35).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d - 1).atTime(12, 0))
+      (0L to 19L).map { u =>
+        val base = 10.0 + (u % 5)
+        val eff = if (effectDays.contains(d) && u % 2 == 0) 50.0 else 0.0
+        ("t", u, ts, base + eff)
+      }
+    }.toDF("event_type", "user_id", "ts", "value")
+    val planted = ExperimentQueries.bhFdr(
+      frame((31 to 35).toSet)).collect().head
+    assert(planted.getLong(1) === 35)
+    assert(planted.getLong(4) >= 5,  s"bh ${planted.getLong(4)}")
+    assert(planted.getLong(3) >= 5,  "a +50 shift survives Bonferroni too")
+    val nul = ExperimentQueries.bhFdr(frame(Set.empty)).collect().head
+    assert(nul.getLong(4) === 0, s"null bh ${nul.getLong(4)}")
+    assert(nul.getLong(3) === 0)
+  }
 }

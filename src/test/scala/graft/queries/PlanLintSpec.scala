@@ -90,6 +90,9 @@ class PlanLintSpec extends AnyFunSuite {
       ("UCB exposure totals and the regret cumsum run over PER-DAY " +
         "aggregates: rows = #calendar days (q122 argument) — " +
         "calendar-bounded, not data-bounded"),
+    "q280_bh_fdr" ->
+      ("BH rank/threshold windows run over the HYPOTHESIS table: " +
+        "rows = |types|×|days| (calendar-bounded, q122 argument)"),
     "q206_mann_whitney" ->
       ("midrank sweep over the pooled VALUE DISTRIBUTION: rows = " +
         "|distinct l_quantity| (= 50 at any corpus size — a domain " +
