@@ -18,7 +18,7 @@ object CurationQueries {
     Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission,
       q135LmQualityFilter, q136Boilerplate, q137TemperatureMix,
       q138MadOutliers, q139SourceOverlap, q140DedupYield,
-      q144LshSemanticDedup)
+      q144LshSemanticDedup, q281SourceAblation)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
     * embedding corpus (q46's ground truth) → connected components
@@ -556,4 +556,106 @@ object CurationQueries {
           col("tokens"), col("tokens_dropped"))
         .orderBy(col("comp_size"))
     })
+
+  /** Leave-one-source-out data valuation — "which source should we
+    * drop first": for every source, the corpus mean quality (q23's
+    * score) and exact-dup rate (q25's hash groups) the corpus would
+    * have WITHOUT that source, computed in closed form from
+    * decomposed sums — no 20 rescans. Quality decomposes as
+    * (Q − q_s)/(N − n_s); the dup rate decomposes through the
+    * per-(hash, source) count table: removing s turns a hash group
+    * of size g into g − c_{h,s}, contributing max(0, g − c_{h,s} − 1)
+    * redundant docs. A POSITIVE quality delta / NEGATIVE dup delta
+    * says the source is below corpus average — the drop candidate.
+    *
+    * Scale: one quality moment pass, one hash group-by; the ablation
+    * grid is hash-groups × broadcast source list (≤ |sources|×
+    * |groups| rows, a 20× bounded fan-out of an already-reduced
+    * table).
+    */
+  val q281SourceAblation = GraftQuery(
+    "q281_source_ablation",
+    "leave-one-source-out corpus quality + exact-dup-rate deltas per source",
+    Some("""WITH q AS (
+        SELECT source,
+          len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntok,
+          len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it',
+              'for', 'on'))) AS nstop,
+          length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+            / length(text) AS pr,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents),
+      d AS (
+        SELECT source, h,
+          least(ntok * 1.0 / 100.0, 1.0) * 0.3
+            + (nstop * 1.0 / ntok) * 0.4 + (1.0 - pr) * 0.3 AS qual
+        FROM q),
+      tot AS (
+        SELECT COUNT(*) * 1.0 AS n, SUM(qual) AS sq FROM d),
+      per AS (
+        SELECT source, COUNT(*) * 1.0 AS ns, SUM(qual) AS qs
+        FROM d GROUP BY 1),
+      hs AS (SELECT h, source, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      hg AS (SELECT h, SUM(c) AS g FROM hs GROUP BY 1),
+      dupfull AS (SELECT SUM(g - 1) * 1.0 AS dups FROM hg),
+      abl AS (
+        SELECT per.source,
+          SUM(GREATEST(hg.g - COALESCE(hs.c, 0) - 1, 0)) AS dups_loo
+        FROM per CROSS JOIN hg
+        LEFT JOIN hs ON hs.h = hg.h AND hs.source = per.source
+        GROUP BY 1)
+      SELECT per.source, CAST(ns AS BIGINT) AS n_docs,
+        ROUND(sq / n, 6) AS full_quality,
+        ROUND((sq - qs) / (n - ns), 6) AS loo_quality,
+        ROUND((sq - qs) / (n - ns) - sq / n, 6) AS quality_delta,
+        ROUND(dups / n, 6) AS full_dup_rate,
+        ROUND(dups_loo / (n - ns), 6) AS loo_dup_rate,
+        ROUND(dups_loo / (n - ns) - dups / n, 6) AS dup_delta
+      FROM per CROSS JOIN tot CROSS JOIN dupfull
+      JOIN abl ON per.source = abl.source
+      ORDER BY 1"""),
+    (s, d) => sourceAblation(documents(s, d)))
+
+  /** The q281 pipeline — CurationSpec plants a junk source (short,
+    * stopword-free, heavily duplicated) and pins that dropping it
+    * improves both readouts while a clean source's deltas invert. */
+  def sourceAblation(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col("source"),
+        TA.qualityScore(col("text")).as("qual"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .localCheckpoint(true) // feeds totals, per-source, and hash counts
+    val tot = d.agg((count(lit(1)) * lit(1.0)).as("n"),
+      sum(col("qual")).as("sq"))
+    val per = d.groupBy(col("source"))
+      .agg((count(lit(1)) * lit(1.0)).as("ns"), sum(col("qual")).as("qs"))
+    val hs = d.groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds group sizes AND the ablation grid
+    val hg = hs.groupBy(col("h")).agg(sum(col("c")).as("g"))
+    val dupfull = hg.agg((sum(col("g") - 1) * lit(1.0)).as("dups"))
+    val hs2 = hs.select(col("h").as("h2"), col("source").as("src2"),
+      col("c"))
+    val abl = broadcast(per.select(col("source").as("asrc")))
+      .crossJoin(hg)
+      .join(hs2, col("h") === col("h2") && col("asrc") === col("src2"),
+        "left")
+      .groupBy(col("asrc"))
+      .agg(sum(greatest(col("g") - coalesce(col("c"), lit(0L)) - 1,
+        lit(0L))).as("dups_loo"))
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(dupfull))
+      .join(abl, col("source") === col("asrc"))
+      .select(col("source"), col("ns").cast("long").as("n_docs"),
+        round(col("sq") / col("n"), 6).as("full_quality"),
+        round((col("sq") - col("qs")) / (col("n") - col("ns")), 6)
+          .as("loo_quality"),
+        round((col("sq") - col("qs")) / (col("n") - col("ns"))
+          - col("sq") / col("n"), 6).as("quality_delta"),
+        round(col("dups") / col("n"), 6).as("full_dup_rate"),
+        round(col("dups_loo") / (col("n") - col("ns")), 6)
+          .as("loo_dup_rate"),
+        round(col("dups_loo") / (col("n") - col("ns"))
+          - col("dups") / col("n"), 6).as("dup_delta"))
+      .orderBy(col("source"))
+  }
 }

@@ -260,4 +260,25 @@ class CurationSpec extends AnyFunSuite {
     // and the number of components equals the number of keepers
     assert(hist.map(_._2).sum === keeperIds.size)
   }
+
+  test("q281 ablation: dropping the junk source improves both readouts") {
+    import spark.implicits._
+    // 'junk': 5 identical stopword-free two-word docs (4 redundant
+    // copies, low quality). 'good': 5 distinct stopword-rich docs.
+    // full dup rate = 4/10; LOO(junk) = 0/5; LOO(good) = 4/5.
+    val junk = (1L to 5L).map(i => (i, "zzz qqq", "junk"))
+    val good = (11L to 15L).map(i =>
+      (i, s"the quick fox $i jumps over the lazy dog and it is fine",
+        "good"))
+    val r = CurationQueries.sourceAblation(
+      (junk ++ good).toDF("doc_id", "text", "source")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val j = r("junk"); val g = r("good")
+    assert(j.getDouble(5) === 0.4)      // full dup rate
+    assert(j.getDouble(6) === 0.0)      // without junk: no dups
+    assert(j.getDouble(7) === -0.4)     // dup_delta
+    assert(g.getDouble(6) === 0.8)      // without good: 4 dups over 5
+    assert(j.getDouble(4) > 0,  "dropping junk raises mean quality")
+    assert(g.getDouble(4) < 0,  "dropping good lowers it")
+  }
 }

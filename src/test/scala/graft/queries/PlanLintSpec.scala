@@ -181,6 +181,10 @@ class PlanLintSpec extends AnyFunSuite {
         "event-type table (rows = |event types|)"),
     "q177_centroid_confusion" ->
       "bounded: label-centroid table attach (rows = |labels|)",
+    "q281_source_ablation" ->
+      ("bounded: the ablation grid broadcasts the SOURCE LIST (rows = " +
+        "|sources|, a corpus-design constant) onto the already-reduced " +
+        "hash-group table; plus two 1-row scalar attaches"),
     "q83_ann_join" ->
       ("bounded: IVF centroid probe (rows = nCells, capped 65536 by " +
         "Ivf.cellsFor); the candidate join itself is equi on cell"),
