@@ -35,7 +35,7 @@ object MlOracleQueries {
   def queries: Seq[GraftQuery] =
     Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep,
       q265Mahalanobis, q266Pca2, q270LooInfluence, q272RidgePath,
-      q273BoostRound)
+      q273BoostRound, q282IrlsStep, q283EmTopics)
 
   /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
     * solved exactly by the 3×3 normal equations (adjugate inverse of
@@ -761,5 +761,290 @@ object MlOracleQueries {
         round(col("maxd"), 6).as("max_cooks"),
         col("n_infl").cast("long").as("n_influential"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Logistic regression `P(returnflag='R') ~ quantity + discount` per
+    * line status, advanced by TWO exact Newton/IRLS steps from β = 0 —
+    * the family's first GLM: unlike OLS there is no closed-form
+    * solution, but each Newton step IS closed form given the previous
+    * β, so the iterative fit becomes a chain of value-exact rounds
+    * (music.md:618-748's regression stage, re-expressed for the
+    * logistic link). Step 1 exploits W = ¼I at β = 0 (β¹ = 4(X'X)⁻¹
+    * X'(y−½) — the same 3×3 adjugate as q254); step 2 re-weights with
+    * w = p(1−p) at β¹ and solves X'WX·δ = X'(y−p).
+    *
+    * Scale: each step is ONE moment pass over the corpus (9-10 sums
+    * per group) + scalar arithmetic on the per-group row — IRLS at
+    * 100 TB is k passes, never a driver-side solve over row data.
+    *
+    * Float discipline: β is rounded 4dp between steps (the q270
+    * convention), so both engines run step 2 and the metric passes
+    * from IDENTICAL coefficients; accuracy compares η > 0 (pure
+    * arithmetic, no transcendental); the log-likelihood uses the
+    * overflow-safe max(η,0)+ln(1+e^−|η|) form, identical token-for-
+    * token in both engines, and is reported 4dp.
+    */
+  val q282IrlsStep = GraftQuery(
+    "q282_irls_step",
+    "logistic regression returnflag='R' ~ quantity + discount: two exact Newton/IRLS steps per line status",
+    Some("""WITH base AS (
+        SELECT l_linestatus AS ls,
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+          l_quantity AS q, l_discount AS dc
+        FROM lineitem),
+      m0 AS (
+        SELECT ls, COUNT(*) * 1.0 AS a, SUM(q) AS b, SUM(dc) AS c,
+          SUM(q * q) AS d, SUM(q * dc) AS e, SUM(dc * dc) AS f,
+          SUM(y - 0.5) AS g0, SUM(q * (y - 0.5)) AS g1,
+          SUM(dc * (y - 0.5)) AS g2
+        FROM base GROUP BY 1),
+      k0 AS (
+        SELECT *, a * (d * f - e * e) - b * (b * f - c * e)
+            + c * (b * e - c * d) AS det,
+          d * f - e * e AS i00, c * e - b * f AS i01, b * e - c * d AS i02,
+          a * f - c * c AS i11, b * c - a * e AS i12, a * d - b * b AS i22
+        FROM m0),
+      b1 AS (
+        SELECT ls, a,
+          ROUND(4 * (i00 * g0 + i01 * g1 + i02 * g2) / det, 4) AS b0,
+          ROUND(4 * (i01 * g0 + i11 * g1 + i12 * g2) / det, 4) AS b1,
+          ROUND(4 * (i02 * g0 + i12 * g1 + i22 * g2) / det, 4) AS b2
+        FROM k0),
+      p1 AS (
+        SELECT base.ls, y, q, dc, b0, b1, b2, a,
+          b0 + b1 * q + b2 * dc AS eta,
+          1.0 / (1.0 + exp(-(b0 + b1 * q + b2 * dc))) AS p
+        FROM base JOIN b1 ON base.ls = b1.ls),
+      m1 AS (
+        SELECT ls, b0, b1, b2, a,
+          SUM(y * eta - (GREATEST(eta, 0) + ln(1 + exp(-ABS(eta)))))
+            AS ll1,
+          SUM(CASE WHEN (eta > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS acc1,
+          SUM(p * (1 - p)) AS wa, SUM(p * (1 - p) * q) AS wb,
+          SUM(p * (1 - p) * dc) AS wc, SUM(p * (1 - p) * q * q) AS wd,
+          SUM(p * (1 - p) * q * dc) AS we,
+          SUM(p * (1 - p) * dc * dc) AS wf,
+          SUM(y - p) AS h0, SUM(q * (y - p)) AS h1, SUM(dc * (y - p)) AS h2
+        FROM p1 GROUP BY 1, 2, 3, 4, 5),
+      k1 AS (
+        SELECT *, wa * (wd * wf - we * we) - wb * (wb * wf - wc * we)
+            + wc * (wb * we - wc * wd) AS det,
+          wd * wf - we * we AS i00, wc * we - wb * wf AS i01,
+          wb * we - wc * wd AS i02, wa * wf - wc * wc AS i11,
+          wb * wc - wa * we AS i12, wa * wd - wb * wb AS i22
+        FROM m1),
+      b2t AS (
+        SELECT ls, a, ll1, acc1,
+          ROUND(b0 + (i00 * h0 + i01 * h1 + i02 * h2) / det, 4) AS c0,
+          ROUND(b1 + (i01 * h0 + i11 * h1 + i12 * h2) / det, 4) AS c1,
+          ROUND(b2 + (i02 * h0 + i12 * h1 + i22 * h2) / det, 4) AS c2,
+          b0, b1, b2
+        FROM k1),
+      m2 AS (
+        SELECT base.ls,
+          SUM(y * (c0 + c1 * q + c2 * dc)
+            - (GREATEST(c0 + c1 * q + c2 * dc, 0)
+               + ln(1 + exp(-ABS(c0 + c1 * q + c2 * dc))))) AS ll2,
+          SUM(CASE WHEN ((c0 + c1 * q + c2 * dc) > 0) = (y = 1.0)
+            THEN 1 ELSE 0 END) AS acc2
+        FROM base JOIN b2t ON base.ls = b2t.ls GROUP BY 1)
+      SELECT ls AS l_linestatus, step, beta0, beta1, beta2,
+        ROUND(loglik, 4) AS loglik, accuracy, n
+      FROM (
+        SELECT b2t.ls, 1 AS step, b0 AS beta0, b1 AS beta1, b2 AS beta2,
+          ll1 AS loglik, CAST(acc1 AS BIGINT) AS accuracy,
+          CAST(a AS BIGINT) AS n
+        FROM b2t
+        UNION ALL
+        SELECT b2t.ls, 2, c0, c1, c2, ll2, CAST(acc2 AS BIGINT),
+          CAST(a AS BIGINT)
+        FROM b2t JOIN m2 ON b2t.ls = m2.ls)
+      ORDER BY 1, 2"""),
+    (s, d) => irlsStep(lineitem(s, d)))
+
+  /** The q282 pipeline — MlOracleSpec hand-traces both steps on an
+    * orthogonal-design frame (β¹ = (0,2,0), β² = (0,3.1353,0), the
+    * step-1 log-likelihood −0.5077 and 4/4 accuracy). */
+  def irlsStep(li: DataFrame): DataFrame = {
+    val base = li.select(col("l_linestatus").as("ls"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        col("l_quantity").as("q"), col("l_discount").as("dc"))
+      .localCheckpoint(true) // feeds the step-1 moments, step-2 pass,
+                             // and the final metric pass
+    // shared 3x3 symmetric solve via the adjugate (the q254 idiom):
+    // columns (a..f) are the matrix moments, (g0..g2) the RHS
+    def adjugate(df: DataFrame): DataFrame = df
+      .withColumn("det", col("a") * (col("d") * col("f") - col("e") * col("e"))
+        - col("b") * (col("b") * col("f") - col("c") * col("e"))
+        + col("c") * (col("b") * col("e") - col("c") * col("d")))
+      .withColumn("i00", col("d") * col("f") - col("e") * col("e"))
+      .withColumn("i01", col("c") * col("e") - col("b") * col("f"))
+      .withColumn("i02", col("b") * col("e") - col("c") * col("d"))
+      .withColumn("i11", col("a") * col("f") - col("c") * col("c"))
+      .withColumn("i12", col("b") * col("c") - col("a") * col("e"))
+      .withColumn("i22", col("a") * col("d") - col("b") * col("b"))
+    val m0 = adjugate(base.groupBy(col("ls")).agg(
+      (count(lit(1)) * lit(1.0)).as("a"), sum(col("q")).as("b"),
+      sum(col("dc")).as("c"), sum(col("q") * col("q")).as("d"),
+      sum(col("q") * col("dc")).as("e"), sum(col("dc") * col("dc")).as("f"),
+      sum(col("y") - 0.5).as("g0"), sum(col("q") * (col("y") - 0.5)).as("g1"),
+      sum(col("dc") * (col("y") - 0.5)).as("g2")))
+    def solve(p: String) = round(lit(4) *
+      (col(s"i0${p.toInt}") * col("g0")
+        + col(if (p == "0") "i01" else if (p == "1") "i11" else "i12") * col("g1")
+        + col(if (p == "0") "i02" else if (p == "1") "i12" else "i22") * col("g2"))
+      / col("det"), 4)
+    val beta1 = m0.select(col("ls").as("ls1"), col("a").as("n0"),
+      solve("0").as("b0"), solve("1").as("b1"), solve("2").as("b2"))
+    val eta = col("b0") + col("b1") * col("q") + col("b2") * col("dc")
+    val pCol = lit(1.0) / (lit(1.0) + exp(-eta))
+    val w = pCol * (lit(1) - pCol)
+    val llTerm = col("y") * eta -
+      (greatest(eta, lit(0)) + log(lit(1) + exp(-abs(eta))))
+    val accTerm = when((eta > 0) === (col("y") === 1.0), 1).otherwise(0)
+    val m1 = adjugate(base.join(broadcast(beta1), col("ls") === col("ls1"))
+      .groupBy(col("ls"), col("b0"), col("b1"), col("b2"), col("n0"))
+      .agg(sum(llTerm).as("ll1"), sum(accTerm).as("acc1"),
+        sum(w).as("a"), sum(w * col("q")).as("b"),
+        sum(w * col("dc")).as("c"), sum(w * col("q") * col("q")).as("d"),
+        sum(w * col("q") * col("dc")).as("e"),
+        sum(w * col("dc") * col("dc")).as("f"),
+        sum(col("y") - pCol).as("g0"),
+        sum(col("q") * (col("y") - pCol)).as("g1"),
+        sum(col("dc") * (col("y") - pCol)).as("g2")))
+    def step2(j: String) = round(col(s"b$j") +
+      (col(s"i0$j") * col("g0")
+        + col(if (j == "0") "i01" else if (j == "1") "i11" else "i12") * col("g1")
+        + col(if (j == "0") "i02" else if (j == "1") "i12" else "i22") * col("g2"))
+      / col("det"), 4)
+    val beta2 = m1.select(col("ls").as("ls1"), col("n0"),
+        col("ll1"), col("acc1"), col("b0"), col("b1"), col("b2"),
+        step2("0").as("c0"), step2("1").as("c1"), step2("2").as("c2"))
+      .localCheckpoint(true) // 2 rows; feeds the metric pass AND both
+                             // output rows (its lineage is a full pass)
+    val eta2 = col("c0") + col("c1") * col("q") + col("c2") * col("dc")
+    val ll2Term = col("y") * eta2 -
+      (greatest(eta2, lit(0)) + log(lit(1) + exp(-abs(eta2))))
+    val acc2Term = when((eta2 > 0) === (col("y") === 1.0), 1).otherwise(0)
+    val m2 = base.join(broadcast(beta2.select(col("ls1"), col("c0"),
+        col("c1"), col("c2"))), col("ls") === col("ls1"))
+      .groupBy(col("ls"))
+      .agg(sum(ll2Term).as("ll2"), sum(acc2Term).as("acc2"))
+    val step1 = beta2.select(col("ls1").as("l_linestatus"),
+      lit(1).as("step"), col("b0").as("beta0"), col("b1").as("beta1"),
+      col("b2").as("beta2"), round(col("ll1"), 4).as("loglik"),
+      col("acc1").cast("long").as("accuracy"), col("n0").cast("long").as("n"))
+    val step2Row = beta2.join(m2, col("ls1") === col("ls"))
+      .select(col("ls1").as("l_linestatus"), lit(2).as("step"),
+        col("c0").as("beta0"), col("c1").as("beta1"), col("c2").as("beta2"),
+        round(col("ll2"), 4).as("loglik"),
+        col("acc2").cast("long").as("accuracy"), col("n0").cast("long").as("n"))
+    step1.unionAll(step2Row)
+      .orderBy(col("l_linestatus"), col("step"))
+  }
+
+  /** One exact EM step of a 2-topic unigram mixture over `documents`
+    * — the family's first LATENT-VARIABLE fit. Initialization is
+    * deterministic: topic 1 up-weights tokens whose md5 first hex
+    * digit is odd (p₁(w) ∝ 1+b_w, p₂(w) ∝ 2−b_w, π = ½), which makes
+    * the per-doc log-odds COLLAPSE to closed form: L_d = ln2·(2C₁−n_d)
+    * − n_d·ln(Z₁/Z₂) with C₁ = doc's odd-parity token count and
+    * Z₁ = V+B, Z₂ = 2V−B integer vocab totals — so the E-step
+    * responsibility r_d = σ(L_d) is a per-doc scalar with NO
+    * cross-row accumulation (float-exact across engines). The M-step
+    * is three aggregations over (r_d-weighted) token counts. Readout:
+    * the per-source responsibility profile plus the updated π and
+    * each topic's probability mass on odd-parity tokens (sharpened
+    * from the initial 2/3 vs 1/3 — the one-step EM direction).
+    *
+    * Scale: tokenize → (doc, token) counts (one shuffle), vocab
+    * totals (one distinct), per-doc stats (one group-by), then the
+    * M-step re-joins counts to the per-doc r table ON doc_id —
+    * everything equi-keyed; the only broadcasts are 1-row scalar
+    * tables (vocab totals, M-step sums).
+    */
+  val q283EmTopics = GraftQuery(
+    "q283_em_topics",
+    "one exact EM step of a 2-topic unigram mixture: per-source responsibility profile + updated pi and topic parity masses",
+    Some("""WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '\s+'),
+          t -> len(t) > 0)) AS w
+        FROM documents),
+      tc AS (
+        SELECT doc_id, source, w, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2, 3),
+      tb AS (
+        SELECT *, CAST('0x' || substr(md5(w), 1, 1) AS BIGINT) % 2 AS bw
+        FROM tc),
+      voc AS (
+        SELECT COUNT(*) * 1.0 AS v, SUM(bw) * 1.0 AS bb
+        FROM (SELECT DISTINCT w, bw FROM tb)),
+      ds AS (
+        SELECT doc_id, source, SUM(c) AS n, SUM(c * bw) AS c1
+        FROM tb GROUP BY 1, 2),
+      dr AS (
+        SELECT doc_id, source, n,
+          1.0 / (1.0 + exp(-(ln(2.0) * (2 * c1 - n)
+            - n * ln((v + bb) / (2 * v - bb))))) AS r
+        FROM ds, voc),
+      g AS (
+        SELECT SUM(r) AS sr, COUNT(*) * 1.0 AS nd,
+          SUM(r * n) AS rn, SUM((1 - r) * n) AS qn
+        FROM dr),
+      mm AS (
+        SELECT SUM(dr.r * tb.c * tb.bw) AS s1b,
+          SUM((1 - dr.r) * tb.c * tb.bw) AS s2b
+        FROM tb JOIN dr ON tb.doc_id = dr.doc_id),
+      ps AS (
+        SELECT source, COUNT(*) AS n_docs, AVG(r) AS mr
+        FROM dr GROUP BY 1)
+      SELECT ps.source, CAST(n_docs AS BIGINT) AS n_docs,
+        ROUND(mr, 6) AS mean_resp,
+        ROUND(g.sr / g.nd, 6) AS pi_new,
+        ROUND(mm.s1b / g.rn, 6) AS mass1_odd,
+        ROUND(mm.s2b / g.qn, 6) AS mass2_odd
+      FROM ps, g, mm ORDER BY 1"""),
+    (s, d) => emTopics(documents(s, d)))
+
+  /** The q283 pipeline — MlOracleSpec plants pure-parity docs (parity
+    * computed with java MessageDigest) and pins the exact σ(n·ln2)
+    * responsibilities, the updated π, and that one step sharpens the
+    * parity masses from the initial 2/3 toward 1. */
+  def emTopics(docs: DataFrame): DataFrame = {
+    val tb = docs.select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bw",
+        expr("cast(conv(substring(md5(w), 1, 1), 16, 10) as bigint) % 2"))
+      .localCheckpoint(true) // feeds vocab totals, doc stats, M-step
+    val voc = tb.select(col("w"), col("bw")).distinct()
+      .agg((count(lit(1)) * lit(1.0)).as("v"), (sum(col("bw")) * lit(1.0)).as("bb"))
+    val ds = tb.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("bw")).as("c1"))
+    val dr = ds.crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("source"), col("n"),
+        (lit(1.0) / (lit(1.0) + exp(-(log(lit(2.0)) * (lit(2) * col("c1") - col("n"))
+          - col("n") * log((col("v") + col("bb"))
+            / (lit(2) * col("v") - col("bb"))))))).as("r"))
+      .localCheckpoint(true) // feeds per-source profile, globals, M-step
+    val g = dr.agg(sum(col("r")).as("sr"), (count(lit(1)) * lit(1.0)).as("nd"),
+      sum(col("r") * col("n")).as("rn"),
+      sum((lit(1) - col("r")) * col("n")).as("qn"))
+    val mm = tb.join(dr.select(col("doc_id").as("did"), col("r")),
+        col("doc_id") === col("did"))
+      .agg(sum(col("r") * col("c") * col("bw")).as("s1b"),
+        sum((lit(1) - col("r")) * col("c") * col("bw")).as("s2b"))
+    val ps = dr.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("r")).as("mr"))
+    ps.crossJoin(broadcast(g)).crossJoin(broadcast(mm))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        round(col("mr"), 6).as("mean_resp"),
+        round(col("sr") / col("nd"), 6).as("pi_new"),
+        round(col("s1b") / col("rn"), 6).as("mass1_odd"),
+        round(col("s2b") / col("qn"), 6).as("mass2_odd"))
+      .orderBy(col("source"))
   }
 }

@@ -149,6 +149,65 @@ class MlOracleSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 1.0)
   }
 
+  test("q282 irls: two Newton steps hand-traced on an orthogonal design") {
+    // q = (1,-1,1,-1), d = (1,1,-1,-1), y = 1 iff q = 1: the design is
+    // orthogonal (X'X = 4I), so step 1 collapses to beta1 = (0, 2, 0)
+    // and step 2's diagonal weighted system gives delta1 = 1/sigma(2),
+    // i.e. beta2_1 = 2 + 1 + e^-2 = 3.1353.
+    val rows = Seq((1.0, 1.0, "R"), (-1.0, 1.0, "N"),
+      (1.0, -1.0, "R"), (-1.0, -1.0, "N"))
+      .map { case (q, d, fl) => ("O", fl, q, d) }
+    val out = MlOracleQueries.irlsStep(rows.toDF(
+      "l_linestatus", "l_returnflag", "l_quantity", "l_discount"))
+      .collect()
+    val s1 = out.find(_.getInt(1) == 1).get
+    val s2 = out.find(_.getInt(1) == 2).get
+    assert((s1.getDouble(2), s1.getDouble(3), s1.getDouble(4))
+      === ((0.0, 2.0, 0.0)))
+    // ll at beta1: 4 * (-ln(1 + e^-2)) = -0.5077, all 4 classified right
+    assert(s1.getDouble(5) ===
+      math.round(4 * -math.log(1 + math.exp(-2.0)) * 1e4) / 1e4)
+    assert(s1.getLong(6) === 4L)
+    val d1 = 1.0 + math.exp(-2.0) // 1/sigma(2)
+    assert((s2.getDouble(2), s2.getDouble(3), s2.getDouble(4))
+      === ((0.0, math.round((2.0 + d1) * 1e4) / 1e4, 0.0)))
+    // Newton ascends the concave log-likelihood on this frame
+    assert(s2.getDouble(5) > s1.getDouble(5))
+    assert(s2.getLong(6) === 4L)
+  }
+
+  test("q283 em: pure-parity docs get the exact sigma(5 ln2) responsibilities") {
+    // 4 odd-parity + 4 even-parity tokens (parity = md5 first hex digit
+    // mod 2, computed here with MessageDigest so the plant tracks the
+    // query's own hash), docs of 5 tokens drawn purely from one class.
+    // With a balanced vocab Z1 = Z2, so L_d = ln2·(2C1 − n) = ±5·ln2
+    // and r = sigma(±5 ln2) = 32/33 | 1/33; the M-step masses collapse
+    // to the same two fractions and pi stays 1/2 by symmetry.
+    def parity(w: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) % 2
+    }
+    val words = (1 to 200).map(i => s"tok$i")
+    val odd = words.filter(parity(_) == 1).take(4)
+    val even = words.filter(parity(_) == 0).take(4)
+    assert(odd.size === 4 && even.size === 4)
+    def doc(ws: Seq[String]) = (ws :+ ws.head).mkString(" ")
+    val docs = Seq(
+      (1L, doc(odd), "oddsrc"), (2L, doc(odd.reverse), "oddsrc"),
+      (3L, doc(even), "evensrc"), (4L, doc(even.reverse), "evensrc"))
+    val out = MlOracleQueries.emTopics(
+        docs.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val o = out("oddsrc"); val e = out("evensrc")
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(o.getDouble(2) === r6(32.0 / 33))  // mean_resp
+    assert(e.getDouble(2) === r6(1.0 / 33))
+    assert(o.getDouble(3) === 0.5)            // pi_new (symmetry)
+    assert(o.getDouble(4) === r6(32.0 / 33))  // mass1_odd sharpened
+    assert(o.getDouble(5) === r6(1.0 / 33))   // mass2_odd suppressed
+  }
+
   test("lloyd step: 1-dim hand trace and the WCSS identity") {
     // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
     // each: wb = 1, mu at the midpoint, shift 0.5,
