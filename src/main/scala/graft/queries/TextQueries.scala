@@ -972,7 +972,9 @@ object TextQueries {
     "q277_mtld",
     "MTLD lexical diversity per document (forward pass, threshold 0.72)",
     Some("""WITH RECURSIVE d AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS t
         FROM documents),
       base AS (SELECT doc_id, t, len(t) AS ntok FROM d),
       rec AS (

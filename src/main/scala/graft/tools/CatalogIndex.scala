@@ -18,7 +18,17 @@ object CatalogIndex {
 
   def main(args: Array[String]): Unit = {
     val repo = Paths.get(args.headOption.getOrElse("/root/repo"))
+    val out = render(repo)
+    Files.write(repo.resolve("CATALOG.md"), out.getBytes("UTF-8"))
+    println(s"[catalog-index] wrote ${out.linesIterator.count(_.startsWith("| q"))} " +
+      s"rows to ${repo.resolve("CATALOG.md")}")
+  }
 
+  /** Pure render of the index — CatalogIndexSpec regenerates through
+    * this and diffs against the committed file, so a landed query
+    * without a CATALOG regen is a red test, not silent drift (the
+    * round-7 q282/q283 staleness). */
+  def render(repo: java.nio.file.Path): String = {
     val families: Seq[(String, Seq[GraftQuery])] = Seq(
       "relational" -> Relational.queries,
       "text" -> TextQueries.queries,
@@ -42,7 +52,7 @@ object CatalogIndex {
       "agreement" -> AgreementQueries.queries,
       "ml-oracle" -> MlOracleQueries.queries,
       "causal" -> CausalQueries.queries,
-      "structure" -> LinkPredQueries.queries,
+      "link-pred" -> LinkPredQueries.queries,
       "governance" -> GovernanceQueries.queries,
       "diagnostics" -> DiagnosticsQueries.queries)
     val familyOf: Map[String, String] = families.flatMap { case (f, qs) =>
@@ -99,8 +109,6 @@ object CatalogIndex {
       "",
       "| query | family | oracle | specs | SCALING | what it computes |",
       "|---|---|---|---|---|---|")
-    val out = (header ++ rows).mkString("", "\n", "\n")
-    Files.write(repo.resolve("CATALOG.md"), out.getBytes("UTF-8"))
-    println(s"[catalog-index] wrote ${rows.size} rows to ${repo.resolve("CATALOG.md")}")
+    (header ++ rows).mkString("", "\n", "\n")
   }
 }

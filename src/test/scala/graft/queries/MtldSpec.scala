@@ -46,6 +46,19 @@ class MtldSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("q277: empty and whitespace-only docs tokenize to zero tokens") {
+    // split("\\s+") on "" / "   " yields one empty string; both the
+    // Spark filter(length>0) and the oracle's list_filter drop it, so
+    // n_toks=0, factors=0, mtld null — not the ntok=1 an unfiltered
+    // engine would report (the ADVICE-flagged latent divergence).
+    val rs = TextQueries.mtld(docs("", "   \t  ")).collect()
+    rs.foreach { r =>
+      assert(r.getLong(1) === 0L)
+      assert(r.getDouble(2) === 0.0)
+      assert(r.isNullAt(3))
+    }
+  }
+
   test("q277: the Spark fold replays the reference loop") {
     val text = "the cat sat on the mat the dog sat on the cat " +
       "a b a b c d the end"
