@@ -58,7 +58,7 @@ object GlobalRank {
     val before = sc.getPersistentRDDs.keySet
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (sc.getPersistentRDDs.keySet -- before)
       .foreach(i => checkpointIds.add(Integer.valueOf(i)))
     val counts = ranged.groupBy(col("__pid")).count()
@@ -94,7 +94,7 @@ object GlobalRank {
     val before = sc.getPersistentRDDs.keySet
     val ranged = df.repartitionByRange(parts, key +: order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (sc.getPersistentRDDs.keySet -- before)
       .foreach(i => checkpointIds.add(Integer.valueOf(i)))
     val counts = ranged.groupBy(col("__pid"), key.as("__k")).count()

@@ -39,7 +39,7 @@ object Graphs {
     * id-ordered enumeration's row set. */
   def triangles(e0: DataFrame): DataFrame = {
     // the oriented edge list feeds three join sides: checkpoint once
-    val oriented = orientByDegree(e0).localCheckpoint(true)
+    val oriented = orientByDegree(e0).localCheckpoint(false)
     val wedges = oriented.toDF("x", "y1", "r1")
       .join(oriented.toDF("x", "y2", "r2"), Seq("x"))
       .where(col("r1") < col("r2"))
@@ -74,7 +74,7 @@ object Graphs {
         Seq("lu", "gv"), "left")
       .select(col("x"), col("y"), col("ry"),
         coalesce(col("f"), lit(false)).as("f"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val oAll = flagged.select(col("x"), col("y"), col("ry"))
     val oD = flagged.where(col("f")).select(col("x"), col("y"), col("ry"))
     val oOld = flagged.where(!col("f")).select(col("x"), col("y"), col("ry"))

@@ -33,7 +33,7 @@ object Forecast {
         .select(col("key"), date_add(col("ds"), 1).as("ds"),
           col("prediction").as("y"), col("y").as("y_prev"))
       current =
-        if (step % checkpointEvery == 0) predicted.localCheckpoint(true)
+        if (step % checkpointEvery == 0) predicted.localCheckpoint(false)
         else predicted
       outputs += current.select(col("key"), col("ds"), col("y"))
     }

@@ -104,7 +104,7 @@ object AgreementQueries {
     * AgreementSpec hand-traces a 2-rater confusion table and pins the
     * perfect-agreement (κ=1) and independent-raters (κ≈0) limits. */
   def cohensKappa(rt: DataFrame): DataFrame = {
-    val r = rt.localCheckpoint(true) // feeds pairs AND marginals
+    val r = rt.localCheckpoint(false) // feeds pairs AND marginals
     val nd = r.select(countDistinct(col("doc_id")).as("nd"))
     val pairs = r.as("a").join(r.as("b"),
       col("a.doc_id") === col("b.doc_id") && col("a.rater") < col("b.rater"))
@@ -163,7 +163,7 @@ object AgreementQueries {
   def fleissKappa(rt: DataFrame): DataFrame = {
     val cellc = rt.groupBy(col("source"), col("doc_id"), col("cat"))
       .agg(count(lit(1)).as("nic"))
-      .localCheckpoint(true) // feeds per-doc P_i AND category totals
+      .localCheckpoint(false) // feeds per-doc P_i AND category totals
     val pbar = cellc.groupBy(col("source"), col("doc_id"))
       .agg(((sum(col("nic") * col("nic")) - 3.0) / 6.0).as("p_i"))
       .groupBy(col("source"))
@@ -220,14 +220,14 @@ object AgreementQueries {
   def krippendorff(rt: DataFrame): DataFrame = {
     val cellc = rt.groupBy(col("doc_id"), col("cat"))
       .agg(count(lit(1)).as("nic"))
-      .localCheckpoint(true) // self-joined for the coincidence matrix
+      .localCheckpoint(false) // self-joined for the coincidence matrix
     val o = cellc.as("a").join(cellc.as("b"),
       col("a.doc_id") === col("b.doc_id"))
       .groupBy(col("a.cat").as("c"), col("b.cat").as("k"))
       .agg(sum(col("a.nic")
         * (col("b.nic") - when(col("a.cat") === col("b.cat"), 1)
           .otherwise(0)) / 2.0).as("ock"))
-      .localCheckpoint(true) // feeds nc, the diagonal sum, and n
+      .localCheckpoint(false) // feeds nc, the diagonal sum, and n
     val nc = o.groupBy(col("c")).agg(sum(col("ock")).as("n_c"))
     val n = nc.select(sum(col("n_c")).as("n"))
     val dsum = o.select(

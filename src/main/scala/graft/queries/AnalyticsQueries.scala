@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -327,7 +328,7 @@ object AnalyticsQueries {
         .select((col("l_suppkey").cast("long") * 2).as("s"),
           (col("l_partkey").cast("long") * 2 + 1).as("p"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))
       pageRank(edges, iters = 2)
@@ -383,7 +384,7 @@ object AnalyticsQueries {
       val edges = lineitem(s, d)
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val seeds = supplier(s, d)
         .select(col("s_suppkey").as("s"), col("s_nationkey").as("lab"))
       val partLabels = propagateMode(edges.join(seeds, "s"), col("p"))
@@ -421,8 +422,8 @@ object AnalyticsQueries {
   def pageRank(edges: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val ew = edges.join(deg, "src").localCheckpoint(true)
+      .localCheckpoint(false)
+    val ew = edges.join(deg, "src").localCheckpoint(false)
     val nTotal = broadcast(deg.agg(count(lit(1)).as("cnt")))
     var pr = deg.select(col("src").as("node")).crossJoin(nTotal)
       .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
@@ -478,7 +479,7 @@ object AnalyticsQueries {
       val edges = lineitem(s, d)
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true) // read by all four half-steps
+        .localCheckpoint(false) // read by all four half-steps
       val (hub, auth) = hits(edges, rounds = 2)
       val top10h = hub
         .select(concat(lit("s"), col("s")).as("node"),
@@ -508,17 +509,17 @@ object AnalyticsQueries {
     // round 1 folds the uniform hub start analytically: a ∝ indegree
     var auth = l1(edges.groupBy(col("p"))
       .agg(count(lit(1)).cast("double").as("a")), "a")
-      .localCheckpoint(true) // feeds the next half-step AND the caller
+      .localCheckpoint(false) // feeds the next half-step AND the caller
     var hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
       .agg(sum(col("a")).as("h")), "h")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 2 to rounds) {
       auth = l1(edges.join(hub, Seq("s")).groupBy(col("p"))
         .agg(sum(col("h")).as("a")), "a")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
         .agg(sum(col("a")).as("h")), "h")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     (hub, auth)
   }
@@ -803,30 +804,36 @@ object AnalyticsQueries {
         ROUND(AVG((yhat - actual) * (yhat - actual)), 4) AS mse,
         ROUND(AVG(ABS(yhat - actual)), 4) AS mae
       FROM e GROUP BY key ORDER BY key"""),
-    (s, d) => {
-      val w = Window.partitionBy(col("key")).orderBy(col("ds"))
-      val feats = events(s, d)
-        .groupBy(col("event_type").as("key"), to_date(col("ts")).as("ds"))
-        .agg(count(lit(1)).cast("double").as("y"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("p1", lag(col("y"), 1).over(w))
-        .withColumn("p2", avg(col("y")).over(w.rowsBetween(-7, -1)))
-        .where(col("rn") > 7)
-        // feeds the two model frames AND the actuals join below
-        .localCheckpoint(true)
-      val ens = graft.ml.Forecast.horizonEnsemble(
+    (s, d) => forecastBacktestPoints(events(s, d))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg((col("yhat") - col("actual")) * (col("yhat") - col("actual"))), 4)
+          .as("mse"),
+        round(avg(abs(col("yhat") - col("actual"))), 4).as("mae"))
+      .orderBy(col("key")))
+
+  /** The q145 per-day frame — (key, ds, actual, yhat) for every
+    * backtested day — shared by the catalog aggregate above and
+    * BacktestStreamSpec's batch==stream pin (the holtDaily
+    * extraction precedent). */
+  def forecastBacktestPoints(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ds"))
+    val feats = ev
+      .groupBy(col("event_type").as("key"), to_date(col("ts")).as("ds"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p1", lag(col("y"), 1).over(w))
+      .withColumn("p2", avg(col("y")).over(w.rowsBetween(-7, -1)))
+      .where(col("rn") > 7)
+      // feeds the two model frames AND the actuals join below
+      .localCheckpoint(false)
+    graft.ml.Forecast.horizonEnsemble(
         feats.select(col("key"), col("ds"), col("p1").as("y")),
         feats.select(col("key"), col("ds"), col("p2").as("y")))
-      ens
-        .join(feats.select(col("key"), col("ds"), col("y").as("actual")),
-          Seq("key", "ds"))
-        .groupBy(col("key"))
-        .agg(count(lit(1)).as("n_days"),
-          round(avg((col("y") - col("actual")) * (col("y") - col("actual"))), 4)
-            .as("mse"),
-          round(avg(abs(col("y") - col("actual"))), 4).as("mae"))
-        .orderBy(col("key"))
-    })
+      .join(feats.select(col("key"), col("ds"), col("y").as("actual")),
+        Seq("key", "ds"))
+      .select(col("key"), col("ds"), col("actual"), col("y").as("yhat"))
+  }
 
   /** The SECOND oracle-checked ML-deterministic slice (round-5 verdict
     * #6, q145's precedent): the M11 KNN cosine recommender's full
@@ -934,7 +941,7 @@ object AnalyticsQueries {
       val op = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true) // marginals, order total, both pair sides
+        .localCheckpoint(false) // marginals, order total, both pair sides
       val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
       val pc = op.groupBy(col("p")).agg(count(lit(1)).as("po"))
       val pairs = op.toDF("o", "u")
@@ -997,7 +1004,7 @@ object AnalyticsQueries {
         .select(col("event_type"), col("nh"), col("sh"),
           (lit(1000) * col("nh") * col("sh") / col("tot")).as("ex"))
         .withColumn("base", floor(col("ex")))
-        .localCheckpoint(true) // feeds leftover, both rank sides, output
+        .localCheckpoint(false) // feeds leftover, both rank sides, output
       val leftover = ex.agg((lit(1000) - sum(col("base"))).as("leftover"))
       val peers = ex.select(col("event_type").as("pe"),
         (col("ex") - col("base")).as("prem"))
@@ -1273,7 +1280,7 @@ object AnalyticsQueries {
       val daily = ev
         .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
         .agg(sum(col("value")).as("v"))
-        .localCheckpoint(true) // feeds the moments AND the fold
+        .localCheckpoint(false) // feeds the moments AND the fold
       val st = daily.groupBy(col("event_type"))
         .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sd"))
       daily.join(broadcast(st), Seq("event_type"))
@@ -1324,7 +1331,7 @@ object AnalyticsQueries {
       val daily = events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
         .agg(sum(col("value")).as("v"))
-        .localCheckpoint(true) // feeds the profile AND the join-back
+        .localCheckpoint(false) // feeds the profile AND the join-back
       val seas = daily
         .groupBy(col("event_type"), dayofweek(col("ds")).as("dow"))
         .agg(avg(col("v")).as("s"))
@@ -1374,7 +1381,7 @@ object AnalyticsQueries {
     * tied case against the textbook tied-rank formula). */
   def spearman(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val li = in.localCheckpoint(true) // feeds both distributions AND the scoring scan
+    val li = in.localCheckpoint(false) // feeds both distributions AND the scoring scan
     // midranks on the (flag, value) distribution: the window runs
     // over <= |distinct values| rows per flag, never corpus rows
     def rankMap(vcol: String, out: String) = {
@@ -1511,7 +1518,7 @@ object AnalyticsQueries {
     val day = to_date(col("ts"))
     val u = ev.groupBy(col("user_id"))
       .agg(min(day).as("fday"), max(day).as("lday"))
-      .localCheckpoint(true) // feeds the end-of-observation scalar AND lifetimes
+      .localCheckpoint(false) // feeds the end-of-observation scalar AND lifetimes
     val endRow = u.agg(max(col("lday")).as("endd"))
     val lt = u.crossJoin(broadcast(endRow))
       .select(datediff(col("lday"), col("fday")).as("t"),
@@ -1597,7 +1604,7 @@ object AnalyticsQueries {
       .select(col("event_type"),
         datediff(col("ds"), to_date(lit("1970-01-01")))
           .cast("double").as("t"), col("v"))
-      .localCheckpoint(true) // feeds the pair join AND the intercept pass
+      .localCheckpoint(false) // feeds the pair join AND the intercept pass
     val a = t.toDF("event_type", "ta", "va")
     val b = t.toDF("event_type", "tb", "vb")
     val sl = a.join(b, Seq("event_type"))
@@ -1703,7 +1710,7 @@ object AnalyticsQueries {
         .groupBy(col("event_type").as("x"),
           (dayofweek(to_date(col("ts")))).as("y"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // feeds total, both marginals, MI sum
+        .localCheckpoint(false) // feeds total, both marginals, MI sum
       val n = j.agg(sum(col("c")).as("n"))
       val mx = j.groupBy(col("x")).agg(sum(col("c")).as("cx"))
       val my = j.groupBy(col("y")).agg(sum(col("c")).as("cy"))
@@ -1768,7 +1775,7 @@ object AnalyticsQueries {
       .select(substring(round(col("o_totalprice") * 100)
         .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds total, chi2, and the output rows
+      .localCheckpoint(false) // feeds total, chi2, and the output rows
     val n = o.agg(sum(col("c")).as("n"))
     val p = log10(lit(1.0) + lit(1.0) / col("digit"))
     val x = o.crossJoin(broadcast(n))
@@ -1832,7 +1839,7 @@ object AnalyticsQueries {
   def attribution(ev: org.apache.spark.sql.DataFrame,
       lookbackDays: Int = 7): org.apache.spark.sql.DataFrame = {
     val e = ev.select(col("user_id"), col("ts"), col("event_type"))
-      .localCheckpoint(true) // feeds the conversion AND touch sides
+      .localCheckpoint(false) // feeds the conversion AND touch sides
     val conv = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("cts"))
     val touch = e.where(col("event_type") =!= "purchase")
@@ -1841,7 +1848,7 @@ object AnalyticsQueries {
     val j = conv.join(touch, Seq("user_id"))
       .where(col("tts") < col("cts") &&
         col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
-      .localCheckpoint(true) // feeds the normalizer agg AND the credit scan
+      .localCheckpoint(false) // feeds the normalizer agg AND the credit scan
     // per-conversion normalizers, then endpoint tie counts (touches AT
     // the min/max timestamp) so exact same-ts ties SPLIT their credit
     val g2 = j.groupBy(col("user_id"), col("cts"))
@@ -1923,7 +1930,7 @@ object AnalyticsQueries {
     val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(sum(col("value")).as("v"))
-      .localCheckpoint(true) // feeds the moments AND the seven lag scans
+      .localCheckpoint(false) // feeds the moments AND the seven lag scans
     val m = daily.groupBy(col("event_type"))
       .agg(avg(col("v")).as("mu"), count(lit(1)).as("n"))
     val centered = daily.join(broadcast(m), Seq("event_type"))
@@ -1948,7 +1955,7 @@ object AnalyticsQueries {
       .join(broadcast(ss), Seq("event_type"))
       .select(col("event_type"), col("lag"), (col("num") / col("ss")).as("r"),
         col("n"))
-      .localCheckpoint(true) // feeds the Q fold AND the output rows
+      .localCheckpoint(false) // feeds the Q fold AND the output rows
     val q = r.groupBy(col("event_type"))
       .agg((sum(col("r") * col("r") / (col("n") - col("lag")))
         * min(col("n")) * (min(col("n")) + 2)).as("q"))
@@ -2001,7 +2008,7 @@ object AnalyticsQueries {
     * hand-traces the fences and the clamp-vs-drop distinction. */
   def winsorized(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(true) // feeds the fences AND the re-scan
+    val b = in.localCheckpoint(false) // feeds the fences AND the re-scan
     val f = b.groupBy(col("flag"))
       .agg(expr("percentile(cents, 0.05)").as("p05"),
         expr("percentile(cents, 0.95)").as("p95"))
@@ -2079,12 +2086,12 @@ object AnalyticsQueries {
     val cust = in.groupBy(col("c"))
       .agg(max(col("od")).as("lastOd"), count(lit(1)).as("freq"),
         sum(col("cents")).as("mon"))
-      .localCheckpoint(true) // feeds the global max, fences, and scores
+      .localCheckpoint(false) // feeds the global max, fences, and scores
     val maxOd = cust.agg(max(col("lastOd")).as("gmax"))
     val rec = cust.crossJoin(broadcast(maxOd))
       .select(col("c"), datediff(col("gmax"), col("lastOd")).as("rec"),
         col("freq"), col("mon"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val q = rec.agg(
       expr("percentile(rec, 0.25)").as("r25"),
       expr("percentile(rec, 0.5)").as("r50"),
@@ -2162,7 +2169,7 @@ object AnalyticsQueries {
         .select((col("l_suppkey").cast("long") * 2).as("s"),
           (col("l_partkey").cast("long") * 2 + 1).as("p"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))
       personalizedPageRank(edges, iters = 2)
@@ -2182,8 +2189,8 @@ object AnalyticsQueries {
   def personalizedPageRank(edges: org.apache.spark.sql.DataFrame,
       iters: Int): org.apache.spark.sql.DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val ew = edges.join(deg, "src").localCheckpoint(true)
+      .localCheckpoint(false)
+    val ew = edges.join(deg, "src").localCheckpoint(false)
     val hub = broadcast(deg.where(col("src") % 2 === 0)
       .orderBy(col("outdeg").desc, col("src")).limit(1)
       .select(col("src").as("h")))
@@ -2247,7 +2254,7 @@ object AnalyticsQueries {
       : org.apache.spark.sql.DataFrame = {
     val su = ev.where(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
-      .localCheckpoint(true) // feeds the conversion join AND the cohort
+      .localCheckpoint(false) // feeds the conversion join AND the cohort
     // the at-or-after condition lives IN the join: filtering after a
     // plain left join would drop users whose only purchases predate
     // signup instead of keeping them unconverted
@@ -2368,7 +2375,7 @@ object AnalyticsQueries {
     val v = expo.groupBy(col("mask"))
       .agg(count(lit(1)).as("n"),
         (sum(col("conv")) * 1.0 / count(lit(1))).as("v"))
-      .localCheckpoint(true) // ≤16 rows; feeds both marginal joins + nx
+      .localCheckpoint(false) // ≤16 rows; feeds both marginal joins + nx
     import spark.implicits._
     val spine = spark.range(16).select(col("id").cast("int").as("s"))
     val ch = Seq(("click", 1), ("view", 2), ("signup", 4), ("error", 8))
@@ -2457,7 +2464,7 @@ object AnalyticsQueries {
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority"), col("c_nationkey"), col("c_mktsegment"))
-        .localCheckpoint(true) // feeds all five candidate sweeps
+        .localCheckpoint(false) // feeds all five candidate sweeps
       FdCandidates.map { case (name, lhs, rhs) =>
         val per = j.groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("c"))
           .groupBy(col(lhs))
@@ -2515,7 +2522,7 @@ object AnalyticsQueries {
       : org.apache.spark.sql.DataFrame = {
     val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .localCheckpoint(true) // feeds the spine, dau, and both windows
+      .localCheckpoint(false) // feeds the spine, dau, and both windows
     val spine = ud.select(col("day")).distinct()
       .select(col("day").as("sday"))
     def sliding(back: Int, name: String) =
@@ -2651,7 +2658,7 @@ object AnalyticsQueries {
     val t = ord.select(col("o_orderpriority"), col("o_totalprice"),
         row_number().over(w).as("rk"))
       .filter(col("rk") <= k + 1)
-      .localCheckpoint(true) // feeds the boundary AND the log sum
+      .localCheckpoint(false) // feeds the boundary AND the log sum
     val b = t.groupBy(col("o_orderpriority"))
       .agg(max(when(col("rk") === k + 1, col("o_totalprice"))).as("xk1"))
     t.join(broadcast(b), Seq("o_orderpriority"))

@@ -157,7 +157,7 @@ object CausalQueries {
         sum(when(treated, 1).otherwise(0)).as("n1"),
         sum(when(treated, col("l_extendedprice")).otherwise(0)).as("s1"),
         sum(when(!treated, col("l_extendedprice")).otherwise(0)).as("s0"))
-      .localCheckpoint(true) // feeds the kept estimators AND the drop count
+      .localCheckpoint(false) // feeds the kept estimators AND the drop count
     val k = c.filter(col("n1") > 0 && col("n1") < col("n"))
     val e = (col("n1") + 1.0) / (col("n") + 2.0)
     val s = k.groupBy(col("flag"))

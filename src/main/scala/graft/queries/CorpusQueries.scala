@@ -57,7 +57,7 @@ object CorpusQueries {
     (s, d) => {
       val words = documents(s, d).select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-        .localCheckpoint(true) // unigram marginals + the bigram window
+        .localCheckpoint(false) // unigram marginals + the bigram window
       val uni = words.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val nuni = uni.agg(sum(col("c")).as("n_uni"))
       val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -113,7 +113,7 @@ object CorpusQueries {
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val ff = tc.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
-        .localCheckpoint(true) // low slice + the r→r+1 join side
+        .localCheckpoint(false) // low slice + the r→r+1 join side
       val low = ff.orderBy(col("r")).limit(10)
       low.join(ff.toDF("r1", "n_next"), col("r1") === col("r") + 1, "left")
         .select(col("r"), col("n_r"),
@@ -696,10 +696,10 @@ object CorpusQueries {
         .where(col("w3").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", col("w"), col("w2"), col("w3")).as("tok"))
-        .localCheckpoint(true) // feeds the gram agg AND per-doc counts
+        .localCheckpoint(false) // feeds the gram agg AND per-doc counts
       val ta = toks.groupBy(col("tok"))
         .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // feeds vocab checkpoints AND hapax
+        .localCheckpoint(false) // feeds vocab checkpoints AND hapax
       val dc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
       val thr = documents(s, d).agg(max(col("doc_id")).as("m"))
         .select(explode(sequence(lit(1), lit(8))).as("i"), col("m"))
@@ -714,7 +714,7 @@ object CorpusQueries {
         .agg(sum(when(col("first_doc") <= col("t"), 1).otherwise(0))
           .cast("bigint").as("vocab"))
       val pts = cum.join(voc, Seq("i"))
-        .localCheckpoint(true) // feeds the OLS fit AND the output rows
+        .localCheckpoint(false) // feeds the OLS fit AND the output rows
       val x = log(col("cum_tokens"))
       val y = log(col("vocab"))
       val fit = pts.agg(count(lit(1)).as("n"), sum(x).as("sx"),
@@ -769,7 +769,7 @@ object CorpusQueries {
           ntile(10).over(w).as("dec"))
         .groupBy(col("source"), col("dec"))
         .agg(count(lit(1)).as("n"), avg(col("n_chars")).as("raw_mean"))
-        .localCheckpoint(true) // feeds the reference AND the output
+        .localCheckpoint(false) // feeds the reference AND the output
       val ref = g.groupBy(col("dec")).agg(avg(col("raw_mean")).as("norm_ref"))
       g.join(broadcast(ref), Seq("dec"))
         .select(col("source"), col("dec").cast("int").as("decile"),
@@ -828,7 +828,7 @@ object CorpusQueries {
            i -> substring(t, i, 3))""")).as("gram"))
     val c = g.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds norms AND the pair join
+      .localCheckpoint(false) // feeds norms AND the pair join
     val nrm = c.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
     val d = c.as("a").join(c.as("b"),
         col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))

@@ -625,13 +625,13 @@ object CurationQueries {
     val d = docs.select(col("source"),
         TA.qualityScore(col("text")).as("qual"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
-      .localCheckpoint(true) // feeds totals, per-source, and hash counts
+      .localCheckpoint(false) // feeds totals, per-source, and hash counts
     val tot = d.agg((count(lit(1)) * lit(1.0)).as("n"),
       sum(col("qual")).as("sq"))
     val per = d.groupBy(col("source"))
       .agg((count(lit(1)) * lit(1.0)).as("ns"), sum(col("qual")).as("qs"))
     val hs = d.groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds group sizes AND the ablation grid
+      .localCheckpoint(false) // feeds group sizes AND the ablation grid
     val hg = hs.groupBy(col("h")).agg(sum(col("c")).as("g"))
     val dupfull = hg.agg((sum(col("g") - 1) * lit(1.0)).as("dups"))
     val hs2 = hs.select(col("h").as("h2"), col("source").as("src2"),

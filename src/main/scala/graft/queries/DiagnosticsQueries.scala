@@ -73,7 +73,7 @@ object DiagnosticsQueries {
       .reduce(_ unionAll _)
     val c = k.groupBy(col("key_col"), col("k"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds the totals AND the top-10 rank
+      .localCheckpoint(false) // feeds the totals AND the top-10 rank
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_col")).orderBy(col("cnt").desc, col("k"))
     val s = c.groupBy(col("key_col"))

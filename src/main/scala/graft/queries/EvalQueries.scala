@@ -70,7 +70,7 @@ object EvalQueries {
         .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
           sum(col("y")).as("sy"), sum(col("s") * col("s")).as("ss2"),
           sum(col("s") * col("y")).as("ssy"))
-        .localCheckpoint(true) // feeds the scalar roll-up AND the rows
+        .localCheckpoint(false) // feeds the scalar roll-up AND the rows
       val t = g.agg(sum(col("n")).as("nn"),
         sum(abs(col("sy") / col("n") - col("ss") / col("n")) * col("n"))
           .as("gap_w"),
@@ -153,11 +153,11 @@ object EvalQueries {
     * k > n_cal clamp against hand residual sets. */
   def conformal(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      val b = in.localCheckpoint(true) // feeds train, cal, test subtrees
+      val b = in.localCheckpoint(false) // feeds train, cal, test subtrees
       val pred = b.where(col("split") === 0).groupBy(col("flag"))
         .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_train"))
         .select(col("flag"), expr("sc div n_train").as("p"), col("n_train"))
-        .localCheckpoint(true) // 3 rows, consumed by cal/test/output
+        .localCheckpoint(false) // 3 rows, consumed by cal/test/output
       // no checkpoint here: cal re-derives cheaply (filter + broadcast
       // join) from the checkpointed base, and withPerKeyId checkpoints
       // its range partitioning internally anyway
@@ -176,7 +176,7 @@ object EvalQueries {
         .where(col("rn") === least(
           ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
         .select(col("flag"), col("n_cal"), col("r").as("q"))
-        .localCheckpoint(true) // 3 rows; don't re-run the rank twice
+        .localCheckpoint(false) // 3 rows; don't re-run the rank twice
       val test = b.where(col("split") === 2)
         .join(broadcast(pred.select(col("flag"), col("p"))), Seq("flag"))
         .join(broadcast(qhat.select(col("flag"), col("q"))), Seq("flag"))
@@ -232,7 +232,7 @@ object EvalQueries {
       val daily = ev
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(round(sum(col("value")), 2).as("v"))
-        .localCheckpoint(true) // feeds all three join arms
+        .localCheckpoint(false) // feeds all three join arms
       val p = daily.select(col("event_type"),
         date_add(col("day"), 1).as("day"), col("v").as("v1"))
       val w = daily.select(col("event_type"),
@@ -359,7 +359,7 @@ object EvalQueries {
   def psi(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e = ev.select(col("event_type"), col("ts"), col("value"))
-      .localCheckpoint(true) // feeds bounds, counts, and the spine
+      .localCheckpoint(false) // feeds bounds, counts, and the spine
     val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
       min(to_date(col("ts"))).as("d0"))
     val c = e.crossJoin(broadcast(bounds))
@@ -370,7 +370,7 @@ object EvalQueries {
           ((col("mx") - col("mn")) / 10.0)).cast("int")).as("bin"))
       .groupBy(col("event_type"), col("half"), col("bin"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds totals AND both spine joins
+      .localCheckpoint(false) // feeds totals AND both spine joins
     val n = c.groupBy(col("event_type"), col("half"))
       .agg(sum(col("c")).as("n"))
     val spine = e.select(col("event_type")).distinct()
@@ -492,7 +492,7 @@ object EvalQueries {
     val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("v"))
-      .localCheckpoint(true) // feeds both percentile passes + the fence
+      .localCheckpoint(false) // feeds both percentile passes + the fence
     val med = daily.groupBy(col("event_type"))
       .agg(expr("percentile(v, 0.5)").as("med"))
     val mad = daily.join(broadcast(med), Seq("event_type"))
@@ -562,7 +562,7 @@ object EvalQueries {
     * hand-traces the LOO-sum predictor and the fold sd. */
   def cvFolds(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(true) // feeds the fold sums AND the MSE scan
+    val b = in.localCheckpoint(false) // feeds the fold sums AND the MSE scan
     val g = b.groupBy(col("flag"), col("fold"))
       .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
     val t = g.groupBy(col("flag")).agg(sum(col("s")).as("ts"),
@@ -575,7 +575,7 @@ object EvalQueries {
       .agg(count(lit(1)).as("n"),
         (sum((col("cents") - col("p")) * (col("cents") - col("p"))) /
           count(lit(1)) / 10000.0).as("mse"))
-      .localCheckpoint(true) // feeds the summary AND the rows
+      .localCheckpoint(false) // feeds the summary AND the rows
     val m = mse.agg(avg(col("mse")).as("mean_mse"))
     val sd = mse.crossJoin(broadcast(m))
       .agg(sqrt(sum((col("mse") - col("mean_mse")) *
@@ -638,13 +638,13 @@ object EvalQueries {
   /** The q228 plan over any (flag, cents, u: 0..99) frame. */
   def learningCurve(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(true) // feeds the train sums AND the test scan
+    val b = in.localCheckpoint(false) // feeds the train sums AND the test scan
     val pcts = b.sparkSession.range(1).select(
       explode(array(lit(10), lit(20), lit(40), lit(80))).as("pct"))
     val tr = b.crossJoin(broadcast(pcts)).where(col("u") < col("pct"))
       .groupBy(col("flag"), col("pct"))
       .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds the predictor AND the size rollup
+      .localCheckpoint(false) // feeds the predictor AND the size rollup
     val pred = tr.select(col("flag"), col("pct"),
       (col("s") * 1.0 / col("n")).as("p"))
     val ev = b.where(col("u") >= 80).join(broadcast(pred), Seq("flag"))
@@ -668,14 +668,14 @@ object EvalQueries {
     val g = in.groupBy(col("bucket"))
       .agg(sum(col("rev")).as("s"), sum(col("qty")).as("q"),
         count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds totals AND the loo rows
+      .localCheckpoint(false) // feeds totals AND the loo rows
     val t = g.agg(sum(col("s")).as("ts"), sum(col("q")).as("tq"),
       count(lit(1)).as("k"))
     val loo = g.crossJoin(broadcast(t))
       .select(col("bucket"), col("n"),
         ((col("ts") - col("s")) / 100.0 / (col("tq") - col("q")))
           .as("theta_i"), col("k"), col("ts"), col("tq"))
-      .localCheckpoint(true) // feeds the mean, the variance, the rows
+      .localCheckpoint(false) // feeds the mean, the variance, the rows
     val m = loo.agg(avg(col("theta_i")).as("mb"))
     val v = loo.crossJoin(broadcast(m))
       .groupBy(col("k"))
@@ -771,7 +771,7 @@ object EvalQueries {
     */
   def poissonBootstrap(in: org.apache.spark.sql.DataFrame, reps: Int)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(true) // feeds the point estimate + replicas
+    val b = in.localCheckpoint(false) // feeds the point estimate + replicas
     val rep = b
       .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("u",

@@ -89,7 +89,7 @@ object ExperimentQueries {
         round(sum(when(to_date(col("ts")) > to_date(cutoff),
           col("value")).otherwise(0)), 2).as("y"))
       .withColumn("arm", col("user_id") % 2)
-      .localCheckpoint(true) // feeds theta AND the adjusted moments
+      .localCheckpoint(false) // feeds theta AND the adjusted moments
     val th = u.groupBy(col("event_type"))
       .agg((covar_samp(col("x"), col("y")) / var_samp(col("x")))
         .as("theta"), avg(col("x")).as("xbar"))
@@ -183,7 +183,7 @@ object ExperimentQueries {
     val cum = daily.select(col("event_type"), col("arm"), col("ds"),
       sum(col("n")).over(w).as("cn"), sum(col("s1")).over(w).as("cs1"),
       sum(col("s2")).over(w).as("cs2"))
-      .localCheckpoint(true) // feeds both arm sides of the day join
+      .localCheckpoint(false) // feeds both arm sides of the day join
     val a = cum.where(col("arm") === 0)
       .select(col("event_type"), col("ds"), col("cn").as("na"),
         col("cs1").as("sa1"), col("cs2").as("sa2"))
@@ -342,7 +342,7 @@ object ExperimentQueries {
       .groupBy(col("event_type"), col("arm"), col("ds"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s1"),
         round(sum(col("value") * col("value")), 2).as("s2"))
-      .localCheckpoint(true) // feeds both arm sides of the day join
+      .localCheckpoint(false) // feeds both arm sides of the day join
     val a = daily.where(col("arm") === 0)
       .select(col("event_type"), col("ds"), col("n").as("na"),
         col("s1").as("sa1"), col("s2").as("sa2"))

@@ -78,7 +78,7 @@ object ExtraQueries {
       // reuse pattern as Dedup.minHashLshPairs; Bench/Verify unpersist
       // between queries)
       val t = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dist = t.groupBy(col("cnt")).agg(count(lit(1)).as("n_users"))
       val ranks = dist.as("a")
         .join(broadcast(dist.as("b")), col("b.cnt") > col("a.cnt"), "left_outer")
@@ -755,7 +755,7 @@ object ExtraQueries {
       // scan, not two (the q34/q27 multi-use lesson)
       val k = lineitem(s, d).groupBy(col("l_suppkey").as("key"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       k.agg(
         count(lit(1)).as("n_keys"),
         max(col("n")).as("max_n"),

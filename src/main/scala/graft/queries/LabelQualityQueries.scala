@@ -148,7 +148,7 @@ object LabelQualityQueries {
       .withColumn("vt", slice(col("v"), 1, prefix))
       .withColumn("nrm", Sim.norm2(col("v")))
       .withColumn("nrmt", Sim.norm2(col("vt")))
-      .localCheckpoint(true) // feeds both the query and candidate side
+      .localCheckpoint(false) // feeds both the query and candidate side
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("vt").as("qvt"), col("nrm").as("qnrm"), col("nrmt").as("qnrmt"))
     val probes = Ivf.probeCells(q, centroids, nProbe)
@@ -298,7 +298,7 @@ object LabelQualityQueries {
     val e = indexed
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .withColumn("nrm", Sim.norm2(col("v")))
-      .localCheckpoint(true) // feeds both the query and candidate side
+      .localCheckpoint(false) // feeds both the query and candidate side
     val queries = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm"), col("label").as("la"))
     val probes = Ivf.probeCells(queries, centroids, nProbe)
@@ -455,7 +455,7 @@ object LabelQualityQueries {
     val e = indexed
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .withColumn("nrm", Sim.norm2(col("v")))
-      .localCheckpoint(true) // feeds both the query and candidate side
+      .localCheckpoint(false) // feeds both the query and candidate side
     val queries = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm"), col("label").as("la"))
     val probes = Ivf.probeCells(queries, centroids, nProbe)
@@ -647,7 +647,7 @@ object LabelQualityQueries {
     * and a planted flipped label caught off-diagonal. */
   def confidentLearning(base: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = base.localCheckpoint(true) // feeds thresholds AND the sweep
+    val b = base.localCheckpoint(false) // feeds thresholds AND the sweep
     val t = b.agg(
       round(avg(when(col("y") === 1, col("s"))), 9).as("t1"),
       round(avg(when(col("y") === 0, lit(1) - col("s"))), 9).as("t0"))

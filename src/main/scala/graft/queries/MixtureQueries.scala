@@ -356,7 +356,7 @@ object MixtureQueries {
   def ucbMixture(ev: DataFrame): DataFrame = {
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
-      .localCheckpoint(true) // feeds priors, totals, best arm, rewards
+      .localCheckpoint(false) // feeds priors, totals, best arm, rewards
     val wPrior = Window.partitionBy(col("event_type")).orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pri = daily.select(col("event_type"), col("ds"),
@@ -366,7 +366,7 @@ object MixtureQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = daily.groupBy(col("ds")).agg(sum(col("n")).as("dn"))
       .select(col("ds"), sum(col("dn")).over(wTot).as("tp"))
-      .localCheckpoint(true) // reused for the t_prior readout
+      .localCheckpoint(false) // reused for the t_prior readout
     val ucb = col("ps") / col("pn") +
       sqrt(lit(2) * log(col("tp")) / col("pn"))
     val wPick = Window.partitionBy(col("ds")).orderBy(

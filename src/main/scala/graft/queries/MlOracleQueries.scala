@@ -159,7 +159,7 @@ object MlOracleQueries {
   def naiveBayes(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
-      .localCheckpoint(true) // feeds the model fit AND the score pass
+      .localCheckpoint(false) // feeds the model fit AND the score pass
     def x(j: Int) = element_at(col("v"), j)
     val st = e.groupBy(col("label").as("l")).agg(
       (count(lit(1)) * lit(1.0)).as("cnt"),
@@ -312,7 +312,7 @@ object MlOracleQueries {
   def lloydStep(emb: DataFrame, seeds: Seq[Long]): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(true) // feeds the centroid pick AND assignment
+      .localCheckpoint(false) // feeds the centroid pick AND assignment
     val cent = e.filter(col("vec_id").isin(seeds: _*))
       .select(col("vec_id").as("cl"), col("v").as("cv"))
     val d = e.crossJoin(broadcast(cent))
@@ -322,7 +322,7 @@ object MlOracleQueries {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))
     val a = d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("cl"), col("d2"))
-      .localCheckpoint(true) // feeds sizes/WCSS AND the new means
+      .localCheckpoint(false) // feeds sizes/WCSS AND the new means
     val mu = a.select(col("cl"), posexplode(col("v")).as(Seq("pos0", "x")))
       .groupBy(col("cl"), (col("pos0") + 1).as("pos"))
       .agg(avg(col("x")).as("m"))
@@ -383,7 +383,7 @@ object MlOracleQueries {
   def mahalanobis(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
-      .localCheckpoint(true) // feeds the moment pass AND scoring
+      .localCheckpoint(false) // feeds the moment pass AND scoring
     def x(j: Int) = element_at(col("v"), j)
     val m = e.groupBy(col("label").as("l")).agg(
       (count(lit(1)) * lit(1.0)).as("n"),
@@ -741,7 +741,7 @@ object MlOracleQueries {
         ((col("i00") + lit(2) * col("i01") * qn + lit(2) * col("i02") * dc
           + col("i11") * qn * qn + lit(2) * col("i12") * qn * dc
           + col("i22") * dc * dc) / col("det")).as("h"))
-      .localCheckpoint(true) // feeds the SSE/PRESS pass AND Cook's pass
+      .localCheckpoint(false) // feeds the SSE/PRESS pass AND Cook's pass
     val s = r.groupBy(col("l_returnflag"), col("a").as("n"))
       .agg(sum(col("e2") * col("e2")).as("sse"),
         sum(pow(col("e2") / (lit(1) - col("h")), 2)).as("press"),
@@ -869,7 +869,7 @@ object MlOracleQueries {
     val base = li.select(col("l_linestatus").as("ls"),
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
         col("l_quantity").as("q"), col("l_discount").as("dc"))
-      .localCheckpoint(true) // feeds the step-1 moments, step-2 pass,
+      .localCheckpoint(false) // feeds the step-1 moments, step-2 pass,
                              // and the final metric pass
     // shared 3x3 symmetric solve via the adjugate (the q254 idiom):
     // columns (a..f) are the matrix moments, (g0..g2) the RHS
@@ -920,7 +920,7 @@ object MlOracleQueries {
     val beta2 = m1.select(col("ls").as("ls1"), col("n0"),
         col("ll1"), col("acc1"), col("b0"), col("b1"), col("b2"),
         step2("0").as("c0"), step2("1").as("c1"), step2("2").as("c2"))
-      .localCheckpoint(true) // 2 rows; feeds the metric pass AND both
+      .localCheckpoint(false) // 2 rows; feeds the metric pass AND both
                              // output rows (its lineage is a full pass)
     val eta2 = col("c0") + col("c1") * col("q") + col("c2") * col("dc")
     val ll2Term = col("y") * eta2 -
@@ -1019,7 +1019,7 @@ object MlOracleQueries {
       .agg(count(lit(1)).as("c"))
       .withColumn("bw",
         expr("cast(conv(substring(md5(w), 1, 1), 16, 10) as bigint) % 2"))
-      .localCheckpoint(true) // feeds vocab totals, doc stats, M-step
+      .localCheckpoint(false) // feeds vocab totals, doc stats, M-step
     val voc = tb.select(col("w"), col("bw")).distinct()
       .agg((count(lit(1)) * lit(1.0)).as("v"), (sum(col("bw")) * lit(1.0)).as("bb"))
     val ds = tb.groupBy(col("doc_id"), col("source"))
@@ -1029,7 +1029,7 @@ object MlOracleQueries {
         (lit(1.0) / (lit(1.0) + exp(-(log(lit(2.0)) * (lit(2) * col("c1") - col("n"))
           - col("n") * log((col("v") + col("bb"))
             / (lit(2) * col("v") - col("bb"))))))).as("r"))
-      .localCheckpoint(true) // feeds per-source profile, globals, M-step
+      .localCheckpoint(false) // feeds per-source profile, globals, M-step
     val g = dr.agg(sum(col("r")).as("sr"), (count(lit(1)) * lit(1.0)).as("nd"),
       sum(col("r") * col("n")).as("rn"),
       sum((lit(1) - col("r")) * col("n")).as("qn"))

@@ -219,7 +219,7 @@ object RankingQueries {
       Similarity.toDouble(col("embedding")).as("v"))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .localCheckpoint(true) // feeds both ranker sides and the spine
+      .localCheckpoint(false) // feeds both ranker sides and the spine
     def ranked(qc: Column, vc: Column, rkName: String): DataFrame = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))

@@ -133,7 +133,7 @@ object ResolutionQueries {
     (s, d) => {
       val (ent, dirty) = entities(s, d)
       val cand = Resolution.scored(Resolution.candidates(ent, dirty))
-        .localCheckpoint(true) // feeds the candidate stats AND the argmax
+        .localCheckpoint(false) // feeds the candidate stats AND the argmax
       val sizes = dirty.agg(count(lit(1)).as("n_dirty"))
         .crossJoin(broadcast(ent.agg(count(lit(1)).as("n_clean"))))
       val cs = cand.agg(count(lit(1)).as("n_cand"),
@@ -187,7 +187,7 @@ object ResolutionQueries {
       import graft.functions.DamerauLevenshtein.damerau_levenshtein
       val (ent, dirty) = entities(s, d)
       val cand = Resolution.candidates(ent, dirty)
-        .localCheckpoint(true) // feeds both scorers
+        .localCheckpoint(false) // feeds both scorers
       val dw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("did")).orderBy(col("dl"), col("cid"))
       val dbest = cand

@@ -221,7 +221,7 @@ object SelectionQueries {
         .where(col("w2").isNotNull)
         .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cr = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cr"))
       val ct = dbg.where(col("lang") === "zh")
         .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("ct"))
@@ -335,7 +335,7 @@ object SelectionQueries {
         .where(col("w2").isNotNull)
         .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("big"))
         .distinct()
-        .localCheckpoint(true) // three consumers below
+        .localCheckpoint(false) // three consumers below
       val nb = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
       val cand = bg.where(pmod(col("doc_id"), lit(2)) === 0)
         .select(shiftright(col("doc_id"), 1).as("pair"), col("big"))
@@ -535,7 +535,7 @@ object SelectionQueries {
       k: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-      .localCheckpoint(true) // feeds lengths, the collection model, tf
+      .localCheckpoint(false) // feeds lengths, the collection model, tf
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tot = toks.agg((count(lit(1)) * lit(1.0)).as("ctot"))
     val cm = toks.filter(col("term").isin(terms: _*))

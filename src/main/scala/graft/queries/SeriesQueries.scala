@@ -140,7 +140,7 @@ object SeriesQueries {
     val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(round(sum(col("value")), 2).as("v"))
-      .localCheckpoint(true) // feeds the moments AND the fold
+      .localCheckpoint(false) // feeds the moments AND the fold
     val st = daily.groupBy(col("event_type"))
       .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sd"))
     daily.join(broadcast(st), Seq("event_type"))
@@ -299,7 +299,7 @@ object SeriesQueries {
     val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(round(sum(col("value")), 2).as("v"))
-      .localCheckpoint(true) // feeds the pair join (twice) + tie table
+      .localCheckpoint(false) // feeds the pair join (twice) + tie table
     val a = daily.toDF("event_type", "ds_a", "va")
     val b = daily.toDF("event_type", "ds_b", "vb")
     val s = a.join(b, Seq("event_type"))

@@ -178,7 +178,7 @@ object SqlQueries {
       // checkpoint each step would re-run the pair derivation
       // (measured 12.2 s → ~2 s at sf0.1 even pre-layout).
       graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
         .createOrReplaceTempView("dup_pairs")
       s.sql("""WITH RECURSIVE edges AS (
           SELECT doc_a, MIN(doc_b) AS nxt FROM dup_pairs GROUP BY doc_a),

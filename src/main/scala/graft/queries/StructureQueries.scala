@@ -58,11 +58,11 @@ object StructureQueries {
     (s, d) => {
       val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
-        .localCheckpoint(true) // feeds degrees, both_dirs, edge count
+        .localCheckpoint(false) // feeds degrees, both_dirs, edge count
       val deg = e0.select(col("u").as("node"))
         .union(e0.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true) // feeds summary agg + two join sides
+        .localCheckpoint(false) // feeds summary agg + two join sides
       val bothDirs = e0.select(col("u").as("s"), col("v").as("t"))
         .union(e0.select(col("v").as("s"), col("u").as("t")))
       val dd = bothDirs
@@ -112,7 +112,7 @@ object StructureQueries {
         lineitem(s, d).where(pmod(col("l_orderkey"), lit(10)) >= 8))
       val merged = yCounts.union(waveCounts)
         .groupBy(col("u"), col("v")).agg(sum(col("c")).as("c"))
-        .localCheckpoint(true) // feeds the pruned graph AND the delta
+        .localCheckpoint(false) // feeds the pruned graph AND the delta
       val mergedE = merged.where(col("c") >= 2).select(col("u"), col("v"))
       val yesterdayE = yCounts.where(col("c") >= 2)
         .select(col("u"), col("v"))
@@ -175,7 +175,7 @@ object StructureQueries {
           col("tok") === col("ts")(2))
         .select(col("doc_id"), col("pos"), col("tok"),
           col("ts")(0).as("t1"), col("ts")(1).as("t2"), col("ts")(2).as("t3"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val m0 = hits.where(col("tok") === col("t1"))
         .select(col("doc_id"), col("pos"))
       val m1 = hits.where(col("tok") === col("t2"))
@@ -290,7 +290,7 @@ object StructureQueries {
       // per-source token probabilities feed both join sides
       val p = tc.join(tot, Seq("source"))
         .select(col("source"), col("tok"), (col("c") / col("n")).as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val a = p.toDF("src_a", "tok", "pa")
       val b = p.toDF("src_b", "tok", "pb")
       val m = col("pa") + col("pb")
@@ -383,7 +383,7 @@ object StructureQueries {
     (s, d) => {
       val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val deg = e0.select(col("u").as("node"))
         .union(e0.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -481,7 +481,7 @@ object StructureQueries {
     (s, d) => {
       val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       bfsHops(e0, maxHops = 12).orderBy(col("node"))
     })
 
@@ -492,12 +492,12 @@ object StructureQueries {
   def bfsHops(e0: org.apache.spark.sql.DataFrame, maxHops: Int)
       : org.apache.spark.sql.DataFrame = {
     val ud = e0.union(e0.select(col("v"), col("u"))).toDF("u", "v")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val src = ud.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("node")).limit(1)
       .select(col("node")).collect().head.get(0)
     var visited = ud.sparkSession.range(1)
-      .select(lit(src).as("node"), lit(0).as("h")).localCheckpoint(true)
+      .select(lit(src).as("node"), lit(0).as("h")).localCheckpoint(false)
     var frontier = visited
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -507,9 +507,9 @@ object StructureQueries {
         .select(ud("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("h", lit(h))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (!frontier.isEmpty)
-        visited = visited.union(frontier).localCheckpoint(true)
+        visited = visited.union(frontier).localCheckpoint(false)
     }
     require(frontier.isEmpty,
       s"BFS frontier not drained after $maxHops hops — raise the bound " +
@@ -563,7 +563,7 @@ object StructureQueries {
     (s, d) => {
       val e0 = graft.sources.CopurchaseLayout.pairCounts(s, d)
         .where(col("c") >= 2).select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       kCore(e0, k = 3, maxRounds = 12)
         .toDF("node", "core_deg").orderBy(col("node"))
     })
@@ -574,7 +574,7 @@ object StructureQueries {
     * is a two-sided change). */
   def kCore(e0: org.apache.spark.sql.DataFrame, k: Int, maxRounds: Int)
       : org.apache.spark.sql.DataFrame = {
-    var cur = e0.localCheckpoint(true)
+    var cur = e0.localCheckpoint(false)
     var n = cur.count()
     var rounds = 0
     var done = n == 0L
@@ -588,7 +588,7 @@ object StructureQueries {
         .join(keep.toDF("u"), Seq("u"), "left_semi")
         .join(keep.toDF("v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val m = nxt.count()
       done = m == n
       cur = nxt

@@ -217,11 +217,47 @@ object TextQueries {
       shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
       .orderBy(col("contained"), col("container")))
 
-  /** Rows-only: simhash values are xxhash64-specific. */
+  /** GRADUATED from rows-only (round-8, the round-7 verdict #6 probe;
+    * q29's PolyHash precedent): "simhash values are xxhash64-specific"
+    * stopped being a blocker once the oracle replays XXH64 itself —
+    * [[XxHashOracle]] reimplements Spark's seeded hash as HUGEINT
+    * mod-2⁶⁴ arithmetic, the per-bit ±1 votes and sign fold replicate
+    * [[graft.functions.SimHashAgg]], and the pair set needs no recall
+    * argument at all: the 4-chunk pigeonhole band is EXACT for
+    * hamming ≤ 3 (any such pair shares an untouched 16-bit chunk), so
+    * the oracle's brute-force O(n²) pair join over 64-bit values —
+    * fine at gate scale, never the Spark plan — must produce the
+    * identical rows. Value-exact: doc pairs AND their hamming
+    * distances, both engines' bit_count over the same two's-complement
+    * longs. */
   val q28SimHashPairs = GraftQuery(
     "q28_simhash_pairs",
     "SimHash pairs within hamming distance 3 (pigeonhole-banded join)",
-    None,
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        FROM documents),
+      ${XxHashOracle.ctes("toks", Seq("doc_id"))},
+      bits AS (SELECT unnest(range(0, 64)) AS bit),
+      votes AS (
+        SELECT doc_id, bit,
+          SUM(CASE WHEN (hu // (1::HUGEINT << bit)) % 2 = 1
+            THEN 1 ELSE -1 END) AS v
+        FROM xh CROSS JOIN bits GROUP BY 1, 2),
+      sh AS (
+        SELECT doc_id,
+          SUM(CASE WHEN v > 0 THEN 1::HUGEINT << bit
+            ELSE 0::HUGEINT END) AS s
+        FROM votes GROUP BY 1),
+      sg AS (SELECT doc_id,
+          CAST(CASE WHEN s >= 9223372036854775808
+            THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sh64
+        FROM sh)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sh64, b.sh64)) AS INTEGER) AS hamming
+      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+      ORDER BY 1, 2"""),
     (s, d) => Dedup.simHashPairs(documents(s, d), 3)
       .orderBy(col("doc_a"), col("doc_b")))
 
@@ -848,13 +884,13 @@ object TextQueries {
       .where(!col("stop"))
       .withColumn("chunk",
         floor((row_number().over(wRun) - 1) / 4).cast("long"))
-      .localCheckpoint(true) // feeds the phrase table AND the word join
+      .localCheckpoint(false) // feeds the phrase table AND the word join
     val ph = np.groupBy(col("doc_id"), col("run_id"), col("chunk"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("pos"), col("w")))),
         x => x("w")), " ").as("phrase"),
         count(lit(1)).as("plen"))
-      .localCheckpoint(true) // feeds pw AND the final phrase lookup
+      .localCheckpoint(false) // feeds pw AND the final phrase lookup
     val pw = np.join(ph, Seq("doc_id", "run_id", "chunk"))
       .select(col("doc_id"), col("run_id"), col("chunk"), col("w"),
         col("plen"))
@@ -935,7 +971,7 @@ object TextQueries {
       .select(least(col("pr.u"), col("pr.w")).as("a"),
         greatest(col("pr.u"), col("pr.w")).as("b"))
       .distinct()
-      .localCheckpoint(true) // feeds both directions and both rounds
+      .localCheckpoint(false) // feeds both directions and both rounds
     val und = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b"), col("a")))
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))

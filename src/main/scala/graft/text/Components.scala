@@ -81,7 +81,7 @@ object Components {
     * pair list in any orientation with columns (src, dst).
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     var fp = fingerprint(cur)
     var rounds = 0
     var converged = cur.isEmpty
@@ -97,7 +97,7 @@ object Components {
         cur.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(cur))
-        .coalesce(frontierPartitions(fp._1)).localCheckpoint(true)
+        .coalesce(frontierPartitions(fp._1)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       // release the superseded frontier NOW (next is already eagerly

@@ -152,7 +152,7 @@ object Dedup {
     // twice would double the operator's dominant cost)
     val pairs = pairTable.getOrElse(jaccardPairs(docs, threshold, n, shingleTable))
       .select("doc_a", "doc_b")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // only docs that appear in some pair can contribute a shared span —
     // semi-filter the positional table BEFORE its (doc, sh) shuffle, so
     // the position join moves O(paired docs), not O(corpus), through
@@ -220,7 +220,7 @@ object Dedup {
     // (the q27/q89 multi-use-subtree lesson).
     val pos0 = positionalShingles(docs, n)
     val pos = (if (hashedKey) pos0.withColumn("sh", xxhash64(col("sh")))
-               else pos0).localCheckpoint(true)
+               else pos0).localCheckpoint(false)
     val dupGrams = pos.groupBy(col("sh"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
       .select(col("sh"))
@@ -341,7 +341,7 @@ object Dedup {
     // shingle table feeds rarity ranking + verification arrays; a
     // prebuilt layout table needs no checkpoint (parquet re-scans are
     // the storage-read path), the derived form materializes once
-    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(true))
+    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(false))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // checkpointed: feeds both sides of the self-join (no cross-subtree
     // CSE in Spark — same reason sh is checkpointed)
@@ -351,7 +351,7 @@ object Dedup {
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("sh"), col("rk"), col("n_sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Candidate pruning beyond the prefix collision — the two classic
     // PPJoin filters the round-4 review found missing (they are why
     // this form lost to the naive join at sf0.1: 119 k candidates
@@ -445,7 +445,7 @@ object Dedup {
     // materialize it once — the same checkpoint-for-reuse the reference
     // applied between its pipeline stages (SURVEY.md §4.1). A prebuilt
     // layout table is already storage — re-scanning it is the point.
-    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(true))
+    val sh = shingleTable.getOrElse(shingleRows(docs, n).localCheckpoint(false))
     val sig = signaturesOver(sh, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),

@@ -30,7 +30,7 @@ object MinHashAb {
     // round-1 signature form, inlined (k seeded full-string hashes/row)
     def lshPairsWide(): Long = {
       val k = 32; val bands = 16; val r = k / bands
-      val sh = Dedup.shingleRows(Tables.documents(spark, sfDir), 3).localCheckpoint(true)
+      val sh = Dedup.shingleRows(Tables.documents(spark, sfDir), 3).localCheckpoint(false)
       val sig = sh.groupBy(col("doc_id"))
         .agg(min(col("n_sh")).as("n_sh"),
           (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)

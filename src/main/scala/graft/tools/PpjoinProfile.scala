@@ -29,7 +29,7 @@ object PpjoinProfile {
     val t = args.lift(1).map(_.toDouble).getOrElse(0.4)
     val W = org.apache.spark.sql.expressions.Window
     val sh = time("shingle checkpoint") {
-      Dedup.shingleRows(docs, 3).localCheckpoint(true)
+      Dedup.shingleRows(docs, 3).localCheckpoint(false)
     }
     println(s"[pp] shingle rows = ${sh.count()}")
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -39,7 +39,7 @@ object PpjoinProfile {
         W.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("rk") <= col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
       .select(col("doc_id"), col("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     println(s"[pp] prefix rows = ${time("prefix")(prefix.count())}")
     val cand = prefix.as("x").join(prefix.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -17,6 +17,15 @@ object QueryTime {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // same layout warm as Bench: a cold warehouse must not bill a
+    // write-once layout build to the first rep of a profiled query
+    try graft.sources.Layouts.warm(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[qt] layout warm failed: ${e.getMessage}")
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => names(t._1)).foreach { case (name, fn) =>
         val times = (1 to reps).map { _ =>

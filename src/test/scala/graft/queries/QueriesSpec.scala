@@ -32,20 +32,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("the rows-only tail is exactly the documented eleven") {
+  test("the rows-only tail is exactly the documented ten") {
     // Round-4 verdict mandate: any new sketch/ANN/hash operator must
     // carry a real oracle or REPLACE one of these — the list may
     // shrink, and grows ONLY by judge mandate. Each legacy entry's
     // graduation was probed and rejected as dishonest (COVERAGE
-    // round-5 item 7: simhash/PQ recall gaps, engine-specific sketch
+    // round-5 item 7: PQ recall gaps, engine-specific sketch
     // values, no SQL twin for a learned merge table, LSH component
     // recall < 1 at the fixture). q202/q203 are the round-6 verdict's
     // item #1 (execute q166/q200's IVF candidate swap — quantizer
     // cells are engine-specific, so rows-only by construction, parity
     // pinned ≥ 0.9 vs their exact twins in LabelQualitySpec).
+    // q28 GRADUATED in round 8 (verdict #6): XxHashOracle replays
+    // xxhash64 in SQL and the hamming-≤3 band is pigeonhole-exact,
+    // so its round-5 rejection (hash engine-specificity, not recall)
+    // dissolved.
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     val documented = Set(
-      "q28_simhash_pairs", "q32_approx_distinct", "q52_approx_percentiles",
+      "q32_approx_distinct", "q52_approx_percentiles",
       "q82_hll_merge", "q83_ann_join", "q106_pq_ann", "q128_bpe_train",
       "q143_ann_label_agreement", "q144_lsh_semantic_dedup",
       "q202_ivf_hard_negatives", "q203_ivf_matryoshka_agreement")
