@@ -239,15 +239,24 @@ object TextQueries {
         FROM documents),
       ${XxHashOracle.ctes("toks", Seq("doc_id"))},
       bits AS (SELECT unnest(range(0, 64)) AS bit),
+      -- a doc holding any out-of-domain (>=16-byte, hu NULL) token
+      -- gets sh64 NULL and drops out of the pair join entirely: any
+      -- pair Spark emits for it then mismatches (red gate). Without
+      -- the nbad gate, CASE's ELSE -1 would swallow the NULL into a
+      -- concrete wrong simhash (round-8 review finding). The flag
+      -- rides the SAME votes aggregation — a second xh reference
+      -- would make DuckDB inline (re-evaluate) the whole hash chain.
       votes AS (
         SELECT doc_id, bit,
           SUM(CASE WHEN (hu // (1::HUGEINT << bit)) % 2 = 1
-            THEN 1 ELSE -1 END) AS v
+            THEN 1 ELSE -1 END) AS v,
+          SUM(CASE WHEN hu IS NULL THEN 1 ELSE 0 END) AS nbad
         FROM xh CROSS JOIN bits GROUP BY 1, 2),
       sh AS (
         SELECT doc_id,
-          SUM(CASE WHEN v > 0 THEN 1::HUGEINT << bit
-            ELSE 0::HUGEINT END) AS s
+          CASE WHEN MAX(nbad) > 0 THEN NULL
+            ELSE SUM(CASE WHEN v > 0 THEN 1::HUGEINT << bit
+              ELSE 0::HUGEINT END) END AS s
         FROM votes GROUP BY 1),
       sg AS (SELECT doc_id,
           CAST(CASE WHEN s >= 9223372036854775808

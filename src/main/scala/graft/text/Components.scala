@@ -100,9 +100,13 @@ object Components {
         .coalesce(frontierPartitions(fp._1)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
-      // release the superseded frontier NOW (next is already eagerly
-      // materialized) — otherwise every round's copy stays pinned in
-      // the block manager until end-of-query cleanup
+      // release the superseded frontier NOW — safe ONLY because the
+      // fingerprint action above just materialized next's LAZY
+      // checkpoint, severing its lineage dependency on cur; unpersist
+      // before an action on next would drop blocks its un-materialized
+      // lineage still needs (checkpointed lineage can't recompute).
+      // Without the release, every round's copy stays pinned in the
+      // block manager until end-of-query cleanup.
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(cur)
       cur = next
       fp = nfp

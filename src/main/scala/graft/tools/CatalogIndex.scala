@@ -20,7 +20,9 @@ object CatalogIndex {
     val repo = Paths.get(args.headOption.getOrElse("/root/repo"))
     val out = render(repo)
     Files.write(repo.resolve("CATALOG.md"), out.getBytes("UTF-8"))
-    println(s"[catalog-index] wrote ${out.linesIterator.count(_.startsWith("| q"))} " +
+    // "| q" alone would also match the "| query | family | ..." header
+    println(s"[catalog-index] wrote " +
+      s"${out.linesIterator.count(_.matches("\\| q\\d.*"))} " +
       s"rows to ${repo.resolve("CATALOG.md")}")
   }
 

@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Ingest, LagFeatures, Pivot}
 import graft.ml.{Clustering, Forecast, Regressors}
 import graft.model.Tables
 import graft.sources.SourceLayout
@@ -65,24 +64,15 @@ object FlagshipProbe {
         println(f"[probe] $tag $stage%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         r
       }
-      // mirrors FlagshipPipeline.run stage-for-stage, forced
+      // FlagshipPipeline's own stage builders, forced between stages
       val daily = timed("ingest+dedup+pivot") {
-        val d = Pivot.dailyUserCounters(
-          Ingest.dedup(Tables.events(spark, sfDir))).localCheckpoint(false)
+        val d = graft.ml.FlagshipPipeline.dailyOf(spark, sfDir)
+          .localCheckpoint(false)
         println(s"[probe] $tag   daily rows = ${d.count()}")
         d
       }
       val feat = timed("lag+assemble") {
-        val lagged = LagFeatures.shiftJoin(
-            LagFeatures.shiftJoin(daily, "user_id", "ds", 1,
-              Seq("n_events", "clicks", "purchases"), "_y1"),
-            "user_id", "ds", 2, Seq("n_events"), "_y2")
-          .withColumn("weekday", dayofweek(col("ds")).cast("double"))
-          .withColumn("label", col("n_events").cast("double"))
-        val f = new org.apache.spark.ml.feature.VectorAssembler()
-          .setInputCols(Array("n_events_y1", "clicks_y1", "purchases_y1",
-            "n_events_y2", "weekday"))
-          .setOutputCol("features").transform(lagged).cache()
+        val f = graft.ml.FlagshipPipeline.featuresOf(daily).cache()
         f.count()
         f
       }
@@ -94,29 +84,7 @@ object FlagshipProbe {
         println(f"[probe] $tag   train MSE = ${Regressors.mse(preds)}%.3f")
       }
       val (arModel, head) = timed("ar-train") {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ds"))
-        val arBase = LagFeatures.windowLag(daily, "user_id", "ds", 1,
-          Seq("n_events"), "_prev")
-        val lastDay = daily
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id")).orderBy(col("ds").desc)))
-          .filter(col("rk") === 1)
-        val head = arBase
-          .join(lastDay.select(col("user_id"), col("ds")),
-            Seq("user_id", "ds"), "left_semi")
-          .select(col("user_id").as("key"), col("ds"),
-            col("n_events").cast("double").as("y"),
-            col("n_events_prev").cast("double").as("y_prev"))
-        val arTrain = arBase
-          .withColumn("label", lead(col("n_events"), 1).over(w).cast("double"))
-          .where(col("label").isNotNull)
-          .select(col("label"), col("n_events").cast("double").as("y"),
-            col("n_events_prev").cast("double").as("y_prev"))
-        val arFeat = new org.apache.spark.ml.feature.VectorAssembler()
-          .setInputCols(Array("y", "y_prev")).setOutputCol("features")
-          .transform(arTrain)
+        val (head, arFeat) = graft.ml.FlagshipPipeline.arParts(daily)
         (Regressors.gbt(maxIter = gbtIters).setLabelCol("label").fit(arFeat),
           head)
       }

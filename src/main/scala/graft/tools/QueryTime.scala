@@ -18,11 +18,14 @@ object QueryTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     // same layout warm as Bench: a cold warehouse must not bill a
-    // write-once layout build to the first rep of a profiled query
-    try graft.sources.Layouts.warm(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[qt] layout warm failed: ${e.getMessage}")
-    }
+    // write-once layout build to the first rep of a profiled query.
+    // SPARK_GRAFT_SKIP_WARM=1 opts out — profiling a layout-free query
+    // on a cold warehouse shouldn't pay the full multi-layout build.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_WARM").contains("1"))
+      try graft.sources.Layouts.warm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[qt] layout warm failed: ${e.getMessage}")
+      }
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()

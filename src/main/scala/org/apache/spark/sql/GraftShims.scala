@@ -24,11 +24,14 @@ object GraftShims {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
-  /** Unpersist the block-manager copy behind a `localCheckpoint(true)`d
+  /** Unpersist the block-manager copy behind a `localCheckpoint`ed
     * DataFrame (its plan is a LogicalRDD over the persisted RDD) —
     * lets iterative operators release superseded frontiers instead of
     * pinning every round's copy until end-of-query cleanup. No-op for
-    * non-checkpointed frames. */
+    * non-checkpointed frames. Checkpoints are LAZY repo-wide (round
+    * 8): callers must run an action on the SUCCESSOR frame first, so
+    * its checkpoint is materialized before the predecessor's blocks
+    * vanish — truncated lineage cannot recompute them. */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
