@@ -10,9 +10,11 @@ import graft.text.{Dedup, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline operators over the `documents` and
   * `embeddings` fixtures — SURVEY.md §7.6 north star. Oracle SQL where
-  * the op is ANSI-expressible; sketch/hash-based ops (MinHash, SimHash,
-  * fingerprint, LSH) are rows-only here and property-tested in
-  * ScalaTest instead (hash impls are engine-specific by nature).
+  * the op is ANSI-expressible — including the hash-arithmetic family
+  * (rolling/poly hashes q29/q53/q157, and since round 8 SimHash q28
+  * via [[XxHashOracle]]); the remaining sketch/LSH ops (MinHash
+  * banding, approx sketches) are rows-only and property-tested in
+  * ScalaTest instead (bucketing geometry is engine-specific).
   */
 object TextQueries {
 
