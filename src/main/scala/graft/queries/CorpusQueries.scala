@@ -320,27 +320,14 @@ object CorpusQueries {
         FROM s)
       SELECT source, reason, COUNT(*) AS n
       FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
-    (s, d) => {
-      val words = documents(s, d).select(col("doc_id"), col("source"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      val sig = words
-        .groupBy(col("doc_id"), col("source"), col("tok"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("n_tok"),
-          (max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"),
-          (sum(when(col("tok").isin("the", "a"), col("c")).otherwise(0)) *
-            lit(1.0) / sum(col("c"))).as("stop_frac"))
-      sig.select(col("source"),
-          when(col("n_tok") < 30, "too_short")
-            .when(col("n_tok") > 95, "too_long")
-            .when(col("top_frac") > 0.15, "repetitive")
-            .when(col("stop_frac") > 0.12, "stopword_heavy")
-            .otherwise("pass").as("reason"))
+    (s, d) =>
+      // classification shared with the q284 pipeline's quality stage —
+      // one source of truth for the filter chain and its thresholds
+      graft.text.CorpusPipeline.withQualityReason(
+          documents(s, d).select(col("doc_id"), col("source"), col("text")))
         .groupBy(col("source"), col("reason"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("source"), col("reason"))
-    })
+        .orderBy(col("source"), col("reason")))
 
   /** Approximate query processing from the deterministic hash sample
     * (q59's coin at 10%): the scaled sample estimate next to the exact

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables._
-import graft.text.{TextAnalysis => TA}
 
 /** Training-data curation wave two: deterministic mixture sampling and
   * sequence packing — the two ops that sit between a deduplicated corpus
@@ -193,11 +192,13 @@ object MixtureQueries {
         .orderBy(col("doc_id"))
     })
 
-  /** Token budget per packed sequence (tokens, not bytes). */
-  val PackBudget = 2048L
+  /** Token budget per packed sequence (tokens, not bytes). Owned by
+    * [[graft.text.CorpusPipeline]] since the packing stage joined the
+    * end-to-end curation composition (q284). */
+  val PackBudget: Long = graft.text.CorpusPipeline.PackBudget
   /** Shard count for the packing demo — at cluster scale this is
     * O(executors), not 8; the property is shard-independence. */
-  val PackShards = 8L
+  val PackShards: Long = graft.text.CorpusPipeline.PackShards
 
   /** Sequence packing: concatenate documents into fixed token-budget
     * training sequences. True first-fit bin packing is inherently
@@ -229,19 +230,12 @@ object MixtureQueries {
     (s, d) => packedBins(documents(s, d)))
 
   /** The packing plan over any (doc_id, text) frame — reused by
-    * MixtureSpec for the budget/contiguity properties. */
-  def packedBins(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      (col("doc_id") % PackShards).as("shard"),
-      TA.tokenCount(col("text")).cast("long").as("tok"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
-      .groupBy(col("shard"), floor(col("cum") / PackBudget).as("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
-      .orderBy(col("shard"), col("bin"))
-  }
+    * MixtureSpec for the budget/contiguity properties. Implementation
+    * moved to [[graft.text.CorpusPipeline.packedBins]] (the pipeline's
+    * final stage must be THIS plan, not a copy — the FlagshipProbe
+    * stage-sharing precedent). */
+  def packedBins(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.text.CorpusPipeline.packedBins(docs)
 
   /** Deterministic weighted sampling WITHOUT replacement, top-k per
     * stratum — Efraimidis–Spirakis A-ES keys with hash-derived

@@ -28,7 +28,7 @@ object PipelineQueries {
     q65ZscoreNorm, q68DedupCorpus, q69Chunking, q70HashSplit,
     q71UnigramLm, q72TokenEntropy, q129LeakageSafeSplit, q159GlobalIds,
     q164IncrementalComponents, q168CurriculumOrder, q170QualityKeeper,
-    q171BalancedShards)
+    q171BalancedShards, q284CorpusFunnel)
 
   /** q26's pair list as DuckDB CTEs (shared by the q56 oracle): exact
     * 3-gram Jaccard pairs at the given threshold, on the one shared
@@ -749,4 +749,123 @@ object PipelineQueries {
           sum(col("tokens")).cast("long").as("total_tokens"))
         .orderBy(col("shard"))
     })
+
+  /** The end-to-end curation pipeline, hash-verified as ONE query:
+    * [[graft.text.CorpusPipeline.funnel]] runs eval-holdout → exact
+    * dedup (q61 keepers) → near-dup components (q26 pairs + q56
+    * closure) → quality gate (q90) → decontamination (q89) → mixture
+    * coin (q60) → sequence packing (q102) and reports docs+tokens
+    * surviving each stage. The oracle chains every stage's proven SQL
+    * form through one WITH RECURSIVE — so a drift ANYWHERE in the
+    * composition (keeper tie-break, threshold, coin salt, packing
+    * boundary) flips the funnel hash. The catalog entry runs the
+    * exact-Jaccard pair regime; the MinHash-LSH regime (the 100 TB
+    * candidate path, same downstream plan) is parity-pinned in
+    * CorpusPipelineSpec and stage-timed at amplified scale by
+    * tools/CorpusProbe. */
+  val q284CorpusFunnel = GraftQuery(
+    "q284_corpus_funnel",
+    "end-to-end curation funnel: docs+tokens surviving each pipeline stage",
+    Some("""WITH RECURSIVE
+      tr AS (
+        SELECT doc_id, source, text, n_chars,
+          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+            AS n_tok
+        FROM documents WHERE doc_id % 20 <> 0),
+      ekr AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM tr),
+      ek AS (SELECT doc_id, source, text, n_chars, n_tok FROM ekr WHERE rn = 1),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM ek),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+        FROM toks WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+          MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dup AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+      walk(n, r) AS (
+        SELECT doc_id, doc_id FROM ek
+        UNION
+        SELECT e.d, w.r FROM walk w JOIN edges e ON e.s = w.n),
+      comp AS (SELECT n AS doc_id, MIN(r) AS component FROM walk GROUP BY 1),
+      nkr AS (
+        SELECT ek.*, ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY ek.n_chars DESC, ek.doc_id) AS rn2
+        FROM ek JOIN comp c USING (doc_id)),
+      nk AS (SELECT doc_id, source, text, n_chars, n_tok FROM nkr WHERE rn2 = 1),
+      wtok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+          AS tok
+        FROM nk),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM wtok GROUP BY 1, 2),
+      qs AS (
+        SELECT doc_id, SUM(c) AS q_ntok, MAX(c) * 1.0 / SUM(c) AS top_frac,
+          SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) * 1.0 / SUM(c)
+            AS stop_frac
+        FROM tc GROUP BY 1),
+      qk AS (
+        SELECT nk.* FROM nk JOIN qs USING (doc_id)
+        WHERE NOT (q_ntok < 30 OR q_ntok > 95
+          OR top_frac > 0.15 OR stop_frac > 0.12)),
+      btoks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE doc_id % 20 = 0),
+      bsh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+        FROM btoks WHERE len(t) >= 3),
+      hits AS (
+        SELECT e.doc_id, COUNT(*) AS n_sh,
+          SUM(CASE WHEN e.sh IN (SELECT sh FROM bsh) THEN 1 ELSE 0 END)
+            AS n_hit
+        FROM ex e JOIN qk USING (doc_id) GROUP BY 1),
+      dk AS (
+        SELECT qk.* FROM qk LEFT JOIN hits USING (doc_id)
+        WHERE hits.doc_id IS NULL OR n_hit * 1.0 / n_sh < 0.5),
+      mk AS (
+        SELECT * FROM dk
+        WHERE substring(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE CAST(substring(source, 4) AS INTEGER) % 4
+            WHEN 0 THEN 'ff' WHEN 1 THEN '7f' WHEN 2 THEN '3f'
+            ELSE '1f' END),
+      pc AS (
+        SELECT doc_id % 8 AS shard, n_tok AS tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM mk),
+      bins AS (
+        SELECT shard, FLOOR(cum / 2048) AS bin,
+          COUNT(*) AS nd, SUM(tok) AS tk
+        FROM pc GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT 'a_ingest' AS stage, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tr
+        UNION ALL SELECT 'b_exact_dedup', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM ek
+        UNION ALL SELECT 'c_near_dedup', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM nk
+        UNION ALL SELECT 'd_quality', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM qk
+        UNION ALL SELECT 'e_decontaminated', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM dk
+        UNION ALL SELECT 'f_mixed', COUNT(*),
+          CAST(SUM(n_tok) AS BIGINT) FROM mk
+        UNION ALL SELECT 'g_packed', COUNT(*),
+          CAST(SUM(tk) AS BIGINT) FROM bins
+      ) ORDER BY stage"""),
+    (s, d) => graft.text.CorpusPipeline.funnel(documents(s, d)))
 }
