@@ -215,15 +215,14 @@ object PipelineQueries {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY 1 ORDER BY 1"""),
     (s, d) => {
-      val hex2 = substring(
-        md5(concat(lit("m:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
-      val tier = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
-      val thresh = when(tier === 0, "ff").when(tier === 1, "7f")
-        .when(tier === 2, "3f").otherwise("1f")
+      // coin + tier thresholds shared with the q284 pipeline's mixture
+      // stage — one source of truth (the withQualityReason precedent)
+      val kept = graft.text.CorpusPipeline.mixtureCoinHex(col("doc_id")) <=
+        graft.text.CorpusPipeline.mixtureThreshold(col("source"))
       documents(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"),
-          sum(when(hex2 <= thresh, 1).otherwise(0)).as("n_kept"))
+          sum(when(kept, 1).otherwise(0)).as("n_kept"))
         .orderBy(col("source"))
     })
 
@@ -867,5 +866,8 @@ object PipelineQueries {
         UNION ALL SELECT 'g_packed', COUNT(*),
           CAST(SUM(tk) AS BIGINT) FROM bins
       ) ORDER BY stage"""),
-    (s, d) => graft.text.CorpusPipeline.funnel(documents(s, d)))
+    (s, d) => graft.text.CorpusPipeline.funnel(documents(s, d),
+      corpusShingles = Some(graft.sources.ShingleLayout.shingles(s, d)),
+      corpusPairs = Some(graft.sources.PairsLayout.jaccardPairs(s, d,
+        graft.text.CorpusPipeline.NearDupThreshold))))
 }

@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   * same composition discipline applies.
   *
   * Scale shape: every stage is one shuffle-bounded pass — a window
-  * over content-hash groups, the PPJoin prefix pair join (or MinHash
-  * banding at scale, `useLsh = true`, the q202 regime convention),
-  * the O(log n)-round star fixpoint, two token aggregates, one
-  * broadcast semi-join against the (fixed-size, external-eval-suite)
-  * benchmark shingle set, a scan-side hash coin, and shard-local
-  * packing windows. Nothing is all-pairs, nothing funnels through one
+  * over content-hash groups, the exact shingle-count pair join (or
+  * MinHash banding at scale, `useLsh = true`, the q202 regime
+  * convention), the O(log n)-round star fixpoint, two token
+  * aggregates, a shingle join against the benchmark shingle set
+  * (planner-chosen strategy — a fixed external eval suite broadcasts,
+  * the holdout-derived one here is corpus-proportional), a scan-side
+  * hash coin, and shard-local packing windows. Nothing is all-pairs, nothing funnels through one
   * partition, and every sampling/keeper decision is hash- or
   * window-deterministic so a rerun (or another engine — the oracle)
   * reproduces the corpus byte-identically.
@@ -52,35 +53,6 @@ object CorpusPipeline {
   def evalSide(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % EvalModulus === 0)
 
-  /** Exact-dedup keepers, q61 semantics: within each normalized
-    * content-hash group keep the longest doc, ties → min doc_id. One
-    * window over hash groups — parallel over groups, no global sort. */
-  def exactKeepers(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    docs
-      .withColumn("content_hash",
-        md5(Dedup.normalized(col("text")).cast("binary")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "content_hash")
-  }
-
-  /** Near-dup component keepers: pair source → star-forest components
-    * ([[Components.componentsOver]]) → longest-doc keeper per
-    * component (ties → min doc_id, the q61 convention again). `pairs`
-    * is (doc_a, doc_b) from either regime. */
-  def componentKeepers(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = Components.componentsOver(docs,
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    docs.join(comp, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "component")
-  }
-
   /** q90's first-failing-filter classification, the single source of
     * truth shared by the q90 catalog query and the pipeline's quality
     * stage: input needs (doc_id, text) plus passthrough columns;
@@ -106,28 +78,6 @@ object CorpusPipeline {
     docs.join(sig.select(col("doc_id"), reason.as("reason")), Seq("doc_id"))
   }
 
-  /** Decontamination filter, q89 semantics: a doc is dropped when ≥
-    * [[ContaminationCutoff]] of its distinct 3-gram shingles appear in
-    * the benchmark shingle set. `shingles` is a prebuilt
-    * (doc_id, sh, …) table covering at least `docs` (extra doc_ids are
-    * ignored by the join); docs too short to shingle can't be
-    * contaminated and pass through. `bench` is the distinct benchmark
-    * shingle column — a FIXED eval suite at any corpus scale, hence
-    * broadcast. */
-  def decontaminated(docs: DataFrame, shingles: DataFrame,
-                     bench: DataFrame): DataFrame = {
-    val hits = shingles.select(col("doc_id"), col("sh"))
-      .join(broadcast(bench.select(col("sh")).withColumn("hit", lit(1))),
-        Seq("sh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-    docs.join(hits, Seq("doc_id"), "left")
-      .filter(col("n_hit").isNull ||
-        col("n_hit") * lit(1.0) / col("n_sh") < ContaminationCutoff)
-      .drop("n_sh", "n_hit")
-  }
-
   /** q60's deterministic mixture coin: first two md5 hex digits of
     * "m:<doc_id>" — uniform, engine-portable, reproducible across
     * reruns/retries (rand() is none of those). */
@@ -142,10 +92,6 @@ object CorpusPipeline {
       .when(tier === 2, "3f").otherwise("1f")
   }
 
-  /** Domain-mixture sampling: scan-side hash coin, no shuffle. */
-  def mixtureKept(docs: DataFrame): DataFrame =
-    docs.filter(mixtureCoinHex(col("doc_id")) <= mixtureThreshold(col("source")))
-
   /** The q102 packing plan over any (doc_id, text) frame: start-offset
     * packing to [[PackBudget]] tokens within [[PackShards]] hash
     * shards → (shard, bin, n_docs, tokens). True first-fit is
@@ -153,10 +99,17 @@ object CorpusPipeline {
     * shard, so 100 TB packs as N independent linear scans with a
     * single shuffle on the shard key, and a re-pack after upstream
     * dedup reproduces byte-identical sequence boundaries. */
-  def packedBins(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      (col("doc_id") % PackShards).as("shard"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+  def packedBins(docs: DataFrame): DataFrame =
+    packedBinsFromCounts(docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("tok")))
+
+  /** [[packedBins]] over a pre-tokencounted (doc_id, tok) frame — the
+    * form the q284 flag plan feeds (its n_tok is the same
+    * [[TextAnalysis.tokenCount]] expression, so both entries execute
+    * THIS plan, not copies). */
+  def packedBinsFromCounts(toks0: DataFrame): DataFrame = {
+    val toks = toks0.select(col("doc_id"),
+      (col("doc_id") % PackShards).as("shard"), col("tok"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
@@ -166,54 +119,169 @@ object CorpusPipeline {
       .orderBy(col("shard"), col("bin"))
   }
 
-  /** Every surviving-doc frame of the pipeline, keyed by funnel-stage
-    * label (prefix letters encode pipeline order), plus the packed-bin
-    * frame under "g_packed". `useLsh = false` runs the exact
-    * PPJoin-prefix pair source (the oracle-checkable ground truth);
-    * `true` swaps in MinHash-LSH banding — the 100 TB regime (q202
+  /** Funnel-stage labels in pipeline order (prefix letters encode the
+    * order so ORDER BY stage is pipeline order). */
+  val StageNames = Seq("a_ingest", "b_exact_dedup", "c_near_dedup",
+    "d_quality", "e_decontaminated", "f_mixed")
+
+  /** ONE per-doc frame carrying every stage-survival flag — the plan
+    * both [[stages]] and [[funnel]] filter/aggregate, so the whole
+    * pipeline is a single checkpointed frame instead of six (the
+    * funnel's seven aggregates and six stage frames each cost a job
+    * when materialized separately; measured 9.4 s → ~4.5 s warm at
+    * sf0.1 together with the layout feeds below).
+    * Sound because every post-component stage decision is PER-DOC:
+    * quality signals (token aggregates of the doc's own text),
+    * contamination fraction (the doc's own shingles vs the benchmark
+    * set), and the mixture coin (hash of the doc's own id) are
+    * identical whether computed on the full corpus or any subset, so
+    * flags computed once on the base frame agree with the
+    * stage-by-stage composition — which is exactly what the chained
+    * q284 oracle (subset-computed, stage by stage) hash-verifies.
+    * Only the two corpus-dependent stages (keeper windows over
+    * content-hash groups and near-dup components of the EXACT-KEEPER
+    * corpus) are computed on their true input domain.
+    *
+    * `useLsh = false` runs the exact shingle-count pair source (the
+    * oracle-checkable ground truth; count-based full join, NOT the
+    * prefix filter — at t=0.4 the prefix spans 60% of each doc and
+    * prunes almost nothing, jaccardPairsPrefix's own guidance); `true`
+    * swaps in MinHash-LSH banding — the 100 TB regime (q202
     * convention: identical downstream plan, pair source exchanged).
-    * Stage frames are lazily checkpointed: each feeds both its
-    * successor stage and its own funnel aggregate, and Spark has no
-    * cross-subtree CSE. */
-  def stages(docs0: DataFrame, useLsh: Boolean = false): Seq[(String, DataFrame)] = {
+    *
+    * Output: (doc_id, source, text, n_chars, n_tok, f_ek, f_nk, f_q,
+    * f_dc, f_mx) where each flag is that stage's own verdict;
+    * stage-k survival is the AND of flags a..k.
+    *
+    * `corpusShingles`: the write-once
+    * [[graft.sources.ShingleLayout]]-style (doc_id, sh, n_sh) table
+    * covering ALL of `docs0`. Shingles are per-doc rows, so the
+    * exact-keeper and eval-side shingle sets are doc_id semi-join
+    * FILTERS of it — value-identical to deriving them
+    * ([[Dedup.shingleRows]]) but read from parquet instead of
+    * re-tokenizing the corpus twice per run (the production shape:
+    * the shingle index lives next to the corpus). None derives
+    * in-query (amplified/ad-hoc corpora).
+    *
+    * `corpusPairs`: the write-once [[graft.sources.PairsLayout]]-style
+    * (doc_a, doc_b, jaccard) exact-pair table at [[NearDupThreshold]]
+    * over ALL of `docs0`. Jaccard is a PAIRWISE property (independent
+    * of the rest of the corpus), so the exact-keeper pair set is the
+    * full table filtered to both endpoints ∈ keepers — value-identical
+    * to running the shingle self-join on the keeper subset, read from
+    * parquet instead (the PairsLayout convention: downstream operators
+    * read the verified-pair table, q26 stays the live measurement of
+    * derivation cost). Ignored under `useLsh` (the banded candidate
+    * path generates its own pairs). */
+  def perDocStages(docs0: DataFrame, useLsh: Boolean = false,
+                   corpusShingles: Option[DataFrame] = None,
+                   corpusPairs: Option[DataFrame] = None): DataFrame = {
+    val wEk = Window.partitionBy(col("content_hash"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
     val base = trainingSide(docs0
         .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")))
+      .withColumn("content_hash",
+        md5(Dedup.normalized(col("text")).cast("binary")))
+      .withColumn("f_ek", row_number().over(wEk) === 1)
+      .drop("content_hash")
       .localCheckpoint(false)
-    val ek = exactKeepers(base).localCheckpoint(false)
-    // one shingle derivation feeds the pair join AND decontamination
-    val shEk = Dedup.shingleRows(ek).localCheckpoint(false)
+    val ek = base.filter(col("f_ek"))
+    // one shingle table feeds the pair join AND decontamination
+    val shEk = corpusShingles
+      .map(_.join(ek.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.shingleRows(ek))
+      .localCheckpoint(false)
+    val ekIds = ek.select(col("doc_id"))
     val pairs =
       if (useLsh) Dedup.minHashLshPairs(ek, NearDupThreshold, shingleTable = Some(shEk))
-      else Dedup.jaccardPairsPrefix(ek, NearDupThreshold, shingleTable = Some(shEk))
-    val nk = componentKeepers(ek, pairs).localCheckpoint(false)
-    val qk = withQualityReason(nk).filter(col("reason") === "pass")
-      .drop("reason").localCheckpoint(false)
-    val bench = Dedup.shingleRows(evalSide(docs0)).select(col("sh")).distinct()
-    val dk = decontaminated(qk, shEk, bench).localCheckpoint(false)
-    val mk = mixtureKept(dk).localCheckpoint(false)
-    Seq("a_ingest" -> base, "b_exact_dedup" -> ek, "c_near_dedup" -> nk,
-      "d_quality" -> qk, "e_decontaminated" -> dk, "f_mixed" -> mk,
-      "g_packed" -> packedBins(mk))
+      else corpusPairs match {
+        case Some(p) =>
+          p.join(ekIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+            .join(ekIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        case None =>
+          Dedup.jaccardPairs(ek, NearDupThreshold, shingleTable = Some(shEk))
+      }
+    val comp = Components.componentsOver(ek,
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val wNk = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val nkFlag = ek.select(col("doc_id"), col("n_chars")).join(comp, Seq("doc_id"))
+      .withColumn("f_nk", row_number().over(wNk) === 1)
+      .select(col("doc_id"), col("f_nk"))
+    val bench = corpusShingles
+      .map(_.join(evalSide(docs0).select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(Dedup.shingleRows(evalSide(docs0)))
+      .select(col("sh")).distinct()
+    val hits = shEk.select(col("doc_id"), col("sh"))
+      .join(bench.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+    withQualityReason(base)
+      .join(nkFlag, Seq("doc_id"), "left_outer")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        col("n_tok"), col("f_ek"),
+        coalesce(col("f_nk"), lit(false)).as("f_nk"),
+        (col("reason") === "pass").as("f_q"),
+        (col("n_hit").isNull ||
+          col("n_hit") * lit(1.0) / col("n_sh") < ContaminationCutoff).as("f_dc"),
+        (mixtureCoinHex(col("doc_id")) <= mixtureThreshold(col("source"))).as("f_mx"))
+      .localCheckpoint(false)
+  }
+
+  /** Cumulative survival predicate for each stage, in pipeline order,
+    * over a [[perDocStages]] frame. */
+  private def survival: Seq[(String, Column)] = {
+    val flags = Seq(lit(true), col("f_ek"), col("f_nk"), col("f_q"),
+      col("f_dc"), col("f_mx"))
+    StageNames.zip(flags.scanLeft(lit(true))(_ && _).tail)
+  }
+
+  /** Every surviving-doc frame of the pipeline, keyed by funnel-stage
+    * label, plus the packed-bin frame under "g_packed" — each a filter
+    * over the ONE [[perDocStages]] frame (no per-stage
+    * materialization). */
+  def stages(docs0: DataFrame, useLsh: Boolean = false,
+             corpusShingles: Option[DataFrame] = None,
+             corpusPairs: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
+    val pd = perDocStages(docs0, useLsh, corpusShingles, corpusPairs)
+    val flagless = Seq("doc_id", "source", "text", "n_chars", "n_tok")
+    val st = survival.map { case (name, keep) =>
+      name -> pd.filter(keep).select(flagless.map(col): _*)
+    }
+    st :+ ("g_packed" -> packedBinsFromCounts(
+      pd.filter(survival.last._2)
+        .select(col("doc_id"), col("n_tok").as("tok"))))
   }
 
   /** The curation funnel report: docs and whitespace tokens surviving
     * each stage, ordered by pipeline position; the final row counts
     * packed SEQUENCES (bins) and their tokens — which must equal
     * f_mixed's tokens exactly (packing conserves tokens; the spec pins
-    * it). This single frame hash-verifies the whole composition
-    * against the chained DuckDB oracle. */
-  def funnel(docs0: DataFrame, useLsh: Boolean = false): DataFrame = {
-    val st = stages(docs0, useLsh)
-    val stats = st.map {
-      case ("g_packed", bins) =>
-        bins.agg(count(lit(1)).as("n_docs"),
-            sum(col("tokens")).as("n_tokens"))
-          .select(lit("g_packed").as("stage"), col("n_docs"), col("n_tokens"))
-      case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    * it). One conditional aggregate over [[perDocStages]] reshaped via
+    * stack (plus the packed-bin aggregate) — two jobs, not seven.
+    * This single frame hash-verifies the whole composition against
+    * the chained DuckDB oracle. */
+  def funnel(docs0: DataFrame, useLsh: Boolean = false,
+             corpusShingles: Option[DataFrame] = None,
+             corpusPairs: Option[DataFrame] = None): DataFrame = {
+    val pd = perDocStages(docs0, useLsh, corpusShingles, corpusPairs)
+    val aggs = survival.flatMap { case (name, keep) =>
+      Seq(sum(when(keep, 1L).otherwise(0L)).as(s"d_$name"),
+        sum(when(keep, col("n_tok")).otherwise(0L)).as(s"t_$name"))
     }
-    stats.reduce(_.union(_)).orderBy(col("stage"))
+    val stackArgs = StageNames
+      .map(n => s"'$n', d_$n, t_$n").mkString(", ")
+    val stageRows = pd.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${StageNames.size}, $stackArgs) " +
+        "AS (stage, n_docs, n_tokens)")
+    val packed = packedBinsFromCounts(
+        pd.filter(survival.last._2)
+          .select(col("doc_id"), col("n_tok").as("tok")))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .select(lit("g_packed").as("stage"), col("n_docs"), col("n_tokens"))
+    stageRows.union(packed).orderBy(col("stage"))
   }
 }

@@ -66,15 +66,16 @@ object CorpusProbe {
         r
       }
       val regime = if (useLsh) "lsh" else "exact"
-      // the components fixpoint (and the prefix-join's internal
-      // checkpoints) execute EAGERLY while stages() assembles — time
-      // the construction as its own line or the near-dedup stage
-      // reads as free
+      // the components fixpoint executes EAGERLY while stages()
+      // assembles the per-doc flag frame — time the construction as
+      // its own line or the near-dedup work reads as free
       val stages = timed(s"$regime/build+fixpoint") {
         CorpusPipeline.stages(Tables.documents(spark, sfDir), useLsh)
       }
-      // each stage frame is a lazy checkpoint: forcing them in
-      // pipeline order attributes each stage's cost to its own count()
+      // every stage frame is a filter over ONE lazily-checkpointed
+      // flag frame: the first count() pays the remaining pipeline
+      // (quality/decon/mixture joins + checkpoint materialization),
+      // later stages are flag-filter scans of the pinned blocks
       stages.foreach { case (name, df) =>
         timed(s"$regime/$name") { println(s"[probe] $tag   rows = ${df.count()}") }
       }

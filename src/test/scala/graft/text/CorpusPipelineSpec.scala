@@ -77,6 +77,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(contaminated === 0L)
   }
 
+  test("layout-fed funnel equals the derived funnel") {
+    // the catalog entry feeds the write-once Shingle/Pairs layouts;
+    // shingles are per-doc rows and Jaccard is a pairwise property, so
+    // semi-join filters of the full-corpus tables must be
+    // value-identical to deriving both from each stage's subset
+    val layoutFed = CorpusPipeline.funnel(docs,
+        corpusShingles = Some(graft.sources.ShingleLayout.shingles(spark, sf)),
+        corpusPairs = Some(graft.sources.PairsLayout.jaccardPairs(spark, sf,
+          CorpusPipeline.NearDupThreshold)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val derived = funnel.toSeq.sortBy(_._1)
+      .map { case (s, (d, t)) => (s, d, t) }
+    assert(layoutFed.sortBy(_._1).toSeq === derived)
+  }
+
   test("LSH regime: identical prefix, superset survivors downstream") {
     val lsh = CorpusPipeline.funnel(docs, useLsh = true)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
