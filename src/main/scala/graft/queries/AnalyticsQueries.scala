@@ -24,7 +24,7 @@ object AnalyticsQueries {
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
     q245TimeToConvert, q246ShapleyAttribution, q275Stickiness,
-    q276Cvm, q279Hill)
+    q276Cvm, q279Hill, q286MatrixProfile)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2671,5 +2671,112 @@ object AnalyticsQueries {
         (col("alpha") > 1).cast("int").as("finite_mean"),
         (col("alpha") > 2).cast("int").as("finite_var"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Matrix-profile window length (weeks). */
+  val MpWindow = 8
+
+  /** Matrix profile of the weekly total-quantity series per return
+    * flag — motif/discord discovery (Yeh et al., "Matrix Profile I",
+    * ICDM 2016): for every length-[[MpWindow]] subsequence, the
+    * distance to its nearest non-overlapping neighbor (|i−j| ≥ m
+    * trivial-match exclusion). Small profile values = repeated
+    * motifs; the max row is the series' top discord (anomalous
+    * shape). Distance is MEAN-CENTERED (offset-invariant — a motif is
+    * a shape, not a level) Euclidean, kept exactly integral by
+    * scaling by m: d2 = Σ_t ((aₜ−bₜ)·m − (Sa−Sb))² =
+    * m²·Σ((aₜ−ā)−(bₜ−b̄))². Quantities are integer-valued and IEEE
+    * sums of integers below 2⁵³ are exact in any order, so the
+    * series, every distance, and the (d2, j) argmin tie-break are
+    * engine-exact integers with no rounding step anywhere; the one
+    * float is the reported dist = √d2/m, a correctly-rounded IEEE op
+    * on an exact int. (The first cut used ROUND(AVG·100) cents —
+    * engine-order dust flips that at half-cent boundaries; q285 hit
+    * the same trap and both moved to exact integer sums.)
+    *
+    * Scale design: the time axis is CALENDAR WEEKS — window and pair
+    * tables are ≤(52·years) and ≤(52·years)² rows per group at any
+    * corpus scale (the q285 boundedness argument); the only
+    * data-bound pass is the weekly aggregate's single shuffle. The
+    * window-pair join is an equi-join on the group key with the
+    * exclusion residual; the NN argmin is a per-(group, i) window
+    * over the bounded pair table.
+    */
+  val q286MatrixProfile = GraftQuery(
+    "q286_matrix_profile",
+    "matrix profile (nearest non-overlapping subsequence) of weekly quantity per flag",
+    Some(s"""WITH wkly AS (
+        SELECT l_returnflag, date_trunc('week', l_shipdate) AS wk,
+          CAST(SUM(l_quantity) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2),
+      ser AS (
+        SELECT l_returnflag, wk, y AS c,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY wk) AS i
+        FROM wkly),
+      win AS (
+        SELECT s.l_returnflag, s.i, s.wk,
+          list(t.c ORDER BY t.i) AS w,
+          CAST(SUM(t.c) AS BIGINT) AS sw
+        FROM ser s JOIN ser t
+          ON s.l_returnflag = t.l_returnflag
+          AND t.i BETWEEN s.i AND s.i + ${MpWindow - 1}
+        GROUP BY s.l_returnflag, s.i, s.wk
+        HAVING COUNT(*) = $MpWindow),
+      pr AS (
+        SELECT a.l_returnflag, a.i AS ia, a.wk AS wka,
+          b.i AS ib, b.wk AS wkb,
+          CAST(list_sum(list_transform(range($MpWindow), t ->
+            ((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw)) *
+            ((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw))))
+            AS BIGINT) AS d2
+        FROM win a JOIN win b
+          ON a.l_returnflag = b.l_returnflag
+          AND abs(a.i - b.i) >= $MpWindow),
+      nn AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_returnflag, ia ORDER BY d2, ib) AS rn
+        FROM pr)
+      SELECT l_returnflag, CAST(wka AS DATE) AS wk,
+        CAST(wkb AS DATE) AS nn_wk, d2,
+        ROUND(SQRT(d2) / $MpWindow, 4) AS dist
+      FROM nn WHERE rn = 1 ORDER BY 1, 2"""),
+    (s, d) => matrixProfile(lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
+      .agg(sum(col("l_quantity")).cast("long").as("y"))))
+
+  /** The matrix-profile plan over any (l_returnflag, wk, y) series
+    * frame (y integer-valued) — extracted so AnalyticsSpec can plant
+    * a motif + discord and check the profile finds them. */
+  def matrixProfile(weekly: DataFrame): DataFrame = {
+    val m = MpWindow
+    val wI = Window.partitionBy(col("l_returnflag")).orderBy(col("wk"))
+    val frame = wI.rowsBetween(Window.currentRow, m - 1)
+    val win = weekly
+      .withColumn("i", row_number().over(wI))
+      .withColumn("c", col("y").cast("long"))
+      .withColumn("w", collect_list(col("c")).over(frame))
+      .withColumn("sw", sum(col("c")).over(frame))
+      .filter(size(col("w")) === m)
+      .select(col("l_returnflag"), col("i"), col("wk"), col("w"), col("sw"))
+      .localCheckpoint(false) // feeds both sides of the pair join
+    val a = win.select(col("l_returnflag"), col("i").as("ia"),
+      col("wk").as("wka"), col("w").as("wa"), col("sw").as("swa"))
+    val b = win.select(col("l_returnflag"), col("i").as("ib"),
+      col("wk").as("wkb"), col("w").as("wb"), col("sw").as("swb"))
+    val term = zip_with(col("wa"), col("wb"), (x, y) =>
+      ((x - y) * m - (col("swa") - col("swb"))) *
+        ((x - y) * m - (col("swa") - col("swb"))))
+    val wNn = Window.partitionBy(col("l_returnflag"), col("ia"))
+      .orderBy(col("d2"), col("ib"))
+    a.join(b, Seq("l_returnflag"))
+      .filter(abs(col("ia") - col("ib")) >= m)
+      .withColumn("d2", aggregate(term, lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("wka").as("wk"),
+        col("wkb").as("nn_wk"), col("d2"),
+        round(sqrt(col("d2")) / m, 4).as("dist"))
+      .orderBy(col("l_returnflag"), col("wk"))
   }
 }

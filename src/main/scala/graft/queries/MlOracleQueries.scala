@@ -35,7 +35,7 @@ object MlOracleQueries {
   def queries: Seq[GraftQuery] =
     Seq(q254Ols, q255NaiveBayes, q256Stump, q257LloydStep,
       q265Mahalanobis, q266Pca2, q270LooInfluence, q272RidgePath,
-      q273BoostRound, q282IrlsStep, q283EmTopics)
+      q273BoostRound, q282IrlsStep, q283EmTopics, q285Isotonic)
 
   /** OLS `l_extendedprice ~ l_quantity + l_discount` per return flag,
     * solved exactly by the 3×3 normal equations (adjugate inverse of
@@ -1046,5 +1046,97 @@ object MlOracleQueries {
         round(col("s1b") / col("rn"), 6).as("mass1_odd"),
         round(col("s2b") / col("qn"), 6).as("mass2_odd"))
       .orderBy(col("source"))
+  }
+
+  /** Isotonic (monotone non-decreasing) regression of the weekly
+    * total quantity per return flag — the calibration primitive
+    * behind monotone probability calibration and dose-response fits,
+    * exact via the minimax characterization ŷᵢ = max_{j≤i} min_{k≥i}
+    * mean(y[j..k]) (equivalent to pool-adjacent-violators; Robertson/
+    * Wright/Dykstra, *Order Restricted Statistical Inference*). PAV
+    * itself is inherently sequential; the minimax form is a
+    * self-join + two windows + one aggregate — fully parallel.
+    *
+    * Scale design: the x-axis is CALENDAR WEEKS — a domain constant,
+    * not a corpus dimension — so the interval table is ≤ (52·years)²
+    * rows per group at ANY corpus scale; the only data-bound pass is
+    * the weekly aggregate's single shuffle. The interval join is an
+    * equi-join on the group key with a j≤k residual (hash/sort-merge,
+    * no BNLJ), the suffix-min window partitions by (group, j), and
+    * the final max is a hash aggregate.
+    *
+    * Float discipline: quantities are integer-valued, and IEEE sums
+    * of integers below 2⁵³ are EXACT in any accumulation order, so
+    * the weekly series and its prefix sums are engine-identical
+    * integers with no rounding step at all; the single division
+    * (sum / len) is a correctly-rounded IEEE op on exact integers, so
+    * min/max/fit are bit-identical across engines. (The first cut
+    * used ROUND(AVG·100) cents — engine-order dust flips that at
+    * half-cent boundaries; q286 hit the same trap and both moved to
+    * exact integer sums.)
+    */
+  val q285Isotonic = GraftQuery(
+    "q285_isotonic",
+    "isotonic fit of weekly total quantity per return flag (minimax closed form)",
+    Some("""WITH w AS (
+        SELECT l_returnflag, date_trunc('week', l_shipdate) AS wk,
+          CAST(SUM(l_quantity) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2),
+      i AS (
+        SELECT l_returnflag, wk, y,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY wk) AS i
+        FROM w),
+      p AS (
+        SELECT l_returnflag, i, y,
+          SUM(y) OVER (PARTITION BY l_returnflag ORDER BY i) AS s
+        FROM i),
+      pr AS (
+        SELECT a.l_returnflag, a.i AS j, a.s - a.y AS spj,
+          b.i AS k, b.s AS sk
+        FROM p a JOIN p b ON a.l_returnflag = b.l_returnflag AND a.i <= b.i),
+      m AS (
+        SELECT l_returnflag, j, k,
+          MIN(CAST(sk - spj AS DOUBLE) / (k - j + 1)) OVER (
+            PARTITION BY l_returnflag, j ORDER BY k DESC) AS mn
+        FROM pr),
+      f AS (
+        SELECT l_returnflag, k AS i, MAX(mn) AS fit
+        FROM m GROUP BY 1, 2)
+      SELECT i.l_returnflag, CAST(i.wk AS DATE) AS wk, i.y,
+        ROUND(f.fit, 4) AS fit
+      FROM i JOIN f ON i.l_returnflag = f.l_returnflag AND i.i = f.i
+      ORDER BY 1, 2"""),
+    (s, d) => isotonicFit(lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
+      .agg(sum(col("l_quantity")).cast("long").as("y"))))
+
+  /** The minimax isotonic plan over any (l_returnflag, wk, y) series
+    * frame (y integer-valued) — extracted so MlOracleSpec can
+    * hand-trace PAV pools on tiny sequences. */
+  def isotonicFit(weekly: DataFrame): DataFrame = {
+    val wI = Window.partitionBy(col("l_returnflag")).orderBy(col("wk"))
+    val p = weekly
+      .withColumn("y", col("y").cast("long"))
+      .withColumn("i", row_number().over(wI))
+      .withColumn("s", sum(col("y")).over(wI))
+      .localCheckpoint(false) // feeds both sides of the interval join
+    val a = p.select(col("l_returnflag"), col("i").as("j"),
+      (col("s") - col("y")).as("spj"))
+    val b = p.select(col("l_returnflag"), col("i").as("k"), col("s").as("sk"))
+    val wSuf = Window.partitionBy(col("l_returnflag"), col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = a.join(b, Seq("l_returnflag")).filter(col("j") <= col("k"))
+      .withColumn("mean",
+        (col("sk") - col("spj")).cast("double") / (col("k") - col("j") + 1))
+      .withColumn("mn", min(col("mean")).over(wSuf))
+      .groupBy(col("l_returnflag"), col("k").as("i"))
+      .agg(max(col("mn")).as("fit"))
+    p.select(col("l_returnflag"), col("wk"), col("y"), col("i"))
+      .join(fit, Seq("l_returnflag", "i"))
+      .select(col("l_returnflag"), col("wk"), col("y"),
+        round(col("fit"), 4).as("fit"))
+      .orderBy(col("l_returnflag"), col("wk"))
   }
 }

@@ -573,4 +573,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 2.0) < 0.3)
     assert(r.getInt(4) === 1 && r.getInt(5) === 1)
   }
+
+  test("q286 matrix profile: planted level-shifted motif found at distance 0, exclusion respected") {
+    import spark.implicits._
+    import java.sql.Date
+    val m = AnalyticsQueries.MpWindow
+    val pattern = Seq(100L, 900L, 100L, 900L, 100L, 900L, 100L, 900L)
+    // quadratic baseline (no repeated shape) with the same 8-week
+    // pattern planted at t=5 and, LEVEL-SHIFTED +500, at t=25 — a
+    // motif is a shape, not a level, so mean-centered distance is 0
+    val ys = (0 until 40).map { t =>
+      if (t >= 5 && t < 13) pattern(t - 5)
+      else if (t >= 25 && t < 33) pattern(t - 25) + 500L
+      else (t * t * 7L + 11)
+    }
+    val weeks = (0 until 40).map(t => Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusWeeks(t).toString))
+    val out = AnalyticsQueries.matrixProfile(
+        ys.indices.map(t => ("A", weeks(t), ys(t))).toDF("l_returnflag", "wk", "y"))
+      .collect().map(r => (r.getDate(1), r.getDate(2), r.getLong(3), r.getDouble(4)))
+    // every full window has a profile row
+    assert(out.length === 40 - m + 1)
+    // the planted pair find each other exactly despite the level shift
+    val byWk = out.map(r => r._1 -> r).toMap
+    assert(byWk(weeks(5)) === ((weeks(5), weeks(25), 0L, 0.0)))
+    assert(byWk(weeks(25)) === ((weeks(25), weeks(5), 0L, 0.0)))
+    // no other window matches at 0 (the baseline never repeats)
+    assert(out.count(_._3 == 0L) === 2)
+    // trivial-match exclusion: NN is always >= m weeks away
+    out.foreach { case (wk, nn, _, _) =>
+      assert(math.abs(wk.toLocalDate.toEpochDay - nn.toLocalDate.toEpochDay) >= 7L * m)
+    }
+  }
 }

@@ -208,6 +208,46 @@ class MlOracleSpec extends AnyFunSuite {
     assert(o.getDouble(5) === r6(1.0 / 33))   // mass2_odd suppressed
   }
 
+  test("q285 isotonic: hand-traced PAV pools, monotone, and a sequential cross-check") {
+    import java.sql.Date
+    def fitOf(ys: Seq[Double]): Seq[Double] = {
+      val rows = ys.zipWithIndex.map { case (y, i) =>
+        ("A", Date.valueOf(f"2024-01-${i + 1}%02d"), y) }
+      MlOracleQueries.isotonicFit(rows.toDF("l_returnflag", "wk", "y"))
+        .collect().map(_.getDouble(3)).toSeq
+    }
+    // [3,1,2]: PAV pools 3,1 → 2,2; third stays → [2,2,2]
+    assert(fitOf(Seq(3, 1, 2)) === Seq(2.0, 2.0, 2.0))
+    // [1,3,2,4]: only 3,2 pool → [1, 2.5, 2.5, 4]
+    assert(fitOf(Seq(1, 3, 2, 4)) === Seq(1.0, 2.5, 2.5, 4.0))
+    // already monotone is a fixed point
+    assert(fitOf(Seq(1, 2, 3)) === Seq(1.0, 2.0, 3.0))
+    // fixture: per-group fit is non-decreasing and equals a
+    // driver-side sequential PAV on the same integer weekly series
+    def pav(ys: Seq[Long]): Seq[Double] = {
+      // stack of (pooled sum, width)
+      val st = collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      ys.foreach { y =>
+        var blk = (y, 1)
+        while (st.nonEmpty &&
+            st.last._1.toDouble / st.last._2 >= blk._1.toDouble / blk._2) {
+          val p = st.remove(st.size - 1)
+          blk = (p._1 + blk._1, p._2 + blk._2)
+        }
+        st += blk
+      }
+      st.toSeq.flatMap { case (s, w) =>
+        Seq.fill(w)(math.round(s.toDouble / w * 1e4) / 1e4) }
+    }
+    val out = graft.SparkEntry.queries("q285_isotonic")(spark, SparkTestSession.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    out.groupBy(_._1).values.foreach { g =>
+      val fits = g.map(_._3).toSeq
+      assert(fits === fits.sorted, "fit not monotone")
+      assert(fits === pav(g.map(_._2).toSeq), "minimax != sequential PAV")
+    }
+  }
+
   test("lloyd step: 1-dim hand trace and the WCSS identity") {
     // points {0,1,4,5}, seeds at 0 and 5 → clusters {0,1} and {4,5};
     // each: wb = 1, mu at the midpoint, shift 0.5,
