@@ -24,7 +24,7 @@ object AnalyticsQueries {
     q209Gini, q210MutualInfo, q211Benford, q212Attribution, q214AcfLjungBox,
     q222Hits, q235Winsorized, q236Rfm, q243FdDiscovery, q244Ppr,
     q245TimeToConvert, q246ShapleyAttribution, q275Stickiness,
-    q276Cvm, q279Hill, q286MatrixProfile)
+    q276Cvm, q279Hill, q286MatrixProfile, q287LogRank)
 
   /** Time-series gap-fill: a user × day spine (dates from one
     * broadcast min/max row — never a driver collect), left-joined
@@ -2744,6 +2744,132 @@ object AnalyticsQueries {
       .groupBy(col("l_returnflag"),
         date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
       .agg(sum(col("l_quantity")).cast("long").as("y"))))
+
+  /** Log-rank (Mantel–Cox) two-sample survival test over the q207
+    * lifetime framing — the hypothesis test Kaplan–Meier curves call
+    * for: at every churn time t, the observed arm-0 deaths vs the
+    * hypergeometric expectation d·n₀/n given the at-risk counts,
+    * summed into O−E and its variance; χ² = (O−E)²/V, z = (O−E)/√V.
+    * Arms are the deterministic user_id%2 coin (the repo's A/B
+    * convention), so under the null the statistic sits near 0 — the
+    * fixture's value is the null-calibration check, and the planted
+    * spec regime is where the test must fire.
+    *
+    * Scale design: one shuffle builds per-user lifetimes; everything
+    * after runs on the (arm × distinct-lifetime) table — bounded by
+    * CALENDAR DAYS, not users (the q285/q286 axis argument). At-risk
+    * counts come from a per-arm cumulative window over that bounded
+    * spine (never a per-user window), so a billion users cost one
+    * aggregate pass. All counts are integers; the per-time E/V terms
+    * are the only doubles and the reported statistics round 4dp.
+    */
+  val q287LogRank = GraftQuery(
+    "q287_log_rank",
+    "log-rank test: user-lifetime survival, arm = user_id % 2 (null calibration)",
+    Some("""WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fday,
+          MAX(CAST(ts AS DATE)) AS lday
+        FROM events GROUP BY 1),
+      e AS (SELECT MAX(lday) AS endd FROM u),
+      lt AS (
+        SELECT user_id % 2 AS arm, datediff('day', fday, lday) AS t,
+          CASE WHEN lday < endd - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churn
+        FROM u, e),
+      cnt AS (
+        SELECT arm, t, COUNT(*) AS m, SUM(churn) AS d
+        FROM lt GROUP BY 1, 2),
+      spine AS (
+        SELECT s.t, a.arm FROM (SELECT DISTINCT t FROM lt) s
+        CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a),
+      g AS (
+        SELECT spine.t, spine.arm,
+          COALESCE(cnt.m, 0) AS m, COALESCE(cnt.d, 0) AS d
+        FROM spine LEFT JOIN cnt USING (t, arm)),
+      r AS (
+        SELECT t, arm, d,
+          SUM(m) OVER (PARTITION BY arm) -
+          SUM(m) OVER (PARTITION BY arm ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + m AS atrisk
+        FROM g),
+      w AS (
+        SELECT t,
+          SUM(CASE WHEN arm = 0 THEN atrisk ELSE 0 END) AS n0,
+          SUM(CASE WHEN arm = 1 THEN atrisk ELSE 0 END) AS n1,
+          SUM(CASE WHEN arm = 0 THEN d ELSE 0 END) AS d0,
+          SUM(d) AS dt
+        FROM r GROUP BY t),
+      terms AS (
+        SELECT d0,
+          dt * CAST(n0 AS DOUBLE) / (n0 + n1) AS e0t,
+          CASE WHEN n0 + n1 > 1 THEN
+            dt * (CAST(n0 AS DOUBLE) / (n0 + n1)) *
+            (1 - CAST(n0 AS DOUBLE) / (n0 + n1)) *
+            (n0 + n1 - dt) / (n0 + n1 - 1)
+          ELSE 0 END AS vt
+        FROM w WHERE dt > 0)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lt WHERE arm = 0) AS n0_users,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lt WHERE arm = 1) AS n1_users,
+        CAST(SUM(d0) AS BIGINT) AS observed0,
+        ROUND(SUM(e0t), 4) AS expected0,
+        ROUND(POWER(SUM(d0) - SUM(e0t), 2) / SUM(vt), 4) AS chi2,
+        ROUND((SUM(d0) - SUM(e0t)) / SQRT(SUM(vt)), 4) AS z
+      FROM terms"""),
+    (s, d) => {
+      val u = events(s, d).groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("fday"), max(to_date(col("ts"))).as("lday"))
+      val e = u.agg(max(col("lday")).as("endd"))
+      val lt = u.crossJoin(broadcast(e))
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+          datediff(col("lday"), col("fday")).as("t"),
+          when(col("lday") < date_sub(col("endd"), 7), 1).otherwise(0).as("churn"))
+      logRank(lt)
+    })
+
+  /** The log-rank plan over any (arm ∈ {0,1}, t, churn ∈ {0,1}) frame
+    * — extracted so AnalyticsSpec can hand-trace risk sets and plant
+    * a separated-survival regime. */
+  def logRank(lt: DataFrame): DataFrame = {
+    val lt0 = lt.localCheckpoint(false) // feeds counts, spine, totals
+    val cnt = lt0.groupBy(col("arm"), col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("churn")).as("d"))
+    val spine = lt0.select(col("t")).distinct()
+      .crossJoin(broadcast(
+        lt0.sparkSession.range(2).select(col("id").cast("int").as("arm"))))
+    val g = spine.join(cnt, Seq("t", "arm"), "left")
+      .select(col("t"), col("arm"),
+        coalesce(col("m"), lit(0L)).as("m"), coalesce(col("d"), lit(0L)).as("d"))
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("arm"))
+    val r = g
+      .withColumn("atrisk", sum(col("m")).over(wTot) -
+        sum(col("m")).over(wCum) + col("m"))
+    val w = r.groupBy(col("t"))
+      .agg(sum(when(col("arm") === 0, col("atrisk")).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, col("atrisk")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(col("d")).as("dt"))
+      .filter(col("dt") > 0)
+    val p0 = col("n0").cast("double") / (col("n0") + col("n1"))
+    val terms = w.select(col("d0"),
+      (col("dt") * p0).as("e0t"),
+      when(col("n0") + col("n1") > 1,
+        col("dt") * p0 * (lit(1) - p0) *
+          (col("n0") + col("n1") - col("dt")) /
+          (col("n0") + col("n1") - 1)).otherwise(lit(0.0)).as("vt"))
+    val users = lt0.groupBy()
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0_users"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1_users"))
+    terms.agg(sum(col("d0")).as("o0"), sum(col("e0t")).as("e0"),
+        sum(col("vt")).as("v"))
+      .crossJoin(broadcast(users))
+      .select(col("n0_users"), col("n1_users"),
+        col("o0").cast("long").as("observed0"),
+        round(col("e0"), 4).as("expected0"),
+        round(pow(col("o0") - col("e0"), 2) / col("v"), 4).as("chi2"),
+        round((col("o0") - col("e0")) / sqrt(col("v")), 4).as("z"))
+  }
 
   /** The matrix-profile plan over any (l_returnflag, wk, y) series
     * frame (y integer-valued) — extracted so AnalyticsSpec can plant

@@ -574,6 +574,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getInt(4) === 1 && r.getInt(5) === 1)
   }
 
+  test("q287 log rank: hand-traced risk sets, and separated survival fires the test") {
+    import spark.implicits._
+    // arm0: churn at t=1 and t=2; arm1: censored at t=1, churn at t=3.
+    // t=1: n0=2 n1=2 d=1(arm0) -> E0 += 0.5, V += 1*.5*.5*3/3 = 0.25
+    // t=2: n0=1 n1=1 d=1(arm0) -> E0 += 0.5, V += 1*.5*.5*1/1 = 0.25
+    // t=3: n0=0 n1=1, nt=1 -> variance term guarded to 0, d0=0
+    // O0=2, E0=1.0, V=0.5 -> chi2 = 1/0.5 = 2.0, z = 1/sqrt(.5) = 1.4142
+    val lt = Seq((0, 1L, 1), (0, 2L, 1), (1, 1L, 0), (1, 3L, 1))
+    val r = AnalyticsQueries.logRank(lt.toDF("arm", "t", "churn")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 2L)))
+    assert(r.getDouble(3) === 1.0)      // expected0
+    assert(r.getDouble(4) === 2.0)      // chi2
+    assert(r.getDouble(5) === 1.4142)   // z
+    // separated regimes: arm0 all churn early, arm1 all churn late ->
+    // arm0 deaths come while arm1 is fully at risk, so O0 >> E0
+    val sep = ((1L to 8L).map(t => (0, t, 1)) ++
+      (11L to 18L).map(t => (1, t, 1)))
+    val r2 = AnalyticsQueries.logRank(sep.toDF("arm", "t", "churn")).collect()(0)
+    assert(r2.getDouble(5) > 2.0, s"z = ${r2.getDouble(5)} should detect separation")
+    assert(r2.getDouble(4) > 4.0)
+  }
+
   test("q286 matrix profile: planted level-shifted motif found at distance 0, exclusion respected") {
     import spark.implicits._
     import java.sql.Date

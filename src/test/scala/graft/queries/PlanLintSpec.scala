@@ -196,7 +196,11 @@ class PlanLintSpec extends AnyFunSuite {
         "join equi on cell"),
     "q203_ivf_matryoshka_agreement" ->
       ("bounded: IVF centroid probe (nCells cap 65536); candidate " +
-        "join equi on cell"))
+        "join equi on cell"),
+    "q287_log_rank" ->
+      ("bounded: 2-row literal arm spine broadcast onto the " +
+        "day-bounded distinct-lifetime table (the q87 literal-frame " +
+        "shape); the per-user pass is the one equi-grouped shuffle"))
 
   /** Is this BNLJ's broadcast side provably tiny — fed by a scalar
     * (groupless) aggregate or a limit? Those are the 1-row/≤k-row
