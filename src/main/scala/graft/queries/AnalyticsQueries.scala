@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables._
 
@@ -2726,9 +2727,9 @@ object AnalyticsQueries {
         SELECT a.l_returnflag, a.i AS ia, a.wk AS wka,
           b.i AS ib, b.wk AS wkb,
           CAST(list_sum(list_transform(range($MpWindow), t ->
-            ((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw)) *
-            ((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw))))
-            AS BIGINT) AS d2
+            CAST((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw) AS HUGEINT) *
+            CAST((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw) AS HUGEINT)))
+            AS HUGEINT) AS d2
         FROM win a JOIN win b
           ON a.l_returnflag = b.l_returnflag
           AND abs(a.i - b.i) >= $MpWindow),
@@ -2812,8 +2813,8 @@ object AnalyticsQueries {
         (SELECT CAST(COUNT(*) AS BIGINT) FROM lt WHERE arm = 1) AS n1_users,
         CAST(SUM(d0) AS BIGINT) AS observed0,
         ROUND(SUM(e0t), 4) AS expected0,
-        ROUND(POWER(SUM(d0) - SUM(e0t), 2) / SUM(vt), 4) AS chi2,
-        ROUND((SUM(d0) - SUM(e0t)) / SQRT(SUM(vt)), 4) AS z
+        ROUND(POWER(SUM(d0) - SUM(e0t), 2) / nullif(SUM(vt), 0), 4) AS chi2,
+        ROUND((SUM(d0) - SUM(e0t)) / SQRT(nullif(SUM(vt), 0)), 4) AS z
       FROM terms"""),
     (s, d) => {
       val u = events(s, d).groupBy(col("user_id"))
@@ -2861,14 +2862,18 @@ object AnalyticsQueries {
     val users = lt0.groupBy()
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0_users"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1_users"))
+    // nullif guards the degenerate all-vt=0 case (every death time has
+    // one subject at risk): NULL on both engines instead of Inf/NaN.
     terms.agg(sum(col("d0")).as("o0"), sum(col("e0t")).as("e0"),
         sum(col("vt")).as("v"))
       .crossJoin(broadcast(users))
       .select(col("n0_users"), col("n1_users"),
         col("o0").cast("long").as("observed0"),
         round(col("e0"), 4).as("expected0"),
-        round(pow(col("o0") - col("e0"), 2) / col("v"), 4).as("chi2"),
-        round((col("o0") - col("e0")) / sqrt(col("v")), 4).as("z"))
+        round(pow(col("o0") - col("e0"), 2) / nullif(col("v"), lit(0.0)), 4)
+          .as("chi2"),
+        round((col("o0") - col("e0")) / sqrt(nullif(col("v"), lit(0.0))), 4)
+          .as("z"))
   }
 
   /** The matrix-profile plan over any (l_returnflag, wk, y) series
@@ -2890,14 +2895,19 @@ object AnalyticsQueries {
       col("wk").as("wka"), col("w").as("wa"), col("sw").as("swa"))
     val b = win.select(col("l_returnflag"), col("i").as("ib"),
       col("wk").as("wkb"), col("w").as("wb"), col("sw").as("swb"))
+    // Each diff fits int64 (≤ ~2·m·weeklyMax) but its square overflows
+    // once weekly sums pass ~3e9, so square and accumulate in
+    // Decimal(38,0) — the oracle mirrors with HUGEINT.
     val term = zip_with(col("wa"), col("wb"), (x, y) =>
-      ((x - y) * m - (col("swa") - col("swb"))) *
-        ((x - y) * m - (col("swa") - col("swb"))))
+      ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)) *
+        ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)))
     val wNn = Window.partitionBy(col("l_returnflag"), col("ia"))
       .orderBy(col("d2"), col("ib"))
     a.join(b, Seq("l_returnflag"))
       .filter(abs(col("ia") - col("ib")) >= m)
-      .withColumn("d2", aggregate(term, lit(0L), (acc, v) => acc + v))
+      .withColumn("d2",
+        aggregate(term, lit(0).cast(DecimalType(38, 0)),
+          (acc, v) => acc + v).cast(DecimalType(38, 0)))
       .withColumn("rn", row_number().over(wNn))
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("wka").as("wk"),

@@ -573,10 +573,17 @@ object Dedup {
     * ⌊log2(n / targetBucket)⌋ keeps expected occupancy near
     * `targetBucket` regardless of n; the floor of 4 reproduces the
     * fixture-scale geometry exactly (500–2 000 vectors → 4), so the
-    * rule is a pure extension upward. */
-  def lshPlanesFor(n: Long, targetBucket: Int = 100): Int =
-    math.max(4, (math.log(math.max(1L, n).toDouble / targetBucket) /
-      math.log(2)).floor.toInt)
+    * rule is a pure extension upward.
+    *
+    * Integer arithmetic, not `log`: ⌊log2(n/t)⌋ = ⌊log2(⌊n/t⌋)⌋ for
+    * n/t ≥ 1, and bit-length is exact where a double log could carry
+    * half-ulp dust at n = t·2^k boundaries — which matters now that
+    * the q144 oracle replays this dispatch in SQL. */
+  def lshPlanesFor(n: Long, targetBucket: Int = 100): Int = {
+    val m = math.max(1L, n) / targetBucket
+    val k = if (m < 1L) -1 else 63 - java.lang.Long.numberOfLeadingZeros(m)
+    math.max(4, k)
+  }
 
   /** Embedding-cosine near-dup pairs via multi-table sign-LSH buckets:
     * candidates only meet inside a shared (table, bucket), then the

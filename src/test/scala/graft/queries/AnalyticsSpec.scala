@@ -613,7 +613,8 @@ class AnalyticsSpec extends AnyFunSuite {
       java.time.LocalDate.of(2024, 1, 1).plusWeeks(t).toString))
     val out = AnalyticsQueries.matrixProfile(
         ys.indices.map(t => ("A", weeks(t), ys(t))).toDF("l_returnflag", "wk", "y"))
-      .collect().map(r => (r.getDate(1), r.getDate(2), r.getLong(3), r.getDouble(4)))
+      .collect().map(r =>
+        (r.getDate(1), r.getDate(2), r.getDecimal(3).longValueExact(), r.getDouble(4)))
     // every full window has a profile row
     assert(out.length === 40 - m + 1)
     // the planted pair find each other exactly despite the level shift
@@ -626,5 +627,41 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach { case (wk, nn, _, _) =>
       assert(math.abs(wk.toLocalDate.toEpochDay - nn.toLocalDate.toEpochDay) >= 7L * m)
     }
+  }
+
+  test("q286 matrix profile: d2 exact past int64 at 100TB-scale weekly sums") {
+    import spark.implicits._
+    import java.sql.Date
+    val m = AnalyticsQueries.MpWindow
+    // window A alternates 5e9/1e9 (weekly sums at the ~3e9 magnitude
+    // the scaladoc targets), window B is flat 3e9; the only legal pair
+    // is (i=1, i=9). Centered diffs are ±8·2e9, so each square is
+    // 2.56e20 > Long.MaxValue and d2 = 512·(2e9)² = 2.048e21 — the
+    // regime the Decimal(38,0)/HUGEINT accumulation exists for.
+    val delta = 2000000000L
+    val ys = (0 until 16).map(t =>
+      if (t < 8) 3000000000L + (if (t % 2 == 0) delta else -delta)
+      else 3000000000L)
+    val weeks = (0 until 16).map(t => Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusWeeks(t).toString))
+    val out = AnalyticsQueries.matrixProfile(
+        ys.indices.map(t => ("A", weeks(t), ys(t))).toDF("l_returnflag", "wk", "y"))
+      .collect().map(r => r.getDate(1) -> r.getDecimal(3)).toMap
+    val expected = BigDecimal(512L) * BigDecimal(delta).pow(2)
+    assert(BigDecimal(out(weeks(0))) === expected)
+    assert(BigDecimal(out(weeks(8))) === expected)
+    assert(expected > BigDecimal(Long.MaxValue)) // the pin is vacuous otherwise
+  }
+
+  test("q287 log rank: degenerate all-zero variance yields NULL, not Inf/NaN") {
+    import spark.implicits._
+    // one subject, one arm: the single death time has n0+n1 = 1, so
+    // the hypergeometric variance is guarded to 0 and SUM(vt) = 0.
+    // nullif makes chi2/z NULL on both engines (DuckDB agrees).
+    val lt = Seq((0, 1L, 1))
+    val r = AnalyticsQueries.logRank(lt.toDF("arm", "t", "churn")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 0L, 1L)))
+    assert(r.getDouble(3) === 1.0) // expected0 = dt·n0/nt = 1
+    assert(r.isNullAt(4) && r.isNullAt(5), "chi2/z must be NULL when SUM(vt)=0")
   }
 }
