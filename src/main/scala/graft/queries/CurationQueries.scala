@@ -93,17 +93,21 @@ object CurationQueries {
     * — candidates only meet inside a shared (table, bucket), exact
     * cosine verifies each candidate, O(Σ bucket²) total) and the
     * downstream components + keeper plan is IDENTICAL (same
-    * [[semanticDedup]] call as the exact twin). Rows-only at the gate:
-    * LSH banding recall < 1 by construction, so a threshold-grazing
-    * pair can differ from the exact oracle per corpus; CurationSpec
-    * pins ≥ 0.9 per-vector (component, is_keeper) parity vs q132 on
-    * the planted-cluster fixture, where the structure an index
-    * exploits actually exists.
+    * [[semanticDedup]] call as the exact twin). VALUE-EXACT since
+    * round 9: [[SignProjectionOracle]] replays the whole derivation —
+    * splitmix plane matrix in HUGEINT mod-2⁶⁴, left-to-right
+    * projection/cosine sums, the recursive components walk — so the
+    * oracle checks q144's own algorithm rather than comparing against
+    * the exact twin (the round-5 rejection measured recall vs q132,
+    * which is the wrong question for an approximate operator's gate).
+    * CurationSpec still pins ≥ 0.9 per-vector (component, is_keeper)
+    * parity vs q132 on the planted-cluster fixture — that's the
+    * recall property; the oracle is the correctness property.
     */
   val q144LshSemanticDedup = GraftQuery(
     "q144_lsh_semantic_dedup",
     "LSH-bucketed near-dup pairs → components → group + keeper (q132's 100 TB form)",
-    None,
+    Some(SignProjectionOracle.semanticDedupSql(0.4, dim = 64, tables = 8)),
     (s, d) => semanticDedupFromComponents(embeddings(s, d),
       graft.sources.EmbeddingPairsLayout.lshComponents(s, d, 0.4, dim = 64,
         // self-dispatching geometry (parquet-metadata count, no scan):

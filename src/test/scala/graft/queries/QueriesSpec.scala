@@ -32,7 +32,7 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("the rows-only tail is exactly the documented ten") {
+  test("the rows-only tail is exactly the documented nine") {
     // Round-4 verdict mandate: any new sketch/ANN/hash operator must
     // carry a real oracle or REPLACE one of these — the list may
     // shrink, and grows ONLY by judge mandate. Each legacy entry's
@@ -46,12 +46,16 @@ class QueriesSpec extends AnyFunSuite {
     // q28 GRADUATED in round 8 (verdict #6): XxHashOracle replays
     // xxhash64 in SQL and the hamming-≤3 band is pigeonhole-exact,
     // so its round-5 rejection (hash engine-specificity, not recall)
-    // dissolved.
+    // dissolved. q144 GRADUATED in round 9 (verdict #5 probe):
+    // SignProjectionOracle replays its own splitmix-plane + LSH
+    // derivation — the round-5 rejection measured recall against the
+    // exact twin, the wrong oracle question; the remaining nine stay
+    // rejected for value-honesty reasons, not recall.
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     val documented = Set(
       "q32_approx_distinct", "q52_approx_percentiles",
       "q82_hll_merge", "q83_ann_join", "q106_pq_ann", "q128_bpe_train",
-      "q143_ann_label_agreement", "q144_lsh_semantic_dedup",
+      "q143_ann_label_agreement",
       "q202_ivf_hard_negatives", "q203_ivf_matryoshka_agreement")
     assert(noOracle === documented,
       s"rows-only drift: +${noOracle -- documented} -${documented -- noOracle}")
