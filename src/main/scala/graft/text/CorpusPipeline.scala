@@ -266,8 +266,15 @@ object CorpusPipeline {
     * the chained DuckDB oracle. */
   def funnel(docs0: DataFrame, useLsh: Boolean = false,
              corpusShingles: Option[DataFrame] = None,
-             corpusPairs: Option[DataFrame] = None): DataFrame = {
-    val pd = perDocStages(docs0, useLsh, corpusShingles, corpusPairs)
+             corpusPairs: Option[DataFrame] = None): DataFrame =
+    funnelFromFlags(perDocStages(docs0, useLsh, corpusShingles, corpusPairs))
+
+  /** The funnel report over any [[perDocStages]]-shaped flag frame —
+    * extracted so the streaming twin
+    * ([[graft.streaming.CorpusFunnelMaintainer]]) reports through the
+    * IDENTICAL aggregate plan as the batch query (row-equality there
+    * pins the composition, not two copies of it). */
+  def funnelFromFlags(pd: DataFrame): DataFrame = {
     val aggs = survival.flatMap { case (name, keep) =>
       Seq(sum(when(keep, 1L).otherwise(0L)).as(s"d_$name"),
         sum(when(keep, col("n_tok")).otherwise(0L)).as(s"t_$name"))
