@@ -16,8 +16,7 @@ object CurationQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q132SemanticDedup, q133TokenBudget, q134IncrementalAdmission,
-      q135LmQualityFilter, q136Boilerplate, q137TemperatureMix,
-      q138MadOutliers, q139SourceOverlap, q140DedupYield,
+      q135LmQualityFilter, q136Boilerplate, q139SourceOverlap, q140DedupYield,
       q144LshSemanticDedup, q281SourceAblation)
 
   /** Semantic dedup end-to-end: exact cosine near-dup pairs over the
@@ -348,96 +347,6 @@ object CurationQueries {
           round(sum(when(col("hit") === 1, 1).otherwise(0)) * lit(1.0)
             / count(lit(1)), 4).as("boiler_frac"))
         .orderBy(col("doc_id"))
-    })
-
-  /** Temperature-scaled mixture weights (α = 0.5): the multilingual /
-    * multi-domain rebalancing rule p_i ∝ c_i^α that upsamples
-    * low-resource sources relative to their raw token share. Output
-    * per source: token count, raw share, temperature share, and the
-    * boost factor (temp/raw — >1 means the sampler upsamples it).
-    * q60/q101 draw FROM a given mixture; this computes the mixture
-    * itself, by what training consumes (tokens, the q133 discipline).
-    * Plan: one map-side-combined aggregate per source; both totals
-    * ride as a broadcast 1-row aggregate — nothing here scales with
-    * rows beyond the first scan.
-    */
-  val q137TemperatureMix = GraftQuery(
-    "q137_temperature_mix",
-    "per-source temperature-scaled (α=0.5) sampling weights by token mass",
-    Some("""WITH s AS (
-        SELECT source,
-          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-            AS toks
-        FROM documents GROUP BY 1),
-      t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot,
-        SUM(pow(toks, 0.5)) AS tot_t FROM s)
-      SELECT source, toks,
-        ROUND(toks * 1.0 / t.tot, 6) AS raw_share,
-        ROUND(pow(toks, 0.5) / t.tot_t, 6) AS temp_share,
-        ROUND((pow(toks, 0.5) / t.tot_t) / (toks * 1.0 / t.tot), 4) AS boost
-      FROM s CROSS JOIN t ORDER BY source"""),
-    (s, d) => {
-      val bySrc = documents(s, d)
-        .groupBy(col("source"))
-        .agg(sum(TA.tokenCount(col("text"))).cast("long").as("toks"))
-      val totals = bySrc.agg(sum(col("toks")).as("tot"),
-        sum(pow(col("toks"), 0.5)).as("tot_t"))
-      bySrc.crossJoin(broadcast(totals))
-        .select(col("source"), col("toks"),
-          round(col("toks") * lit(1.0) / col("tot"), 6).as("raw_share"),
-          round(pow(col("toks"), 0.5) / col("tot_t"), 6).as("temp_share"),
-          round((pow(col("toks"), 0.5) / col("tot_t"))
-            / (col("toks") * lit(1.0) / col("tot")), 4).as("boost"))
-        .orderBy(col("source"))
-    })
-
-  /** Robust outlier detection via MAD (median absolute deviation):
-    * per event type, flag |v − median| > 3.5 · 1.4826 · MAD — the
-    * robust z-score rule that, unlike the mean/stddev z-score (q65),
-    * is not itself dragged by the outliers it hunts (breakdown point
-    * 50% vs 0%). Two exact-percentile passes per key (median, then
-    * median of deviations), each one shuffle, with the per-key
-    * medians broadcast back — the 100 TB swap-in is
-    * `approx_percentile` for both passes (the q38→q52 precedent);
-    * exact here keeps the oracle byte-comparable.
-    */
-  val q138MadOutliers = GraftQuery(
-    "q138_mad_outliers",
-    "MAD robust z-score outlier counts per event type (3.5σ-equivalent)",
-    Some("""WITH med AS (
-        SELECT event_type,
-          percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
-        FROM events GROUP BY 1),
-      dev AS (
-        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
-        FROM events e JOIN med m USING (event_type)),
-      mad AS (
-        SELECT event_type,
-          percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
-        FROM dev GROUP BY 1)
-      SELECT d.event_type, COUNT(*) AS n,
-        ROUND(MIN(d.med), 6) AS med, ROUND(MIN(m.mad), 6) AS mad,
-        CAST(SUM(CASE WHEN d.ad > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_outliers
-      FROM dev d JOIN mad m USING (event_type)
-      GROUP BY 1 ORDER BY 1"""),
-    (s, d) => {
-      val ev = events(s, d).select(col("event_type"), col("value"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val dev = ev.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), col("med"),
-          abs(col("value") - col("med")).as("ad"))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          round(min(col("med")), 6).as("med"),
-          round(min(col("mad")), 6).as("mad"),
-          sum(when(col("ad") > lit(3.5) * lit(1.4826) * col("mad"), 1)
-            .otherwise(0)).cast("long").as("n_outliers"))
-        .orderBy(col("event_type"))
     })
 
   /** Cross-source contamination matrix: 3-gram Jaccard overlap for

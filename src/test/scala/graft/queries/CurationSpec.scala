@@ -170,57 +170,6 @@ class CurationSpec extends AnyFunSuite {
       "per-doc gram counts must sum to the corpus positional total")
   }
 
-  test("q137 temperature mix: shares sum to 1, α=0.5 compresses toward uniform") {
-    val d = SparkTestSession.Sf0001
-    val rows = CurationQueries.q137TemperatureMix.run(spark, d).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4)))
-    assert(rows.length >= 2)
-    val tol = 1e-4
-    assert(math.abs(rows.map(_._3).sum - 1.0) <= tol, "raw shares sum to 1")
-    assert(math.abs(rows.map(_._4).sum - 1.0) <= tol, "temp shares sum to 1")
-    // boost is inversely ordered with size: the largest source is
-    // downsampled relative to the smallest
-    val bySize = rows.sortBy(_._2)
-    assert(bySize.head._5 >= bySize.last._5,
-      "smallest source must get at least the boost of the largest")
-    // temp shares flatter than raw: max/min ratio strictly shrinks
-    val rawRatio = bySize.last._3 / bySize.head._3
-    val tempRatio = bySize.last._4 / bySize.head._4
-    assert(tempRatio <= rawRatio + tol,
-      s"α=0.5 must compress spread (raw $rawRatio → temp $tempRatio)")
-    assert(math.abs(tempRatio - math.sqrt(rawRatio)) <= 0.01,
-      s"temp ratio $tempRatio should be ~sqrt of raw ratio $rawRatio")
-  }
-
-  test("q138 MAD outliers: agrees with a driver-side recomputation") {
-    val d = SparkTestSession.Sf0001
-    val got = CurationQueries.q138MadOutliers.run(spark, d).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
-    assert(got.nonEmpty)
-    def medianOf(xs: Array[Double]): Double = {
-      val s = xs.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
-    val byType = Tables.events(spark, d)
-      .select(col("event_type"), col("value")).collect()
-      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
-    assert(got.keySet === byType.keySet)
-    byType.foreach { case (t, vs) =>
-      val values = vs.map(_._2)
-      val med = medianOf(values)
-      val mad = medianOf(values.map(v => math.abs(v - med)))
-      val nOut = values.count(v => math.abs(v - med) > 3.5 * 1.4826 * mad)
-      val (n, gmed, gmad, gout) = got(t)
-      assert(n === values.length)
-      assert(math.abs(gmed - med) <= 1e-6, s"$t median $gmed vs $med")
-      assert(math.abs(gmad - mad) <= 1e-6, s"$t MAD $gmad vs $mad")
-      assert(gout === nOut, s"$t outliers $gout vs $nOut")
-    }
-  }
-
   test("q139 source overlap: full matrix, symmetric-free, sane jaccard") {
     val d = SparkTestSession.Sf0001
     val rows = CurationQueries.q139SourceOverlap.run(spark, d).collect()

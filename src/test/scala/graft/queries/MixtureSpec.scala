@@ -149,4 +149,28 @@ class MixtureSpec extends AnyFunSuite {
     assert(out(1).getDouble(5) === 99.0)       // the one explore day
     assert(out.last.getDouble(5) === 99.0)     // …and flat ever after
   }
+
+  test("q180 temperature mix: shares sum to 1, α=0.7 compresses by the power law") {
+    // ported from the retired q137 twin (round-9 verdict #3: one
+    // temperature-mix operator, not two): the α-law invariants that
+    // must hold for ANY corpus — shares normalize, small sources get
+    // upsampled relative to large, and the tempered spread follows
+    // max/min ratio^α exactly (w_i ∝ p_i^α ⟹ ratio_w = ratio_p^α).
+    val rows = run("q180_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    val tol = 1e-4
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= tol, "raw shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= tol, "weights sum to 1")
+    val bySize = rows.sortBy(_._2)
+    // boost = w / p_raw shrinks with size
+    assert(bySize.head._4 / bySize.head._3 >= bySize.last._4 / bySize.last._3,
+      "the smallest source must get at least the boost of the largest")
+    val rawRatio = bySize.last._3 / bySize.head._3
+    val wRatio = bySize.last._4 / bySize.head._4
+    assert(wRatio <= rawRatio + tol,
+      s"α=0.7 must compress spread (raw $rawRatio → tempered $wRatio)")
+    assert(math.abs(wRatio - math.pow(rawRatio, 0.7)) <= 0.01,
+      s"tempered ratio $wRatio should be raw ratio^0.7 (${math.pow(rawRatio, 0.7)})")
+  }
 }
