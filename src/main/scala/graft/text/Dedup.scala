@@ -437,8 +437,10 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
                       k: Int = 64, bands: Int = 32, n: Int = 3,
-                      shingleTable: Option[DataFrame] = None): DataFrame = {
+                      shingleTable: Option[DataFrame] = None,
+                      maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(maxBucket.forall(_ >= 2), "a cap below 2 emits no pairs")
     val r = k / bands
     // the shingle table feeds three subtrees (signatures + both sides of
     // the verification join); Spark has no cross-subtree CSE, so
@@ -451,9 +453,39 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))
     }
-    val buckets = sig
+    val buckets0 = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    // Skew guard (SCALING.md "known cliffs" #1): at web-scale
+    // duplication a copied-everywhere page puts millions of docs into
+    // ONE (band, hash) bucket, and the candidate self-join's Σ bucket²
+    // blows up on exactly that bucket — skew AQE can't split away,
+    // because the collisions ARE the signal. `maxBucket` thins every
+    // overfull bucket with a deterministic per-(doc, bucket) hash coin
+    // at rate ~cap/size — scattered members, no single-reducer window
+    // on the hot key (a row_number cap would funnel the giant bucket
+    // through one task, recreating the skew it fixes). Soundness:
+    // emitted pairs are a SUBSET of the uncapped pairs and every one
+    // still passes the exact-Jaccard verification below, so capping
+    // only trades recall inside overfull buckets — which OR-amplified
+    // bands then largely recover (each band keeps a DIFFERENT ~cap
+    // subset, so a duplicate clique stays connected through the union;
+    // TextSpec pins component-level recall 1.0 on a planted clique).
+    // None (the default, and every catalog entry) is exact banding.
+    val buckets = maxBucket match {
+      case None => buckets0
+      case Some(cap) =>
+        val sizes = buckets0.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("sz"))
+        // Column `/` is DOUBLE division — the modulus must be the
+        // integer ⌈sz/cap⌉ or the coin's keep-rate collapses (a
+        // fractional modulus only zeroes on exact multiples)
+        val thin = floor((col("sz") + lit(cap - 1)) / lit(cap)).cast("long")
+        buckets0.join(sizes, Seq("band_idx", "band_hash"))
+          .filter(col("sz") <= cap ||
+            pmod(xxhash64(col("doc_id"), col("band_hash")), thin) === 0)
+          .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    }
     val cand = buckets.as("x")
       .join(buckets.as("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))

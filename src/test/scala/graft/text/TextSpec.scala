@@ -70,6 +70,44 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("minHashLshPairs maxBucket: planted hot bucket thinned, pairs ⊆ uncapped, clique stays one component") {
+    // the SCALING.md cliff-1 regime: a copied-everywhere page — 40
+    // identical docs land in the SAME (band, hash) bucket in every
+    // band, and the uncapped candidate join pays C(40,2) per band
+    val clique = (100L until 140L).map(id =>
+      (id, "repeated boilerplate page content scraped from everywhere again and again"))
+    val rest = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different content about spark query engines here now"))
+    val corpus = (clique ++ rest).toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLshPairs(corpus, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minHashLshPairs(corpus, 0.4, maxBucket = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: capping only removes candidates, never invents them,
+    // and the exact-Jaccard verification still gates every pair
+    assert(capped.subsetOf(uncapped), "capped pairs must be a subset")
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) === 40 * 39 / 2)
+    assert(capped.count(p => p._1 >= 100L && p._2 >= 100L) < 40 * 39 / 2,
+      "the cap must actually thin the hot bucket")
+    // the recall that matters downstream is COMPONENT-level: each band
+    // keeps a different ~cap-sized subset, so the union of capped
+    // pairs still connects the clique into one dedup group
+    val comp = Components.connectedComponents(
+        capped.toSeq.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a doc can (deterministically, per-fixture) miss every band's
+    // coin — tolerate isolation of at most one straggler, but the
+    // connected mass must be ONE group, never a split clique
+    val present = (100L until 140L).filter(comp.contains)
+    assert(present.size >= 39, s"cap isolated ${40 - present.size} docs")
+    val cliqueLabels = present.map(comp(_)).toSet
+    assert(cliqueLabels.size === 1, s"clique split into $cliqueLabels")
+    // the normal near-dup pair is untouched (its bucket is under cap)
+    assert(capped.contains((1L, 2L)))
+  }
+
   test("simHash (single-aggregate) matches the wide 64-sum reference form") {
     val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
     val fast = Dedup.simHash(fixture).collect()
