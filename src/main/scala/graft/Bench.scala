@@ -135,9 +135,14 @@ object Bench {
           val dir = java.nio.file.Paths.get("/root/repo")
           val rx = "BENCH_DETAIL_r(\\d+)\\.json".r
           import scala.jdk.CollectionConverters._
+          // never compare against the file THIS run is about to
+          // overwrite: a re-run in the same round would otherwise read
+          // the previous attempt's uncommitted detail as "prev" and
+          // report a same-binary noise delta as the cross-round signal
+          val self = java.nio.file.Paths.get(detailPath).toAbsolutePath
           java.nio.file.Files.list(dir).iterator().asScala
             .flatMap(p => p.getFileName.toString match {
-              case rx(n) => Some((n.toInt, p))
+              case rx(n) if p.toAbsolutePath != self => Some((n.toInt, p))
               case _ => None
             }).toSeq.sortBy(_._1).lastOption.map(_._2)
         }

@@ -460,36 +460,55 @@ object Dedup {
     // duplication a copied-everywhere page puts millions of docs into
     // ONE (band, hash) bucket, and the candidate self-join's Σ bucket²
     // blows up on exactly that bucket — skew AQE can't split away,
-    // because the collisions ARE the signal. `maxBucket` thins every
-    // overfull bucket with a deterministic per-(doc, bucket) hash coin
-    // at rate ~cap/size — scattered members, no single-reducer window
-    // on the hot key (a row_number cap would funnel the giant bucket
-    // through one task, recreating the skew it fixes). Soundness:
-    // emitted pairs are a SUBSET of the uncapped pairs and every one
-    // still passes the exact-Jaccard verification below, so capping
-    // only trades recall inside overfull buckets — which OR-amplified
-    // bands then largely recover (each band keeps a DIFFERENT ~cap
-    // subset, so a duplicate clique stays connected through the union;
-    // TextSpec pins component-level recall 1.0 on a planted clique).
+    // because the collisions ARE the signal. `maxBucket` bounds every
+    // overfull bucket's cost to O(size) with two linear mechanisms:
+    //
+    //  1. THIN the pair join: a deterministic per-(doc, bucket) hash
+    //     coin keeps ~cap members (scattered — a row_number cap would
+    //     funnel the giant bucket through one task, recreating the
+    //     skew it fixes), so the self-join pays ~cap² per bucket;
+    //  2. ANCHOR the rest: every member of an overfull bucket emits
+    //     one candidate against the bucket's deterministic
+    //     representative (min coin), so the bucket stays FULLY
+    //     connected through the representative — component-level
+    //     recall inside an overfull bucket is 1 BY CONSTRUCTION, not
+    //     by multi-band luck (CapProbe measured the coin alone
+    //     attaching only ~56% of a 2000-doc clique).
+    //
+    // Soundness: anchors and thinned pairs alike pass the exact
+    // pair-local Jaccard verification below, so there are never false
+    // positives — capping trades only which TRUE pairs are
+    // materialized (O(size) of them instead of all size²/2); the
+    // downstream component/keeper semantics see the same groups.
     // None (the default, and every catalog entry) is exact banding.
-    val buckets = maxBucket match {
-      case None => buckets0
+    val (buckets, anchorCand) = maxBucket match {
+      case None => (buckets0, None)
       case Some(cap) =>
+        val coin = xxhash64(col("doc_id"), col("band_hash"))
         val sizes = buckets0.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("sz"),
+            min_by(col("doc_id"), xxhash64(col("doc_id"), col("band_hash")))
+              .as("rep"))
+        val joined = buckets0.join(sizes, Seq("band_idx", "band_hash"))
         // Column `/` is DOUBLE division — the modulus must be the
         // integer ⌈sz/cap⌉ or the coin's keep-rate collapses (a
         // fractional modulus only zeroes on exact multiples)
         val thin = floor((col("sz") + lit(cap - 1)) / lit(cap)).cast("long")
-        buckets0.join(sizes, Seq("band_idx", "band_hash"))
-          .filter(col("sz") <= cap ||
-            pmod(xxhash64(col("doc_id"), col("band_hash")), thin) === 0)
+        val thinned = joined
+          .filter(col("sz") <= cap || pmod(coin, thin) === 0)
           .select(col("doc_id"), col("band_idx"), col("band_hash"))
+        val anchors = joined
+          .filter(col("sz") > cap && col("doc_id") =!= col("rep"))
+          .select(least(col("doc_id"), col("rep")).as("doc_a"),
+            greatest(col("doc_id"), col("rep")).as("doc_b"))
+        (thinned, Some(anchors))
     }
-    val cand = buckets.as("x")
+    val bucketCand = buckets.as("x")
       .join(buckets.as("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = anchorCand
+      .map(bucketCand.unionByName(_)).getOrElse(bucketCand)
       .distinct()
     // verify candidates with exact Jaccard — pair-local array intersect,
     // so verification cost is proportional to |candidates|, not corpus²

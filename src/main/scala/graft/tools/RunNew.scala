@@ -10,6 +10,12 @@ object RunNew {
     val names: Set[String] =
       if (args.length > 2) args.drop(2).toSet
       else graft.queries.PipelineQueries.queries.map(_.name).toSet + "q52_approx_percentiles"
+    // a typo'd (or comma-joined — names are SPACE-separated args) name
+    // must fail loudly: a silent no-match run writes only
+    // oracle_sql.json and check_oracle reports a green "0 ok, 0 fail"
+    val unknown = names -- graft.SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).filter(t => names(t._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name") }

@@ -91,17 +91,16 @@ class TextSpec extends AnyFunSuite {
     assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) === 40 * 39 / 2)
     assert(capped.count(p => p._1 >= 100L && p._2 >= 100L) < 40 * 39 / 2,
       "the cap must actually thin the hot bucket")
-    // the recall that matters downstream is COMPONENT-level: each band
-    // keeps a different ~cap-sized subset, so the union of capped
-    // pairs still connects the clique into one dedup group
+    // the recall that matters downstream is COMPONENT-level, and the
+    // bucket-anchor mechanism makes it exact: every member of an
+    // overfull bucket pairs with the bucket representative, so ALL 40
+    // docs appear and form ONE dedup group — by construction, not by
+    // multi-band luck
     val comp = Components.connectedComponents(
         capped.toSeq.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // a doc can (deterministically, per-fixture) miss every band's
-    // coin — tolerate isolation of at most one straggler, but the
-    // connected mass must be ONE group, never a split clique
     val present = (100L until 140L).filter(comp.contains)
-    assert(present.size >= 39, s"cap isolated ${40 - present.size} docs")
+    assert(present.size === 40, s"cap isolated ${40 - present.size} docs")
     val cliqueLabels = present.map(comp(_)).toSet
     assert(cliqueLabels.size === 1, s"clique split into $cliqueLabels")
     // the normal near-dup pair is untouched (its bucket is under cap)
