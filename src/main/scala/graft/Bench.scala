@@ -139,10 +139,14 @@ object Bench {
           // overwrite: a re-run in the same round would otherwise read
           // the previous attempt's uncommitted detail as "prev" and
           // report a same-binary noise delta as the cross-round signal
-          val self = java.nio.file.Paths.get(detailPath).toAbsolutePath
+          // normalize both sides: a relative or dotted detailPath must
+          // still match the directory listing's entry for the same file
+          val self = java.nio.file.Paths.get(detailPath)
+            .toAbsolutePath.normalize
           java.nio.file.Files.list(dir).iterator().asScala
             .flatMap(p => p.getFileName.toString match {
-              case rx(n) if p.toAbsolutePath != self => Some((n.toInt, p))
+              case rx(n) if p.toAbsolutePath.normalize != self =>
+                Some((n.toInt, p))
               case _ => None
             }).toSeq.sortBy(_._1).lastOption.map(_._2)
         }

@@ -22,9 +22,13 @@ package graft.queries
   *  2. every dot product (`SignProjectionBucket`'s projection loop,
   *     `DotProduct`, `L2Norm`) is a strict left-to-right double sum —
   *     `list_reduce(list_prepend(0.0, list_transform(...)))` replays
-  *     the identical IEEE addition sequence, and `sqrt` is correctly
-  *     rounded on both engines, so the `> 0` sign tests and the
-  *     `>= threshold` cosine verification see bitwise-equal doubles;
+  *     the identical IEEE addition sequence INCLUDING each loop's
+  *     length rule (projection and dot truncate to min(len, dim) /
+  *     min(len a, len b); the norms walk the full array — a fixed
+  *     1..dim range would NULL-poison short vectors' folds), and
+  *     `sqrt` is correctly rounded on both engines, so the `> 0` sign
+  *     tests and the `>= threshold` cosine verification see
+  *     bitwise-equal doubles;
   *  3. the geometry dispatch ([[graft.text.Dedup.lshPlanesFor]]) is
   *     integer bit-length arithmetic (made so in round 9 exactly for
   *     this replay), mirrored as MAX(k) over 100·2^k ≤ COUNT(*);
@@ -57,10 +61,15 @@ object SignProjectionOracle {
   private def x64(a: String, b: String): String =
     s"xor(($a)::HUGEINT, ($b)::HUGEINT)::HUGEINT"
 
-  /** Left-to-right double sum of `expr(i)` for i in 1..dim — the
-    * IEEE addition order of the native vector loops. */
-  private def sumLR(dim: Int, expr: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1})," +
+  /** Left-to-right double sum of `expr(i)` for i in 1..bound — the
+    * IEEE addition order of the native vector loops. `bound` is an
+    * SQL expression so each call replays its Spark twin's length rule
+    * exactly (SignProjectionBucket and DotProduct truncate to
+    * min(len, dim) / min(len a, len b); L2Norm walks the full array)
+    * — a fixed 1..dim range would NULL-poison the fold on any vector
+    * shorter than dim and silently zero every bucket. */
+  private def sumLR(bound: String, expr: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ($bound) + 1)," +
       s" i -> $expr)), (acc, x) -> acc + x)"
 
   /** The q144 oracle: sign-LSH buckets → candidate pairs → exact
@@ -95,7 +104,7 @@ object SignProjectionOracle {
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       dots AS (
         SELECT e.vec_id, pl.t, pl.p,
-          ${sumLR(dim, "e.v[i] * pl.pc[i]")} AS s
+          ${sumLR(s"LEAST(len(e.v), $dim)", "e.v[i] * pl.pc[i]")} AS s
         FROM e, pl),
       bk AS (
         SELECT vec_id, t,
@@ -107,9 +116,9 @@ object SignProjectionOracle {
           ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
       vv AS (
         SELECT c.vec_a, c.vec_b,
-          ${sumLR(dim, "ea.v[i] * eb.v[i]")} AS dp,
-          sqrt(${sumLR(dim, "ea.v[i] * ea.v[i]")}) AS na,
-          sqrt(${sumLR(dim, "eb.v[i] * eb.v[i]")}) AS nb
+          ${sumLR("LEAST(len(ea.v), len(eb.v))", "ea.v[i] * eb.v[i]")} AS dp,
+          sqrt(${sumLR("len(ea.v)", "ea.v[i] * ea.v[i]")}) AS na,
+          sqrt(${sumLR("len(eb.v)", "eb.v[i] * eb.v[i]")}) AS nb
         FROM cand c
           JOIN e ea ON ea.vec_id = c.vec_a
           JOIN e eb ON eb.vec_id = c.vec_b),

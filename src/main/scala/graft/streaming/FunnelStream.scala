@@ -77,7 +77,7 @@ import graft.text.{Components, CorpusPipeline, Dedup, TextAnalysis}
 final class CorpusFunnelMaintainer(spark: SparkSession, stateDir: String,
                                    benchmark: DataFrame) {
 
-  import CorpusPipeline.{ContaminationCutoff, NearDupThreshold}
+  import CorpusPipeline.NearDupThreshold
 
   /** Static decontamination reference: the benchmark's distinct
     * shingle set (in batch, the eval side's shingles). */
@@ -136,17 +136,14 @@ final class CorpusFunnelMaintainer(spark: SparkSession, stateDir: String,
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
     val flagged = CorpusPipeline.withQualityReason(fresh)
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
-      .withColumn("content_hash",
-        md5(Dedup.normalized(col("text")).cast("binary")))
+      .withColumn("content_hash", CorpusPipeline.contentHash(col("text")))
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("n_chars"), col("n_tok"),
         col("content_hash"),
-        (col("reason") === "pass").as("f_q"),
-        (col("n_hit").isNull ||
-          col("n_hit") * lit(1.0) / col("n_sh_dc") < ContaminationCutoff)
+        CorpusPipeline.qualityPass(col("reason")).as("f_q"),
+        CorpusPipeline.decontaminated(col("n_hit"), col("n_sh_dc"))
           .as("f_dc"),
-        (CorpusPipeline.mixtureCoinHex(col("doc_id")) <=
-          CorpusPipeline.mixtureThreshold(col("source"))).as("f_mx"))
+        CorpusPipeline.mixtureKeep(col("doc_id"), col("source")).as("f_mx"))
       .localCheckpoint(false)
 
     // exact-keeper contest: wave members vs the standing keeper of
@@ -161,7 +158,7 @@ final class CorpusFunnelMaintainer(spark: SparkSession, stateDir: String,
         lit(true).as("is_new"))
       .unionByName(incumbents)
     val wEk = Window.partitionBy(col("content_hash"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(CorpusPipeline.keeperOrder: _*)
     val resolved = contest
       .withColumn("f_ek", row_number().over(wEk) === 1)
       .localCheckpoint(false)
@@ -213,6 +210,22 @@ final class CorpusFunnelMaintainer(spark: SparkSession, stateDir: String,
     merged.unionByName(singletons)
       .write.mode("overwrite").parquet(s"$stateDir/epoch$next/comps")
     epoch = next
+    // prune superseded epochs AFTER the new one is fully written —
+    // restart recovery only ever opens the highest complete epoch, so
+    // keeping the full chain would grow the state dir O(waves × state)
+    // for nothing; epoch `next - 1` is retained as the crash fallback
+    // (a torn epoch `next` resumes there). A failure mid-delete just
+    // leaves extra complete epochs for the next update to prune.
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("epoch\\d+") &&
+        f.getName.drop("epoch".length).toInt < next - 1)
+      .foreach { old =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(old.toPath).iterator().asScala
+          .toSeq.reverse.foreach(p =>
+            try java.nio.file.Files.delete(p)
+            catch { case _: java.io.IOException => () })
+      }
   }
 
   /** The live per-doc flag frame in [[CorpusPipeline.perDocStages]]
@@ -221,7 +234,7 @@ final class CorpusFunnelMaintainer(spark: SparkSession, stateDir: String,
   def flagFrame: DataFrame = {
     val docs = tbl("docs")
     val wNk = Window.partitionBy(col("component"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(CorpusPipeline.keeperOrder: _*)
     val nk = docs.filter(col("f_ek"))
       .join(tbl("comps").withColumnRenamed("node", "doc_id"),
         Seq("doc_id"), "left_outer")

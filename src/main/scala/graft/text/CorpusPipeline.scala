@@ -84,6 +84,32 @@ object CorpusPipeline {
   def mixtureCoinHex(docId: Column): Column =
     substring(md5(concat(lit("m:"), docId.cast("string")).cast("binary")), 1, 2)
 
+  // ---- shared stage expressions ------------------------------------
+  // ONE definition each for the decisions both the batch flag frame
+  // (perDocStages) and the streamed twin (CorpusFunnelMaintainer)
+  // take: a drift in any copy would silently split batch from stream
+  // in ways the fixture-sized spec pins might not catch.
+
+  /** Exact-dedup content hash (q25's normalization). */
+  def contentHash(text: Column): Column =
+    md5(Dedup.normalized(text).cast("binary"))
+
+  /** The keeper ordering shared by the exact-dedup and per-component
+    * keeper windows: longest doc wins, doc_id breaks ties. */
+  def keeperOrder: Seq[Column] = Seq(col("n_chars").desc, col("doc_id"))
+
+  /** q90's gate over a [[withQualityReason]] `reason` column. */
+  def qualityPass(reason: Column): Column = reason === "pass"
+
+  /** q89's decontamination verdict from a doc's benchmark-hit counts
+    * (NULL n_hit = no shingles = nothing to contaminate). */
+  def decontaminated(nHit: Column, nSh: Column): Column =
+    nHit.isNull || nHit * lit(1.0) / nSh < ContaminationCutoff
+
+  /** q60's mixture-draw verdict. */
+  def mixtureKeep(docId: Column, source: Column): Column =
+    mixtureCoinHex(docId) <= mixtureThreshold(source)
+
   /** q60's per-source keep threshold: sources tier by their numeric
     * suffix mod 4 → keep rates 1, 1/2, 1/4, 1/8. */
   def mixtureThreshold(source: Column): Column = {
@@ -177,12 +203,11 @@ object CorpusPipeline {
                    corpusShingles: Option[DataFrame] = None,
                    corpusPairs: Option[DataFrame] = None): DataFrame = {
     val wEk = Window.partitionBy(col("content_hash"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(keeperOrder: _*)
     val base = trainingSide(docs0
         .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")))
-      .withColumn("content_hash",
-        md5(Dedup.normalized(col("text")).cast("binary")))
+      .withColumn("content_hash", contentHash(col("text")))
       .withColumn("f_ek", row_number().over(wEk) === 1)
       .drop("content_hash")
       .localCheckpoint(false)
@@ -205,7 +230,7 @@ object CorpusPipeline {
     val comp = Components.componentsOver(ek,
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val wNk = Window.partitionBy(col("component"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(keeperOrder: _*)
     val nkFlag = ek.select(col("doc_id"), col("n_chars")).join(comp, Seq("doc_id"))
       .withColumn("f_nk", row_number().over(wNk) === 1)
       .select(col("doc_id"), col("f_nk"))
@@ -224,10 +249,9 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
         col("n_tok"), col("f_ek"),
         coalesce(col("f_nk"), lit(false)).as("f_nk"),
-        (col("reason") === "pass").as("f_q"),
-        (col("n_hit").isNull ||
-          col("n_hit") * lit(1.0) / col("n_sh") < ContaminationCutoff).as("f_dc"),
-        (mixtureCoinHex(col("doc_id")) <= mixtureThreshold(col("source"))).as("f_mx"))
+        qualityPass(col("reason")).as("f_q"),
+        decontaminated(col("n_hit"), col("n_sh")).as("f_dc"),
+        mixtureKeep(col("doc_id"), col("source")).as("f_mx"))
       .localCheckpoint(false)
   }
 

@@ -469,18 +469,27 @@ object Dedup {
     //     skew it fixes), so the self-join pays ~cap² per bucket;
     //  2. ANCHOR the rest: every member of an overfull bucket emits
     //     one candidate against the bucket's deterministic
-    //     representative (min coin), so the bucket stays FULLY
-    //     connected through the representative — component-level
-    //     recall inside an overfull bucket is 1 BY CONSTRUCTION, not
-    //     by multi-band luck (CapProbe measured the coin alone
-    //     attaching only ~56% of a 2000-doc clique).
+    //     representative (min coin). For the regime the cap exists
+    //     for — a giant bucket that IS one duplicate class — every
+    //     anchor passes verification, so the class stays one
+    //     component BY CONSTRUCTION (the coin alone attached only
+    //     ~56% of a 2000-doc clique; CapProbe measured it).
     //
     // Soundness: anchors and thinned pairs alike pass the exact
     // pair-local Jaccard verification below, so there are never false
-    // positives — capping trades only which TRUE pairs are
-    // materialized (O(size) of them instead of all size²/2); the
-    // downstream component/keeper semantics see the same groups.
-    // None (the default, and every catalog entry) is exact banding.
+    // positives — capping only chooses which TRUE pairs materialize.
+    // Recall limit, stated honestly: in a MIXED overfull bucket
+    // (distinct clusters colliding — at r=2 rows/band hash accidents
+    // do happen), a cross-cluster true pair whose members both miss
+    // the coin and aren't near-dups of the representative is not
+    // emitted FROM THIS BUCKET and falls back to the ordinary
+    // multi-band OR recall (every other shared band is another
+    // chance, and an accidental-collision bucket is rarely the
+    // pair's only one). Capping therefore preserves the duplicate-
+    // class structure it targets and degrades gracefully — it does
+    // NOT guarantee identical components to uncapped banding on
+    // adversarial mixtures. None (the default, and every catalog
+    // entry) is exact banding.
     val (buckets, anchorCand) = maxBucket match {
       case None => (buckets0, None)
       case Some(cap) =>

@@ -29,10 +29,12 @@ class CoverageStatusSpec extends AnyFunSuite {
       new String(Files.readAllBytes(repo.resolve("COVERAGE.md")), "UTF-8")
     val byName = Catalog.all.map(q => q.name -> q.oracle.isDefined).toMap
     val stale = claim.findAllMatchIn(text).flatMap { m =>
-      // a graduation note ("rows-only → VALUE-EXACT") is history, not
-      // a status cell — skip claims immediately followed by an arrow
-      val after = text.substring(m.end, math.min(text.length, m.end + 4))
-      if (after.contains("→")) None
+      // a graduation note ("rows-only → VALUE-EXACT", possibly with a
+      // parenthetical in between) is history, not a status cell —
+      // skip claims followed by an arrow within the same clause
+      val after = text.substring(m.end, math.min(text.length, m.end + 32))
+        .takeWhile(c => c != '\n')
+      if (after.contains("→") || after.contains("->")) None
       else {
         val token = m.group(1)
         val claimed = m.group(2)
