@@ -58,6 +58,20 @@ final class ComponentMaintainer(spark: SparkSession, stateDir: String,
       edges.select(col("src"), col("dst")))
     next.write.mode("overwrite").parquet(s"$stateDir/epoch${epoch + 1}")
     epoch += 1
+    // prune superseded epochs after the successful write (the
+    // CorpusFunnelMaintainer rule): recovery only opens the highest
+    // complete epoch, so the chain would grow O(waves × assignment)
+    // unread; the immediately previous epoch stays as crash fallback
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("epoch\\d+") &&
+        f.getName.drop("epoch".length).toInt < epoch - 1)
+      .foreach { old =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(old.toPath).iterator().asScala
+          .toSeq.reverse.foreach(p =>
+            try java.nio.file.Files.delete(p)
+            catch { case _: java.io.IOException => () })
+      }
   }
 
   /** foreachBatch adapter. */
