@@ -56,4 +56,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Raise a frame's parallelism to the session's shuffle width before a
+    * compute-heavy narrow stage (shingling, per-row replica explosion,
+    * char n-gram expansion) — and ONLY when the frame is narrower than
+    * that width. The fixture tables are single-file parquet with one row
+    * group each (documents/events/embeddings scan as 1 partition,
+    * lineitem as 3), so any work placed before the first shuffle runs on
+    * that many cores no matter how wide the session is; parquet cannot
+    * split below row-group granularity, so `maxPartitionBytes` can't fix
+    * it. At cluster scale a 100 TB table scans as thousands of splits —
+    * `getNumPartitions >= width` there, and this is a driver-side
+    * metadata check that adds NO shuffle. The round-robin pass it adds at
+    * fixture scale moves only the projected columns fed to it (call it
+    * AFTER pushdown-eligible filters/projections, so those stay at the
+    * scan).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
 }

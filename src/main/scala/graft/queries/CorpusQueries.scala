@@ -808,8 +808,11 @@ object CorpusQueries {
   def stylometry(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // the lowered text is hoisted ONCE per row — recomputing
-    // lower(trim(text)) inside the per-gram lambda is O(len²)/doc
-    val g = docs.select(col("source"), lower(trim(col("text"))).as("t"))
+    // lower(trim(text)) inside the per-gram lambda is O(len²)/doc.
+    // spread: the ~1000× char-3gram explosion below is the query's cost
+    // and runs at the scan's parallelism (documents.parquet is one row
+    // group → 1 partition), so without it one core shingles the corpus
+    val g = spread(docs).select(col("source"), lower(trim(col("text"))).as("t"))
       .select(col("source"), explode(expr(
         """transform(sequence(1, length(t) - 2),
            i -> substring(t, i, 3))""")).as("gram"))

@@ -771,7 +771,12 @@ object EvalQueries {
     */
   def poissonBootstrap(in: org.apache.spark.sql.DataFrame, reps: Int)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(false) // feeds the point estimate + replicas
+    // feeds the point estimate + replicas; spread BEFORE the checkpoint —
+    // the ×reps explode below is the whole cost of this query, and it
+    // runs at the checkpoint's parallelism (the raw fixture scan is 3
+    // partitions, so the 60M-replica stage would use 3 of 32 cores:
+    // measured 3.3 s → 1.0 s warm at sf0.1 with the spread)
+    val b = graft.model.Tables.spread(in).localCheckpoint(false)
     val rep = b
       .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("u",

@@ -82,8 +82,10 @@ object LabelQualityQueries {
     val npT = col("qnrmt") * col("nrmt")
     // one pair stream, both scores, two bounded heaps — the heap's
     // payload tie-break (smaller id) matches ORDER BY sim DESC, nb
+    // stream-side spread, same rationale as [[knnLabelAgreement]]
     matryoshkaOverPairs(
-      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      broadcast(q).join(graft.model.Tables.spread(e),
+          col("q_id") =!= col("vec_id"))
         .select(col("q_id"),
           when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
             .otherwise(lit(-1.0)).as("s_full"),
@@ -228,8 +230,13 @@ object LabelQualityQueries {
     // neighbor id, exactly the oracle's ORDER BY sim DESC, nb.
     // (Labels are non-negative ints < 2³²; ids keep 31 bits, which
     // a per-shard id space covers at any corpus size.)
+    // spread the streamed corpus side: the O(n²) dot-product leg runs
+    // at the stream's parallelism, and the fixture embeddings scan is
+    // one row group → 1 partition (q side stays on the raw scan — it
+    // is collected for broadcast anyway)
     agreementOverPairs(
-      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      broadcast(q).join(graft.model.Tables.spread(e),
+          col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("la"),
           when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
             .otherwise(lit(-1.0)).as("cos"),
@@ -374,8 +381,10 @@ object LabelQualityQueries {
     val q = e.select(col("vec_id").as("q_id"), col("label").as("la"),
       col("v").as("qv"), col("nrm").as("qnrm"))
     val np = col("qnrm") * col("nrm")
+    // stream-side spread, same rationale as [[knnLabelAgreement]]
     tripletOverPairs(
-      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      broadcast(q).join(graft.model.Tables.spread(e),
+          col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("la"), col("vec_id").as("nb"),
           col("label").as("lb"),
           when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)

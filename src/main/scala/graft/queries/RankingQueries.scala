@@ -45,7 +45,10 @@ object RankingQueries {
       col("v").as("qv"), col("label").as("q_label"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+    // stream-side spread: the quadratic cosine leg runs at the corpus
+    // stream's parallelism (1-partition fixture scan otherwise)
+    broadcast(q).join(graft.model.Tables.spread(e),
+        col("q_id") =!= col("vec_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -220,10 +223,12 @@ object RankingQueries {
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .localCheckpoint(false) // feeds both ranker sides and the spine
+    // stream-side spread, same rationale as [[rankedTopK]]
+    val es = graft.model.Tables.spread(e)
     def ranked(qc: Column, vc: Column, rkName: String): DataFrame = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      broadcast(q).join(es, col("q_id") =!= col("vec_id"))
         .withColumn("cos", Similarity.cosine(qc, vc))
         .withColumn(rkName, row_number().over(w))
         .filter(col(rkName) <= 10)

@@ -616,9 +616,14 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorOps.cosine_sim
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    // spread the STREAMED side of the nested-loop pair join: the n²
+    // cosine leg runs at the stream's parallelism and the fixture
+    // embeddings scan is one row group → 1 partition (the broadcast
+    // side stays narrow — it is collected to the driver anyway)
+    val a = graft.model.Tables.spread(
+      e.select(col("vec_id").as("vec_a"), col("v").as("va")))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

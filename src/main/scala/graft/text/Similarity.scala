@@ -47,8 +47,14 @@ object Similarity {
     * per-query top-k aggregation.
     */
   def cosineTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val q = e.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val e0 = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e0.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // spread the STREAMED side only: all O(|Q|·|N|) dot products happen
+    // on the corpus stream of this broadcast join, and the fixture
+    // embeddings scan is one row group → 1 partition, so the whole
+    // quadratic leg would otherwise run on one core (the query side
+    // stays on the raw scan — it is collected for broadcast anyway)
+    val e = graft.model.Tables.spread(e0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -91,7 +97,9 @@ object Similarity {
     import graft.functions.VectorOps.int8_round_trip
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val q = e.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val corpus = e.select(col("vec_id"), int8_round_trip(col("v")).as("v"))
+    // same stream-side spread rationale as [[cosineTopK]]
+    val corpus = graft.model.Tables.spread(
+      e.select(col("vec_id"), int8_round_trip(col("v")).as("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(corpus, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
