@@ -2009,7 +2009,11 @@ object AnalyticsQueries {
     * hand-traces the fences and the clamp-vs-drop distinction. */
   def winsorized(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(false) // feeds the fences AND the re-scan
+    // feeds the fences AND the re-scan; spread first — the exact
+    // percentile's partial aggregation buffers every value per flag,
+    // and at the raw fixture scan's 3 partitions that collection leg
+    // runs on 3 of 32 cores (q238 rationale)
+    val b = graft.model.Tables.spread(in).localCheckpoint(false)
     val f = b.groupBy(col("flag"))
       .agg(expr("percentile(cents, 0.05)").as("p05"),
         expr("percentile(cents, 0.95)").as("p95"))

@@ -22,8 +22,12 @@ import graft.text.Dedup
   */
 object ShingleLayout {
 
-  /** Bump when the shingle derivation changes semantically. */
-  private val LayoutVersion = 1
+  /** Bump when the shingle derivation changes semantically.
+    * v2: written through [[Tables.spread]] — the v1 files came out of
+    * an AQE-coalesced final stage (2 files at sf0.1), so every
+    * consumer's pre-shuffle leg (decode 5M rows + shuffle write, both
+    * sides of the pair joins) ran on 2 cores. Same rows, layout only. */
+  private val LayoutVersion = 2
 
   /** (doc_id, sh, n_sh) for the documents table at `sfDir` — derived
     * and written once per (sfDir, n), read from the layout afterwards. */
@@ -31,7 +35,7 @@ object ShingleLayout {
     val dir =
       s"${SourceLayout.root("graft_shingles", sfDir)}/n${n}_v$LayoutVersion"
     SourceLayout.writeOnce(dir) {
-      Dedup.shingleRows(Tables.documents(s, sfDir), n)
+      Tables.spread(Dedup.shingleRows(Tables.documents(s, sfDir), n))
         .write.mode("overwrite").parquet(dir)
     }
     s.read.parquet(dir)

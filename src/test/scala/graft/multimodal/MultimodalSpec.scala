@@ -9,8 +9,13 @@ import graft.model.Tables
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  // orderBy before limit: documents now loads through Tables.spread
+  // (round-robin when narrower than the session width), so a bare
+  // limit() is a nondeterministic subset and re-evaluates differently
+  // per action — the fixture must pin WHICH 60 docs it means
   private def media = Multimodal.syntheticMedia(
-    Tables.documents(spark, SparkTestSession.Sf0001).limit(60))
+    Tables.documents(spark, SparkTestSession.Sf0001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(60))
 
   test("media schema carries an opaque binary payload + typed metadata") {
     val m = media
@@ -191,8 +196,10 @@ class MultimodalSpec extends AnyFunSuite {
     perQuery.values.foreach(g => assert(g.length === 2))
   }
 
+  // same deterministic-subset rule as `media` above
   private def pngMedia = Multimodal.syntheticPngMedia(spark,
-    Tables.documents(spark, SparkTestSession.Sf0001).limit(60))
+    Tables.documents(spark, SparkTestSession.Sf0001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(60))
 
   test("syntheticPngMedia image payloads are complete, decodable PNGs") {
     val images = pngMedia

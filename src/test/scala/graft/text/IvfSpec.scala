@@ -51,8 +51,10 @@ class IvfSpec extends AnyFunSuite {
 
   test("a zero-norm query scores -1.0 and stays in the output (q141 convention)") {
     import spark.implicits._
+    // orderBy before limit: embeddings loads through Tables.spread, so a
+    // bare limit() over the round-robin frame is a nondeterministic subset
     val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
-      .limit(40)
+      .orderBy(col("vec_id")).limit(40)
       .union(Seq((9999L, Array.fill(64)(0.0f), 0))
         .toDF("vec_id", "embedding", "label"))
     val out = Ivf.ivfCosineTopK(emb, col("vec_id") === 9999L, k = 3,

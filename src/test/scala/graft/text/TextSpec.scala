@@ -227,7 +227,10 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("langId + quality metrics are deterministic and bounded") {
-    val fixture = Tables.documents(spark, SparkTestSession.Sf0001).limit(50)
+    // orderBy before limit: documents loads through Tables.spread, so a
+    // bare limit() over the round-robin frame is a nondeterministic subset
+    val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
+      .orderBy(col("doc_id")).limit(50)
     val rows = fixture.select(
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.qualityScore(col("text")).as("q"),
