@@ -54,24 +54,20 @@ object Tables {
       case _ => raw
     }
   }
-  /** documents/embeddings load through [[spread]]: they are the two
-    * tables whose consumers do heavy per-ROW work before the first
-    * shuffle (tokenize/shingle/n-gram explosion, all-pairs vector
-    * scoring), and the fixture files are one row group → 1 scan
-    * partition, so that whole leg would otherwise run on one core.
-    * Filters and column pruning still reach the scan (verified:
-    * PushedFilters/ReadSchema are unchanged under the Repartition),
-    * and the added exchange moves ≤ a few MB at fixture scale — while
-    * at cluster scale [[spread]] is a metadata no-op. lineitem/events
-    * deliberately do NOT spread here: their consumers mostly aggregate
-    * straight off the scan, where an exchange below the partial
-    * aggregate would replace a tiny combined shuffle with a full-row
-    * one; the few compute-heavy consumers spread explicitly at the
-    * call site. */
-  def documents(s: SparkSession, d: String): DataFrame =
-    spread(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(load(s, d, "embeddings"))
+  /** documents/embeddings deliberately do NOT load through [[spread]]:
+    * a blanket loader spread was benched both ways in round 9 — the
+    * heavy consumers won 0.5–3 s each, but every CHEAP consumer paid
+    * ~0.1–0.5 s: one extra exchange per consuming subtree (the
+    * exchanges don't dedupe — column pruning specializes each one),
+    * 32-task range sampling under every final global sort, and the
+    * broadcast sides of the pair joins collecting through a shuffle
+    * they don't need. Net worse than spreading INSIDE the
+    * compute-heavy helpers (positionalShingles, simHash, the bigram/
+    * RAKE/DSIR tokenizers, perDocStages, and the streamed corpus side
+    * of every all-pairs vector join), which is where [[spread]] lives
+    * now — surgical, at the stage whose cost justifies the exchange. */
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Raise a frame's parallelism to the session's shuffle width before a
     * compute-heavy narrow stage (shingling, per-row replica explosion,

@@ -154,7 +154,8 @@ object CorpusQueries {
         ROUND(maxc * 1.0 / nw, 4) AS top_tok_frac
       FROM tstats s JOIN gstats USING (doc_id) ORDER BY 1"""),
     (s, d) => {
-      val words = documents(s, d).select(col("doc_id"),
+      // spread: the tokenize explosion is the pre-shuffle cost here
+      val words = spread(documents(s, d)).select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
       val tokStats = words
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -532,7 +533,8 @@ object CorpusQueries {
       SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(lp), 4) AS avg_nll
       FROM sc GROUP BY 1 ORDER BY 1"""),
     (s, d) => {
-      val words = documents(s, d).select(col("doc_id"),
+      // spread: the tokenize explosion is the pre-shuffle cost here
+      val words = spread(documents(s, d)).select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val bigrams = words

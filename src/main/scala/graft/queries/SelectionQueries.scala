@@ -210,7 +210,8 @@ object SelectionQueries {
       SELECT doc_id, lang, n_bigrams, ROUND(w, 4) AS w
       FROM sc ORDER BY ROUND(w, 4) DESC, doc_id LIMIT 50"""),
     (s, d) => {
-      val words = documents(s, d).select(col("doc_id"), col("lang"),
+      // spread: the tokenize explosion is the pre-shuffle cost here
+      val words = spread(documents(s, d)).select(col("doc_id"), col("lang"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       // within-doc pre-combined (doc, w1, w2, c) — four consumers below,

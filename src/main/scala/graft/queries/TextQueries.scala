@@ -887,7 +887,8 @@ object TextQueries {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wRun = Window.partitionBy(col("doc_id"), col("run_id"))
       .orderBy(col("pos"))
-    val np = docs
+    // spread: the tokenize explosion is the pre-shuffle cost here
+    val np = graft.model.Tables.spread(docs)
       .select(col("doc_id"), posexplode(
         split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
       .withColumn("stop", col("w").isInCollection(TA.Stopwords))

@@ -204,8 +204,11 @@ object CorpusPipeline {
                    corpusPairs: Option[DataFrame] = None): DataFrame = {
     val wEk = Window.partitionBy(col("content_hash"))
       .orderBy(keeperOrder: _*)
-    val base = trainingSide(docs0
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    // spread before the per-doc token count + content hash: both are
+    // text-walking expressions evaluated before the first shuffle, and
+    // the fixture documents scan is one row group → 1 partition
+    val base = trainingSide(graft.model.Tables.spread(docs0
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars")))
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")))
       .withColumn("content_hash", contentHash(col("text")))
       .withColumn("f_ek", row_number().over(wEk) === 1)

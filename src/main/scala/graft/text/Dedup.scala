@@ -56,7 +56,10 @@ object Dedup {
     * [[shingleRows]] rationale above). */
   def positionalShingles(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 2, "shingle width must be >= 2")
-    val toks = docs.select(col("doc_id"),
+    // spread before the split+posexplode: the tokenize explosion is the
+    // heavy narrow leg of every shingle derivation, and the fixture
+    // documents scan is one row group → 1 partition (no-op at scale)
+    val toks = graft.model.Tables.spread(docs).select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -693,7 +696,9 @@ object Dedup {
     */
   def simHash(docs: DataFrame): DataFrame = {
     import graft.functions.SimHashAgg.simhash_agg
-    val toks = docs
+    // spread: tokenize + per-token xxhash64 + the vote-buffer partial
+    // aggregation all run before the doc_id shuffle (q274 rationale)
+    val toks = graft.model.Tables.spread(docs)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

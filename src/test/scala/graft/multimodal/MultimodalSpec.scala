@@ -9,10 +9,9 @@ import graft.model.Tables
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  // orderBy before limit: documents now loads through Tables.spread
-  // (round-robin when narrower than the session width), so a bare
-  // limit() is a nondeterministic subset and re-evaluates differently
-  // per action — the fixture must pin WHICH 60 docs it means
+  // orderBy before limit: a bare limit() is only deterministic while
+  // the scan stays single-partition, and it re-evaluates per action —
+  // the fixture must pin WHICH 60 docs it means
   private def media = Multimodal.syntheticMedia(
     Tables.documents(spark, SparkTestSession.Sf0001)
       .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(60))

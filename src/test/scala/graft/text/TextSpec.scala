@@ -227,8 +227,8 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("langId + quality metrics are deterministic and bounded") {
-    // orderBy before limit: documents loads through Tables.spread, so a
-    // bare limit() over the round-robin frame is a nondeterministic subset
+    // orderBy before limit: a bare limit() is only deterministic while
+    // the scan stays single-partition — pin WHICH 50 docs this means
     val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
       .orderBy(col("doc_id")).limit(50)
     val rows = fixture.select(
