@@ -154,9 +154,12 @@ object CorpusQueries {
         ROUND(maxc * 1.0 / nw, 4) AS top_tok_frac
       FROM tstats s JOIN gstats USING (doc_id) ORDER BY 1"""),
     (s, d) => {
-      // spread: the tokenize explosion is the pre-shuffle cost here
+      // spread: the tokenize explosion is the pre-shuffle cost here;
+      // checkpointed because BOTH stat subtrees below consume it (the
+      // q27/q89 re-execution lesson)
       val words = spread(documents(s, d)).select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .localCheckpoint(false)
       val tokStats = words
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -543,6 +546,10 @@ object CorpusQueries {
         .where(col("w2").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
+        // three consumers below (cb, cu, the scoring join) — without
+        // this the tokenize + per-doc window + combine re-run per
+        // subtree (the q27/q89 re-execution lesson, q175's discipline)
+        .localCheckpoint(false)
       val cb = bigrams.groupBy(col("w1"), col("w2"))
         .agg(sum(col("c")).as("cb"))
       val cu = bigrams.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
