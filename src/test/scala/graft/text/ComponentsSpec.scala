@@ -32,8 +32,18 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  private def check(edges: Seq[(Long, Long)]): Unit =
-    assert(ccOf(edges) === unionFind(edges))
+  /** Force the distributed star fixpoint (cutoff -1 disables the
+    * driver union-find short-circuit) so BOTH paths stay covered. */
+  private def ccStarOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"),
+        driverCutoff = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val expect = unionFind(edges)
+    assert(ccOf(edges) === expect)      // driver path (default at test sizes)
+    assert(ccStarOf(edges) === expect)  // distributed star fixpoint
+  }
 
   test("path graph collapses to one component rooted at the min") {
     check((1L until 20L).map(i => (i, i + 1)))
