@@ -153,7 +153,10 @@ object EvalQueries {
     * k > n_cal clamp against hand residual sets. */
   def conformal(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      val b = in.localCheckpoint(false) // feeds train, cal, test subtrees
+      // feeds train, cal, test subtrees; spread first — the per-row md5
+      // split hash is evaluated into this checkpoint, and the raw
+      // fixture scan is 3 partitions (q238 rationale)
+      val b = graft.model.Tables.spread(in).localCheckpoint(false)
       val pred = b.where(col("split") === 0).groupBy(col("flag"))
         .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_train"))
         .select(col("flag"), expr("sc div n_train").as("p"), col("n_train"))
