@@ -325,10 +325,11 @@ object AnalyticsQueries {
       // The distinct pair set is checkpointed ONCE: both edge
       // directions, the degree table and the iterations all read it
       // without re-running the scan+distinct.
-      val pairs = lineitem(s, d)
-        .select((col("l_suppkey").cast("long") * 2).as("s"),
-          (col("l_partkey").cast("long") * 2 + 1).as("p"))
-        .distinct()
+      // the distinct edge set comes from the write-once GraphEdgesLayout
+      // (shared with q167/q222/q244); the encoding is applied post-read
+      val pairs = graft.sources.GraphEdgesLayout.supplierPart(s, d)
+        .select((col("s").cast("long") * 2).as("s"),
+          (col("p").cast("long") * 2 + 1).as("p"))
         .localCheckpoint(false)
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))
@@ -382,9 +383,8 @@ object AnalyticsQueries {
           AS agree
       FROM seeds sd LEFT JOIN p2 ON sd.s = p2.s ORDER BY 1"""),
     (s, d) => {
-      val edges = lineitem(s, d)
-        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-        .distinct()
+      // write-once GraphEdgesLayout edge set (q119's convention)
+      val edges = graft.sources.GraphEdgesLayout.supplierPart(s, d)
         .localCheckpoint(false)
       val seeds = supplier(s, d)
         .select(col("s_suppkey").as("s"), col("s_nationkey").as("lab"))
@@ -477,10 +477,10 @@ object AnalyticsQueries {
       SELECT * FROM hub UNION ALL SELECT * FROM auth
       ORDER BY kind, score DESC, node"""),
     (s, d) => {
-      val edges = lineitem(s, d)
-        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint(false) // read by all four half-steps
+      // write-once GraphEdgesLayout edge set (q119's convention),
+      // checkpointed: read by all four half-steps
+      val edges = graft.sources.GraphEdgesLayout.supplierPart(s, d)
+        .localCheckpoint(false)
       val (hub, auth) = hits(edges, rounds = 2)
       val top10h = hub
         .select(concat(lit("s"), col("s")).as("node"),
@@ -2170,10 +2170,10 @@ object AnalyticsQueries {
       FROM it2 WHERE ROUND(pr, 8) > 0
       ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
     (s, d) => {
-      val pairs = lineitem(s, d)
-        .select((col("l_suppkey").cast("long") * 2).as("s"),
-          (col("l_partkey").cast("long") * 2 + 1).as("p"))
-        .distinct()
+      // write-once GraphEdgesLayout edge set (q119's convention)
+      val pairs = graft.sources.GraphEdgesLayout.supplierPart(s, d)
+        .select((col("s").cast("long") * 2).as("s"),
+          (col("p").cast("long") * 2 + 1).as("p"))
         .localCheckpoint(false)
       val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("s").as("dst")))

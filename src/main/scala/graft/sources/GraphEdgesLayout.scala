@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model.Tables
+
+/** Write-once supplier–part bipartite edge list — the graph family's
+  * base-table analogue of [[CopurchaseLayout]]: FOUR catalog queries
+  * (q119 PageRank, q167 label propagation, q222 HITS, q244 PPR) derive
+  * the identical `SELECT DISTINCT l_suppkey, l_partkey FROM lineitem`
+  * edge set per run (~0.4 s of scan+distinct each at sf0.1) before
+  * their iterations even start. The leverage GROWS with scale: the
+  * fixture's pairs are nearly unique (591 k of 600 k rows), but a real
+  * fact table repeats each (supplier, part) edge once per order line —
+  * the distinct edge set is bounded by the partsupp relation while
+  * lineitem grows with order volume, so at 100 TB the four queries
+  * would each re-scan the fact table to re-derive an edge table
+  * thousands of times smaller. That is the table a graph service
+  * maintains next to the facts, written once per ingest wave; every
+  * ranking/propagation pass reads it.
+  *
+  * Stored with the fact table's native key types and the raw (s, p)
+  * orientation — consumers apply their own node encodings (q119/q244's
+  * even/odd long packing, q222's 's'/'p' labels) after the read, so
+  * the parquet round-trip is value-identical to the in-query
+  * derivation (GraphEdgesLayoutSpec pins it). Directory embeds a
+  * version per the [[BucketedTables]] fingerprint discipline.
+  */
+object GraphEdgesLayout {
+
+  /** Bump when the edge derivation changes semantically. */
+  private val LayoutVersion = 1
+
+  /** DISTINCT (s = l_suppkey, p = l_partkey) pairs for `sfDir` —
+    * derived and written once, read from the layout afterwards. */
+  def supplierPart(s: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_graph_edges", sfDir)}/sp_v$LayoutVersion"
+    SourceLayout.writeOnce(dir) {
+      Tables.spread(Tables.lineitem(s, sfDir)
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct())
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+}

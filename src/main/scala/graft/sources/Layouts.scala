@@ -34,6 +34,7 @@ object Layouts {
     PairsLayout.jaccardPairs(s, sfDir, 0.4)
     ComponentLayout.dedupComponents(s, sfDir, 0.4)
     ComponentLayout.yesterdayComponents(s, sfDir, 0.4)
+    GraphEdgesLayout.supplierPart(s, sfDir)
     CopurchaseLayout.pairCounts(s, sfDir)
     CopurchaseLayout.yesterdayPairCounts(s, sfDir)
     CopurchaseLayout.yesterdayTriangles(s, sfDir)
