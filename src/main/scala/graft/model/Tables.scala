@@ -77,15 +77,82 @@ object Tables {
     * lineitem as 3), so any work placed before the first shuffle runs on
     * that many cores no matter how wide the session is; parquet cannot
     * split below row-group granularity, so `maxPartitionBytes` can't fix
-    * it. At cluster scale a 100 TB table scans as thousands of splits —
-    * `getNumPartitions >= width` there, and this is a driver-side
-    * metadata check that adds NO shuffle. The round-robin pass it adds at
-    * fixture scale moves only the projected columns fed to it (call it
-    * AFTER pushdown-eligible filters/projections, so those stay at the
-    * scan).
+    * it.
+    *
+    * The partition-count probe (`.rdd.getNumPartitions`) is free ONLY
+    * for scan-rooted frames (scan + project/filter/generate): under AQE
+    * (on by default), materializing `.rdd` on a shuffle-BEARING frame
+    * finalizes the adaptive plan, which eagerly EXECUTES every upstream
+    * shuffle stage and then discards the result — the caller's
+    * derivation would run twice. So shuffle-bearing frames skip the
+    * probe: an outermost explicit repartition declares its width in
+    * the plan and is honored statically (identity when already at or
+    * above session width); everything else repartitions
+    * unconditionally — at fixture scale that is
+    * exactly what the probe would have chosen (AQE coalesces small
+    * shuffle outputs below session width), and at cluster scale one
+    * exchange of an already-reduced result is strictly cheaper than
+    * re-deriving it — though callers there should prefer
+    * [[atFullWidth]] at write sites, which adds no exchange at all.
+    * For scan-rooted frames the probe stays: a 100 TB table scans as
+    * thousands of splits, `getNumPartitions >= width`, and the check is
+    * driver-side metadata that adds NO shuffle. The round-robin pass it
+    * adds at fixture scale moves only the projected columns fed to it
+    * (call it AFTER pushdown-eligible filters/projections, so those
+    * stay at the scan).
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    val analyzed = df.queryExecution.analyzed
+    val hasExchange = analyzed.exists {
+      case _: Aggregate | _: Join | _: Window | _: Distinct |
+           _: Deduplicate | _: RepartitionByExpression | _: GlobalLimit |
+           _: Intersect | _: Except => true
+      case s: Sort => s.global
+      case r: Repartition => r.shuffle
+      case _ => false
+    }
+    if (!hasExchange)
+      return if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    // Shuffle-bearing: never probe. An explicit outermost repartition
+    // states its width in the plan — honor it statically; anything
+    // whose runtime width only AQE knows gets the unconditional
+    // exchange described above.
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c)         => strip(c)
+      case Filter(_, c)          => strip(c)
+      case SubqueryAlias(_, c)   => strip(c)
+      case p                     => p
+    }
+    val declaredWidth = strip(analyzed) match {
+      case r: Repartition if r.shuffle => Some(r.numPartitions)
+      case r: RepartitionByExpression  => r.optNumPartitions
+      case _                           => None
+    }
+    declaredWidth match {
+      case Some(n) if n >= width => df
+      case _                     => df.repartition(width)
+    }
+  }
+
+  /** Run `body` (a write of a shuffle-bearing frame) with AQE partition
+    * coalescing disabled, so the final stage emits files at its
+    * shuffle's natural width instead of the 1–2 files AQE coalesces a
+    * fixture-scale result into. This is the writer-side form of the
+    * row-group discipline (SCALING.md "inverse cliff"): readers can
+    * never split finer than the row groups writers emit, so write-once
+    * layouts must come out at the split width their heavy consumers
+    * need. Unlike [[spread]]'s fallback this adds NO exchange — the
+    * frame's own final shuffle just keeps all its output partitions —
+    * and unlike an eager `.rdd` probe it executes nothing. Scoped: the
+    * previous conf value is restored even if `body` throws.
+    */
+  def atFullWidth[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
   }
 }

@@ -2733,7 +2733,7 @@ object AnalyticsQueries {
           CAST(list_sum(list_transform(range($MpWindow), t ->
             CAST((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw) AS HUGEINT) *
             CAST((a.w[t+1] - b.w[t+1]) * $MpWindow - (a.sw - b.sw) AS HUGEINT)))
-            AS HUGEINT) AS d2
+            AS DECIMAL(38,0)) AS d2
         FROM win a JOIN win b
           ON a.l_returnflag = b.l_returnflag
           AND abs(a.i - b.i) >= $MpWindow),
@@ -2901,7 +2901,11 @@ object AnalyticsQueries {
       col("wk").as("wkb"), col("w").as("wb"), col("sw").as("swb"))
     // Each diff fits int64 (≤ ~2·m·weeklyMax) but its square overflows
     // once weekly sums pass ~3e9, so square and accumulate in
-    // Decimal(38,0) — the oracle mirrors with HUGEINT.
+    // Decimal(38,0). The oracle accumulates in HUGEINT but must emit
+    // d2 AS DECIMAL(38,0) too: the driver's hash is TYPE-sensitive
+    // (round-9 lesson — identical values under HUGEINT still flipped
+    // the row red), so an output-type change IS a semantics change and
+    // both sides must move together.
     val term = zip_with(col("wa"), col("wb"), (x, y) =>
       ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)) *
         ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)))

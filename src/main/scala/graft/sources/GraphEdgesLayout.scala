@@ -29,8 +29,13 @@ import graft.model.Tables
   */
 object GraphEdgesLayout {
 
-  /** Bump when the edge derivation changes semantically. */
-  private val LayoutVersion = 1
+  /** Bump when the edge derivation changes semantically.
+    * v2: same rows as v1, layout only — written under
+    * [[Tables.atFullWidth]] (the distinct's own shuffle keeps session
+    * width) instead of a post-distinct [[Tables.spread]], whose `.rdd`
+    * probe under AQE finalized the adaptive plan and ran the distinct
+    * TWICE at write time. */
+  private val LayoutVersion = 2
 
   /** DISTINCT (s = l_suppkey, p = l_partkey) pairs for `sfDir` —
     * derived and written once, read from the layout afterwards. */
@@ -38,10 +43,12 @@ object GraphEdgesLayout {
     val dir =
       s"${SourceLayout.root("graft_graph_edges", sfDir)}/sp_v$LayoutVersion"
     SourceLayout.writeOnce(dir) {
-      Tables.spread(Tables.lineitem(s, sfDir)
+      Tables.atFullWidth(s) {
+        Tables.lineitem(s, sfDir)
           .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-          .distinct())
-        .write.mode("overwrite").parquet(dir)
+          .distinct()
+          .write.mode("overwrite").parquet(dir)
+      }
     }
     s.read.parquet(dir)
   }

@@ -23,11 +23,16 @@ import graft.text.Dedup
 object ShingleLayout {
 
   /** Bump when the shingle derivation changes semantically.
-    * v2: written through [[Tables.spread]] — the v1 files came out of
+    * v2: written at session width — the v1 files came out of
     * an AQE-coalesced final stage (2 files at sf0.1), so every
     * consumer's pre-shuffle leg (decode 5M rows + shuffle write, both
-    * sides of the pair joins) ran on 2 cores. Same rows, layout only. */
-  private val LayoutVersion = 2
+    * sides of the pair joins) ran on 2 cores. Same rows, layout only.
+    * v3: same rows again, layout only — width now comes from
+    * [[Tables.atFullWidth]] (the windowed derivation's own shuffle
+    * keeps session width) instead of a post-window [[Tables.spread]],
+    * whose `.rdd` probe under AQE finalized the adaptive plan and ran
+    * the shingle derivation TWICE at write time. */
+  private val LayoutVersion = 3
 
   /** (doc_id, sh, n_sh) for the documents table at `sfDir` — derived
     * and written once per (sfDir, n), read from the layout afterwards. */
@@ -35,8 +40,10 @@ object ShingleLayout {
     val dir =
       s"${SourceLayout.root("graft_shingles", sfDir)}/n${n}_v$LayoutVersion"
     SourceLayout.writeOnce(dir) {
-      Tables.spread(Dedup.shingleRows(Tables.documents(s, sfDir), n))
-        .write.mode("overwrite").parquet(dir)
+      Tables.atFullWidth(s) {
+        Dedup.shingleRows(Tables.documents(s, sfDir), n)
+          .write.mode("overwrite").parquet(dir)
+      }
     }
     s.read.parquet(dir)
   }

@@ -136,12 +136,21 @@ object Components {
 
   /** (node, component) for every node incident to an edge; component =
     * min node id of the connected component. `edges` is an undirected
-    * pair list in any orientation with columns (src, dst).
+    * pair list in any orientation with columns (src, dst). Self-loop
+    * edges (src == dst) are ignored — a node whose ONLY edge is a
+    * self-loop is not emitted. Filtering them up front is what keeps
+    * the two dispatch paths on one contract: the star rounds contract
+    * a self-loop away and drop the node, while a union-find would
+    * emit (a, a) for it — without the filter the paths disagreed on
+    * exactly that input class (no current producer emits self-loops,
+    * but the function accepts any pair list; ComponentsSpec pins it).
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25,
                           driverCutoff: Long = DriverUnionFindCutoff)
       : DataFrame = {
-    var cur = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    var cur = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
     var fp = fingerprint(cur)
     // driverCutoff is a test seam (ComponentsSpec pins both paths equal
     // on the same graphs); production callers take the default

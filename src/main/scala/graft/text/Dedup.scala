@@ -619,14 +619,20 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorOps.cosine_sim
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // spread the STREAMED side of the nested-loop pair join: the n²
-    // cosine leg runs at the stream's parallelism and the fixture
-    // embeddings scan is one row group → 1 partition (the broadcast
-    // side stays narrow — it is collected to the driver anyway)
+    // spread the STREAMED side of the pair join: the n² cosine leg runs
+    // at the stream's parallelism and the fixture embeddings scan is one
+    // row group → 1 partition. NO broadcast hint on b: unlike the
+    // cosineTopK-family sites, b is the FULL embeddings side, not a
+    // filtered query subset — a hint would force the planner to collect
+    // the whole corpus to the driver and remove its size-based
+    // cartesian fallback. Unhinted, the planner broadcasts b only while
+    // it is small (exactly the fixture-scale exact-path regime this
+    // function is documented for) and falls back to a partitioned
+    // cartesian beyond that; [[embeddingDupPairsLsh]] is the scale path.
     val a = graft.model.Tables.spread(
       e.select(col("vec_id").as("vec_a"), col("v").as("va")))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

@@ -29,6 +29,29 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.spread(wide) eq wide)
   }
 
+  test("spread never finalizes a shuffle-bearing frame's adaptive plan (round-10 AQE contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // The round-9 form probed .rdd.getNumPartitions unconditionally;
+    // under AQE that finalizes the adaptive plan, which EXECUTES every
+    // upstream shuffle stage and discards the result — a write-time
+    // layout builder ran its derivation twice. The observable is
+    // isFinalPlan on the input's own execution.
+    val agg = (1 to 100).toDF("x")
+      .groupBy(($"x" % 10).as("k")).agg(sum($"x").as("s"))
+    val out = Tables.spread(agg)
+    agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        assert(!a.isFinalPlan,
+          "spread eagerly executed a shuffle-bearing input under AQE")
+      case p => fail(s"expected an adaptive plan under default AQE, got $p")
+    }
+    // and it still lands the frame at session width with rows intact
+    assert(out.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+    assert(out.agg(sum($"s")).as[Long].head() === 5050L)
+  }
+
   test("filter pushdown and column pruning survive the spread's Repartition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spread_probe")
     val p = s"$dir/t.parquet"

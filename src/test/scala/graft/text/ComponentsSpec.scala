@@ -75,6 +75,25 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("self-loops are ignored on BOTH dispatch paths (round-10 contract)") {
+    // A node whose only edge is a self-loop is not emitted: the star
+    // rounds contract (7,7) away, and before the input filter the
+    // driver union-find emitted (7,7) — the paths disagreed on exactly
+    // this input class. Now both drop it, and a self-loop on a
+    // connected node changes nothing.
+    val edges = Seq((1L, 2L), (2L, 2L), (7L, 7L))
+    val expect = Map(1L -> 1L, 2L -> 1L) // no node 7, loop on 2 inert
+    assert(ccOf(edges) === expect)
+    assert(ccStarOf(edges) === expect)
+    // and a random graph WITH self-loops left in: paths still agree
+    val rng = new scala.util.Random(7)
+    val noisy = Seq.fill(60)(
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val expect2 = unionFind(noisy.filter { case (a, b) => a != b })
+    assert(ccOf(noisy) === expect2)
+    assert(ccStarOf(noisy) === expect2)
+  }
+
   test("dedupComponents: every doc labeled, pairs co-labeled, singletons self-labeled") {
     val docs = graft.model.Tables.documents(spark, SparkTestSession.Sf0001)
     val cc = Components.dedupComponents(docs, 0.4)

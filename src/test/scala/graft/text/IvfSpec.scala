@@ -51,8 +51,8 @@ class IvfSpec extends AnyFunSuite {
 
   test("a zero-norm query scores -1.0 and stays in the output (q141 convention)") {
     import spark.implicits._
-    // orderBy before limit: embeddings loads through Tables.spread, so a
-    // bare limit() over the round-robin frame is a nondeterministic subset
+    // orderBy before limit: a bare limit() is only deterministic while
+    // the scan stays single-partition, and nothing pins that here
     val emb = Tables.embeddings(spark, SparkTestSession.Sf0001)
       .orderBy(col("vec_id")).limit(40)
       .union(Seq((9999L, Array.fill(64)(0.0f), 0))

@@ -107,6 +107,65 @@ class TextSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)))
   }
 
+  test("minHashLshPairs maxBucket: MIXED overfull bucket — dropped cross pairs fall back to multi-band recall (floor pinned)") {
+    // The SCALING.md cliff-1 honest recall limit, now planted instead
+    // of prose-only: an overfull bucket that is NOT one duplicate
+    // class. A 30-doc identical clique makes every one of its band
+    // buckets overfull at cap 8, and 12 "satellite" docs share a
+    // 13-token prefix with it — J = 11/25 = 0.44 against the clique
+    // AND against each other, so every cross pair is a TRUE pair at
+    // threshold 0.4, but the satellites are not members of the
+    // exact-dup class. Whenever a band's minhash rows land in the
+    // shared prefix, a satellite rides the clique's overfull bucket:
+    // there it usually misses the thinning coin, and its cross pairs
+    // to OTHER satellites are not anchor pairs (anchors only attach
+    // members to the representative) — such a pair survives only via
+    // the multi-band OR (another band where the two meet in a small
+    // bucket) exactly as documented.
+    val common = (0 until 13).map(i => s"c$i").mkString(" ")
+    val clique = (200L until 230L).map(id =>
+      (id, common + " k0 k1 k2 k3 k4 k5 k6"))
+    val sats = (300L until 312L).map(id =>
+      (id, common + (0 until 7).map(j => s" s${id}x$j").mkString))
+    val corpus = (clique ++ sats).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(corpus, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 30 * 29 / 2 + 30 * 12 + 12 * 11 / 2,
+      "fixture must make every clique, cross, and sat-sat pair true")
+    val capped = Dedup.minHashLshPairs(corpus, 0.4, maxBucket = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness is unconditional: verification gates every emitted pair
+    assert(capped.subsetOf(exact), "capping must never invent pairs")
+    // the adversarial regime must actually engage: with every clique
+    // bucket overfull, the clique's own C(30,2) pair list is thinned
+    val cliquePairs = capped.count(p => p._1 < 300L && p._2 < 300L)
+    assert(cliquePairs < 30 * 29 / 2, "cap did not engage on the clique")
+    // pair-level floor: a cross pair dropped from an overfull bucket
+    // survives only if BOTH members win the thinning coin in some
+    // shared band (P ≈ (cap/size)² per band, OR'd over the ~s²·32
+    // shared bands) or one of them IS the representative. MEASURED on
+    // this fixture: 0.603 — the quantified honest recall limit the
+    // SCALING.md cliff-1 prose states qualitatively. Pinned at ≥ 0.5
+    // (deterministic hash family, so the number is stable; the slack
+    // covers future k/bands retuning). Graceful, not exact — and the
+    // component-level guarantee below is what downstream dedup
+    // actually consumes.
+    val crossTrue = exact.filter(p => p._2 >= 300L)
+    val crossKept = crossTrue.count(capped.contains)
+    val recall = crossKept.toDouble / crossTrue.size
+    assert(recall >= 0.5, s"multi-band fallback recall $recall below floor")
+    assert(recall < 1.0,
+      "fixture no longer drops any cross pair — not adversarial, rebuild it")
+    // component-level: anchors keep every doc attached — one dedup
+    // group spanning clique + satellites, same as the exact pair graph
+    val comp = Components.connectedComponents(
+        capped.toSeq.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === (200L until 230L).toSet ++ (300L until 312L).toSet,
+      "cap isolated a doc from the mixed component")
+    assert(comp.values.toSet.size === 1, "mixed component split")
+  }
+
   test("simHash (single-aggregate) matches the wide 64-sum reference form") {
     val fixture = Tables.documents(spark, SparkTestSession.Sf0001)
     val fast = Dedup.simHash(fixture).collect()

@@ -2,17 +2,40 @@
 """Local replica of the driver's t2 DuckDB-oracle compare.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+       python3 tools/check_oracle.py --selftest
 
 For each query dir under verifyOutDir: load the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB (tables
-registered as views over sfDir parquet), sort columns by name, sort
-rows, and diff values.
+registered as views over sfDir parquet), sort columns by name, and diff
+TYPES first, then values.
+
+The type check exists because the driver's hash is TYPE-sensitive and
+value-only comparison is not: round 9's q286 emitted identical values
+as Spark DECIMAL(38,0) vs oracle HUGEINT — this script passed
+(Python's Decimal(123) == 123), the driver flipped the row red. Types
+come from DuckDB's DESCRIBE of both sides, so the comparison sees the
+same logical types the driver's DuckDB session sees. TYPE_EQUIV lists
+the pairs the driver demonstrably hashes as equal (evidenced by rows
+that were green in a driver CORRECTNESS artifact despite the skew);
+it starts empty — add a pair only with that evidence.
 """
-import json, sys, math
+import json, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Frozen-set pairs of DuckDB type strings the driver's hash treats as
+# equal, each with the driver artifact that proves it.
+#
+# INTEGER/BIGINT: CORRECTNESS_r09.json has q168_curriculum_order,
+# q182_span_corruption, q183_phrase_search, q190_seasonal_decompose all
+# hash_match=true while carrying exactly this skew (Spark INT vs oracle
+# BIGINT, surfaced by this script's round-10 sweep) — the driver
+# unifies integer widths. DECIMAL(38,0) vs HUGEINT is NOT equivalent
+# (q286 flipped red on it in the same artifact), so the families do
+# not mix.
+TYPE_EQUIV = {frozenset(("INTEGER", "BIGINT"))}
 
 
 def canon(rows, cols):
@@ -30,7 +53,74 @@ def canon(rows, cols):
         [cols[i] for i in order]
 
 
+def described_types(con, query):
+    """{column: duckdb type string} for an arbitrary SELECT."""
+    return {r[0]: r[1]
+            for r in con.sql(f"DESCRIBE ({query})").fetchall()}
+
+
+def type_mismatches(got_types, exp_types):
+    """Columns whose DuckDB logical types differ (modulo TYPE_EQUIV)."""
+    bad = []
+    for c in sorted(set(got_types) & set(exp_types)):
+        g, e = got_types[c], exp_types[c]
+        if g != e and frozenset((g, e)) not in TYPE_EQUIV:
+            bad.append((c, g, e))
+    return bad
+
+
+def check_one(con, name, spark_glob, sql):
+    """Returns None if ok, else a failure message."""
+    try:
+        got_q = f"SELECT * FROM {spark_glob}"
+        gtypes = described_types(con, got_q)
+        etypes = described_types(con, sql)
+        got = con.sql(got_q)
+        grows, gcols = canon(got.fetchall(), [d[0] for d in got.description])
+        exp = con.sql(sql)
+        erows, ecols = canon(exp.fetchall(), [d[0] for d in exp.description])
+    except Exception as e:
+        return f"{e}"
+    if gcols != ecols:
+        return f"columns {gcols} != {ecols}"
+    tbad = type_mismatches(gtypes, etypes)
+    if tbad:
+        return ("types (spark vs oracle): " +
+                ", ".join(f"{c}: {g} != {e}" for c, g, e in tbad))
+    if grows != erows:
+        diffs = [(a, b) for a, b in zip(grows, erows) if a != b]
+        return (f"{len(grows)} vs {len(erows)} rows, "
+                f"first diffs: {diffs[:3]}")
+    return None
+
+
+def selftest():
+    """The replica must flag a deliberately type-skewed fixture whose
+    VALUES are identical — the exact q286 bug class."""
+    con = duckdb.connect()
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq = os.path.join(d, "r.parquet")
+    # Spark-side stand-in: d2 lands as DECIMAL(38,0) in parquet
+    con.execute(
+        f"COPY (SELECT 1 AS k, CAST(123 AS DECIMAL(38,0)) AS d2) "
+        f"TO '{pq}' (FORMAT PARQUET)")
+    skew = check_one(con, "skew", f"'{pq}'",
+                     "SELECT 1 AS k, CAST(123 AS HUGEINT) AS d2")
+    assert skew and "types" in skew, f"type skew not flagged: {skew!r}"
+    ok = check_one(con, "ok", f"'{pq}'",
+                   "SELECT 1 AS k, CAST(123 AS DECIMAL(38,0)) AS d2")
+    assert ok is None, f"aligned fixture failed: {ok!r}"
+    vals = check_one(con, "vals", f"'{pq}'",
+                     "SELECT 1 AS k, CAST(124 AS DECIMAL(38,0)) AS d2")
+    assert vals and "diffs" in vals, f"value diff not flagged: {vals!r}"
+    print("selftest ok: type skew flagged, aligned passes, value diff flagged")
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -39,27 +129,16 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            grows, gcols = canon(got.fetchall(), [d[0] for d in got.description])
-            exp = con.sql(sql)
-            erows, ecols = canon(exp.fetchall(), [d[0] for d in exp.description])
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_bad += 1
-            continue
-        if gcols != ecols:
-            print(f"FAIL {name}: columns {gcols} != {ecols}")
-            n_bad += 1
-        elif grows != erows:
-            diffs = [(a, b) for a, b in zip(grows, erows) if a != b]
-            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows, "
-                  f"first diffs: {diffs[:3]}")
-            n_bad += 1
-        else:
-            print(f"ok   {name} ({len(grows)} rows)")
+        msg = check_one(con, name, f"'{out_dir}/{name}/*.parquet'", sql)
+        if msg is None:
+            n_rows = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchone()[0]
+            print(f"ok   {name} ({n_rows} rows)")
             n_ok += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
 
