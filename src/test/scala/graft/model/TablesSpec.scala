@@ -52,6 +52,29 @@ class TablesSpec extends AnyFunSuite {
     assert(out.agg(sum($"s")).as[Long].head() === 5050L)
   }
 
+  test("atFullWidth: shuffle-bearing writes land at session width, conf restored (even on throw)") {
+    import spark.implicits._
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(key, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullwidth")
+    val p = s"$dir/t.parquet"
+    // without the helper, AQE coalesces this tiny aggregate to 1 file —
+    // the round-9 "inverse cliff" writer mistake the helper exists for
+    val agg = (1 to 1000).toDF("x").withColumn("k", $"x" % 97)
+      .groupBy($"k").agg(sum($"x").as("s"))
+    Tables.atFullWidth(spark) { agg.write.mode("overwrite").parquet(p) }
+    val files = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === spark.sessionState.conf.numShufflePartitions,
+      "the write must keep the final shuffle's full width")
+    assert(spark.conf.get(key, "true") === before, "conf must be restored")
+    intercept[RuntimeException] {
+      Tables.atFullWidth(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key, "true") === before,
+      "conf must be restored when the body throws")
+  }
+
   test("filter pushdown and column pruning survive the spread's Repartition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spread_probe")
     val p = s"$dir/t.parquet"
