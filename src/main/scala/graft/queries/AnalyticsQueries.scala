@@ -482,14 +482,20 @@ object AnalyticsQueries {
       val edges = graft.sources.GraphEdgesLayout.supplierPart(s, d)
         .localCheckpoint(false)
       val (hub, auth) = hits(edges, rounds = 2)
+      // top-10 tie-break on the NUMERIC key, matching the oracle's
+      // ORDER BY ..., s LIMIT 10 — breaking ties on the prefixed node
+      // STRING instead picks a different inclusion set when rounded
+      // scores tie ("s100" < "s2" lexicographically): invisible at
+      // sf0.01 (scores distinct), caught by the round-10 sf0.001 sweep
+      // where indegree-1 parts tie exactly
       val top10h = hub
+        .orderBy(round(col("h"), 8).desc, col("s")).limit(10)
         .select(concat(lit("s"), col("s")).as("node"),
           lit("hub").as("kind"), round(col("h"), 8).as("score"))
-        .orderBy(round(col("score"), 8).desc, col("node")).limit(10)
       val top10a = auth
+        .orderBy(round(col("a"), 8).desc, col("p")).limit(10)
         .select(concat(lit("p"), col("p")).as("node"),
           lit("authority").as("kind"), round(col("a"), 8).as("score"))
-        .orderBy(round(col("score"), 8).desc, col("node")).limit(10)
       top10h.unionAll(top10a)
         .orderBy(col("kind"), col("score").desc, col("node"))
     })

@@ -304,11 +304,11 @@ object MixtureQueries {
     "UCB1 mixture scheduler replayed on logged daily rewards, with regret",
     Some("""WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS ds, COUNT(*) AS n,
-          ROUND(SUM(value), 2) AS s
+          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
         FROM events GROUP BY 1, 2),
       pri AS (
-        SELECT event_type, ds, n, s / n AS rbar,
-          SUM(n) OVER w AS pn, SUM(s) OVER w AS ps
+        SELECT event_type, ds, n, sc / 100.0 / n AS rbar,
+          SUM(n) OVER w AS pn, SUM(sc) OVER w AS psc
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY ds
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
@@ -318,50 +318,75 @@ object MixtureQueries {
         FROM daily GROUP BY ds),
       sc AS (
         SELECT pri.event_type, pri.ds, rbar, tot.tp,
-          ps / pn + sqrt(2 * ln(tp) / pn) AS ucb,
+          psc / 100.0 / pn + sqrt(2 * ln(tp) / pn) AS ucb,
           ROW_NUMBER() OVER (PARTITION BY pri.ds ORDER BY
             CASE WHEN pn IS NULL THEN 0 ELSE 1 END,
-            ROUND(ps / pn + sqrt(2 * ln(tp) / pn), 6) DESC,
+            ROUND(psc / 100.0 / pn + sqrt(2 * ln(tp) / pn), 6) DESC,
             pri.event_type) AS rk
         FROM pri JOIN tot ON pri.ds = tot.ds),
       best AS (
         SELECT event_type AS bt FROM daily
-        GROUP BY 1 ORDER BY SUM(s) / SUM(n) DESC, event_type LIMIT 1),
+        GROUP BY 1 ORDER BY SUM(sc) * 1.0 / SUM(n) DESC, event_type
+        LIMIT 1),
       ch AS (
         SELECT sc.ds, sc.event_type AS chosen, sc.ucb, sc.rbar AS reward,
           COALESCE(bd.rbar, 0.0) AS best_reward
         FROM sc
-        LEFT JOIN (SELECT ds, s / n AS rbar FROM daily, best
+        LEFT JOIN (SELECT ds, sc / 100.0 / n AS rbar FROM daily, best
           WHERE event_type = bt) bd ON sc.ds = bd.ds
         WHERE rk = 1)
       SELECT ds, CAST(COALESCE(
           (SELECT tp FROM tot t WHERE t.ds = ch.ds), 0) AS BIGINT)
           AS t_prior,
-        chosen, ROUND(ucb, 4) AS ucb, ROUND(reward, 4) AS reward,
-        ROUND(SUM(best_reward - reward) OVER (ORDER BY ds
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-          AS cum_regret
+        chosen,
+        -- Spark-semantics rounding: Spark's round(double, 4) rounds the
+        -- SHORTEST decimal representation (BigDecimal.valueOf) half-up,
+        -- while DuckDB ROUND rounds the binary value — they disagree
+        -- when the shortest repr lands exactly on the half boundary
+        -- (sf0.001: rbar = 30703/800 = 38.37875 whose double sits just
+        -- BELOW the half; Spark 38.3788, plain ROUND 38.3787). Routing
+        -- through VARCHAR reproduces the shortest repr, and DECIMAL
+        -- rounding is half-away-from-zero = Java HALF_UP on both signs.
+        CAST(ROUND(CAST(CAST(ucb AS VARCHAR) AS DECIMAL(38,18)), 4)
+          AS DOUBLE) AS ucb,
+        CAST(ROUND(CAST(CAST(reward AS VARCHAR) AS DECIMAL(38,18)), 4)
+          AS DOUBLE) AS reward,
+        CAST(ROUND(CAST(CAST(SUM(best_reward - reward) OVER (ORDER BY ds
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cum_regret
       FROM ch ORDER BY ds"""),
     (s, d) => ucbMixture(events(s, d)))
 
   /** The q267 pipeline over any (event_type, ts, value) frame —
     * MixtureSpec hand-traces the explore phase and pins that a
-    * clearly-best arm dominates the schedule with flat regret. */
+    * clearly-best arm dominates the schedule with flat regret.
+    *
+    * Daily reward mass accumulates in integer CENTS (per-row
+    * round(value·100) — the q235 idiom), not a rounded double SUM:
+    * a double day-sum's association order differs between Spark's
+    * partial aggregation and DuckDB's sequential scan, and the
+    * surviving dust propagated into the UCB score where the round-10
+    * sf0.001 sweep caught it landing exactly on a 4dp rounding
+    * boundary (38.37875 → 38.3788 vs 38.3787). With integer sums,
+    * every aggregate is order-independent and the remaining float
+    * math is scalar — bit-identical on both engines. */
   def ucbMixture(ev: DataFrame): DataFrame = {
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sc"))
       .localCheckpoint(false) // feeds priors, totals, best arm, rewards
     val wPrior = Window.partitionBy(col("event_type")).orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pri = daily.select(col("event_type"), col("ds"),
-      (col("s") / col("n")).as("rbar"),
-      sum(col("n")).over(wPrior).as("pn"), sum(col("s")).over(wPrior).as("ps"))
+      (col("sc") / lit(100.0) / col("n")).as("rbar"),
+      sum(col("n")).over(wPrior).as("pn"),
+      sum(col("sc")).over(wPrior).as("psc"))
     val wTot = Window.orderBy(col("ds"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = daily.groupBy(col("ds")).agg(sum(col("n")).as("dn"))
       .select(col("ds"), sum(col("dn")).over(wTot).as("tp"))
       .localCheckpoint(false) // reused for the t_prior readout
-    val ucb = col("ps") / col("pn") +
+    val ucb = col("psc") / lit(100.0) / col("pn") +
       sqrt(lit(2) * log(col("tp")) / col("pn"))
     val wPick = Window.partitionBy(col("ds")).orderBy(
       when(col("pn").isNull, 0).otherwise(1),
@@ -370,11 +395,11 @@ object MixtureQueries {
       .select(col("event_type"), col("ds"), col("rbar"), col("tp"),
         ucb.as("ucb"), row_number().over(wPick).as("rk"))
     val best = daily.groupBy(col("event_type"))
-      .agg((sum(col("s")) / sum(col("n"))).as("om"))
+      .agg((sum(col("sc")) * lit(1.0) / sum(col("n"))).as("om"))
       .orderBy(col("om").desc, col("event_type")).limit(1)
       .select(col("event_type").as("bt"))
     val bd = daily.join(broadcast(best), col("event_type") === col("bt"))
-      .select(col("ds"), (col("s") / col("n")).as("brbar"))
+      .select(col("ds"), (col("sc") / lit(100.0) / col("n")).as("brbar"))
     val ch = sc.where(col("rk") === 1)
       .join(bd, Seq("ds"), "left")
       .select(col("ds"), col("tp"), col("event_type").as("chosen"),
