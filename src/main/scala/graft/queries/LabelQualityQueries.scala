@@ -358,9 +358,13 @@ object LabelQualityQueries {
             ORDER BY sim DESC, nb) AS rk
           FROM p WHERE lb <> la) WHERE rk = 1)
       SELECT e.vec_id, e.label,
-        pos.nb AS pos_id, ROUND(pos.sim, 4) AS pos_sim,
-        neg.nb AS neg_id, ROUND(neg.sim, 4) AS neg_sim,
-        ROUND(pos.sim - neg.sim, 4) AS margin,
+        -- + 0.0 normalizes IEEE signed zero: a margin rounding to zero
+        -- from below is -0.0 on one engine and 0.0 on the other
+        -- (caught by the round-10 sf0.1 sweep; equal VALUES, different
+        -- bytes — the q286 hash-sensitivity class)
+        pos.nb AS pos_id, ROUND(pos.sim, 4) + 0.0 AS pos_sim,
+        neg.nb AS neg_id, ROUND(neg.sim, 4) + 0.0 AS neg_sim,
+        ROUND(pos.sim - neg.sim, 4) + 0.0 AS margin,
         CAST(CASE WHEN pos.sim - neg.sim <= 0 THEN 1 ELSE 0 END
           AS INTEGER) AS is_hard
       FROM e LEFT JOIN pos ON e.vec_id = pos.qa
@@ -410,12 +414,15 @@ object LabelQualityQueries {
     val tp = get(col("tp"), lit(0))
     val tn = get(col("tn"), lit(0))
     val margin = tp.getField("score") - tn.getField("score")
+    // + 0.0 normalizes IEEE signed zero (see the oracle's note): a
+    // margin rounding to -0.0 hashes differently from 0.0 even though
+    // the values compare equal
     best.select(col("q_id").as("vec_id"), col("la").as("label"),
       tp.getField("payload").as("pos_id"),
-      round(tp.getField("score"), 4).as("pos_sim"),
+      (round(tp.getField("score"), 4) + lit(0.0)).as("pos_sim"),
       tn.getField("payload").as("neg_id"),
-      round(tn.getField("score"), 4).as("neg_sim"),
-      round(margin, 4).as("margin"),
+      (round(tn.getField("score"), 4) + lit(0.0)).as("neg_sim"),
+      (round(margin, 4) + lit(0.0)).as("margin"),
       when(margin <= 0, 1).otherwise(0).as("is_hard"))
   }
 

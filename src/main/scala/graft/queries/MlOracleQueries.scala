@@ -806,9 +806,9 @@ object MlOracleQueries {
         FROM m0),
       b1 AS (
         SELECT ls, a,
-          ROUND(4 * (i00 * g0 + i01 * g1 + i02 * g2) / det, 4) AS b0,
-          ROUND(4 * (i01 * g0 + i11 * g1 + i12 * g2) / det, 4) AS b1,
-          ROUND(4 * (i02 * g0 + i12 * g1 + i22 * g2) / det, 4) AS b2
+          ROUND(4 * (i00 * g0 + i01 * g1 + i02 * g2) / det, 4) + 0.0 AS b0,
+          ROUND(4 * (i01 * g0 + i11 * g1 + i12 * g2) / det, 4) + 0.0 AS b1,
+          ROUND(4 * (i02 * g0 + i12 * g1 + i22 * g2) / det, 4) + 0.0 AS b2
         FROM k0),
       p1 AS (
         SELECT base.ls, y, q, dc, b0, b1, b2, a,
@@ -835,9 +835,9 @@ object MlOracleQueries {
         FROM m1),
       b2t AS (
         SELECT ls, a, ll1, acc1,
-          ROUND(b0 + (i00 * h0 + i01 * h1 + i02 * h2) / det, 4) AS c0,
-          ROUND(b1 + (i01 * h0 + i11 * h1 + i12 * h2) / det, 4) AS c1,
-          ROUND(b2 + (i02 * h0 + i12 * h1 + i22 * h2) / det, 4) AS c2,
+          ROUND(b0 + (i00 * h0 + i01 * h1 + i02 * h2) / det, 4) + 0.0 AS c0,
+          ROUND(b1 + (i01 * h0 + i11 * h1 + i12 * h2) / det, 4) + 0.0 AS c1,
+          ROUND(b2 + (i02 * h0 + i12 * h1 + i22 * h2) / det, 4) + 0.0 AS c2,
           b0, b1, b2
         FROM k1),
       m2 AS (
@@ -889,11 +889,15 @@ object MlOracleQueries {
       sum(col("q") * col("dc")).as("e"), sum(col("dc") * col("dc")).as("f"),
       sum(col("y") - 0.5).as("g0"), sum(col("q") * (col("y") - 0.5)).as("g1"),
       sum(col("dc") * (col("y") - 0.5)).as("g2")))
+    // + 0.0 normalizes IEEE signed zero: a coefficient rounding to
+    // zero from below emitted -0.0 on one engine and 0.0 on the other
+    // (round-10 sf0.1 sweep, beta1 of linestatus 'O' — equal values,
+    // different bytes, the q286 hash-sensitivity class)
     def solve(p: String) = round(lit(4) *
       (col(s"i0${p.toInt}") * col("g0")
         + col(if (p == "0") "i01" else if (p == "1") "i11" else "i12") * col("g1")
         + col(if (p == "0") "i02" else if (p == "1") "i12" else "i22") * col("g2"))
-      / col("det"), 4)
+      / col("det"), 4) + lit(0.0)
     val beta1 = m0.select(col("ls").as("ls1"), col("a").as("n0"),
       solve("0").as("b0"), solve("1").as("b1"), solve("2").as("b2"))
     val eta = col("b0") + col("b1") * col("q") + col("b2") * col("dc")
@@ -916,7 +920,7 @@ object MlOracleQueries {
       (col(s"i0$j") * col("g0")
         + col(if (j == "0") "i01" else if (j == "1") "i11" else "i12") * col("g1")
         + col(if (j == "0") "i02" else if (j == "1") "i12" else "i22") * col("g2"))
-      / col("det"), 4)
+      / col("det"), 4) + lit(0.0)
     val beta2 = m1.select(col("ls").as("ls1"), col("n0"),
         col("ll1"), col("acc1"), col("b0"), col("b1"), col("b2"),
         step2("0").as("c0"), step2("1").as("c1"), step2("2").as("c2"))

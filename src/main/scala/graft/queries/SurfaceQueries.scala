@@ -330,10 +330,18 @@ object SurfaceQueries {
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY 1, 2)
       SELECT c_nationkey, c_custkey, CAST(n_orders AS BIGINT) AS n_orders,
-        ROUND(percent_rank() OVER
-          (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey), 6) AS pr,
-        ROUND(cume_dist() OVER
-          (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey), 6) AS cd
+        -- Spark-semantics rounding (the q267 treatment): percent_rank
+        -- emits exact rationals like 41/640 = 0.0640625 whose 6dp
+        -- rounding sits ON the half boundary at sf0.1 group sizes —
+        -- Spark rounds the shortest decimal repr half-up, DuckDB the
+        -- binary value, and they split there. VARCHAR reproduces the
+        -- shortest repr; DECIMAL rounding is half-away-from-zero.
+        CAST(ROUND(CAST(CAST(percent_rank() OVER
+            (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey)
+          AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS pr,
+        CAST(ROUND(CAST(CAST(cume_dist() OVER
+            (PARTITION BY c_nationkey ORDER BY n_orders, c_custkey)
+          AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cd
       FROM oc ORDER BY 1, 2"""),
     (s, d) => {
       val oc = customer(s, d)

@@ -46,7 +46,13 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 9)
+                # repr, not the float: Python's -0.0 == 0.0 made the row
+                # SETS compare equal while the str-based sort key split
+                # them (q166 at sf0.1 — 191 spurious positional diffs),
+                # and a byte-level driver hash DOES distinguish signed
+                # zeros, so the replica must too. repr also makes
+                # NaN == NaN, matching a byte hash.
+                v = repr(round(v, 9))
             rr.append(v)
         out.append(tuple(rr))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), \
