@@ -105,17 +105,22 @@ object Tables {
     import org.apache.spark.sql.catalyst.plans.logical._
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val analyzed = df.queryExecution.analyzed
-    val hasExchange = analyzed.exists {
-      case _: Aggregate | _: Join | _: Window | _: Distinct |
-           _: Deduplicate | _: RepartitionByExpression | _: GlobalLimit |
-           _: Intersect | _: Except => true
-      case s: Sort => s.global
-      case r: Repartition => r.shuffle
-      case _ => false
+    // ALLOWLIST of probe-safe nodes (round-10 ADVICE: the previous
+    // denylist of shuffle-bearing nodes silently reintroduced the
+    // double-execution-under-AQE bug for any unlisted shuffle-requiring
+    // node — typed MapGroups/CoGroup, future operators). A frame is
+    // probe-safe only when EVERY node is provably shuffle-free: a leaf
+    // scan plus Project/Filter/Generate/SubqueryAlias — the documented
+    // 'scan-rooted' contract. Anything else defaults to the no-probe
+    // path below.
+    val probeSafe = !analyzed.exists {
+      case _: LeafNode | _: Project | _: Filter | _: Generate |
+           _: SubqueryAlias => false
+      case _ => true
     }
-    if (!hasExchange)
+    if (probeSafe)
       return if (df.rdd.getNumPartitions < width) df.repartition(width) else df
-    // Shuffle-bearing: never probe. An explicit outermost repartition
+    // Not probe-safe: never probe. An explicit outermost repartition
     // states its width in the plan — honor it statically; anything
     // whose runtime width only AQE knows gets the unconditional
     // exchange described above.
@@ -148,6 +153,14 @@ object Tables {
     * frame's own final shuffle just keeps all its output partitions —
     * and unlike an eager `.rdd` probe it executes nothing. Scoped: the
     * previous conf value is restored even if `body` throws.
+    *
+    * NOT concurrency-safe (round-10 ADVICE): the override is
+    * session-level conf, so a query running concurrently on the same
+    * SparkSession loses AQE coalescing for the duration, and
+    * overlapping atFullWidth calls can restore a stale value. Safe
+    * under this library's single-threaded driver contract (Verify/
+    * Bench/layout builds run queries serially); a multi-tenant caller
+    * must scope the write with `SparkSession.cloneSession()` instead.
     */
   def atFullWidth[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.enabled"

@@ -2311,7 +2311,10 @@ object AnalyticsQueries {
     * negative — more honest than a toy monotone v. Shapley values are
     * emitted UNROUNDED (the q242 lesson: 1/24-weighted rationals land
     * exactly on display-round boundaries where the engines' dust
-    * splits; the gate compares at 9dp, which collapses it).
+    * splits) and accumulated by a deterministic ascending-mask fold on
+    * BOTH engines — a plain double SUM's association order differs
+    * between Spark's partial aggregation and DuckDB's scan, and the
+    * round-11 unrounded replica caught the trailing-ulp split.
     */
   val q246ShapleyAttribution = GraftQuery(
     "q246_shapley_attribution",
@@ -2342,7 +2345,7 @@ object AnalyticsQueries {
       ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
         ('signup', 4), ('error', 8)) AS t(channel, bit)),
       terms AS (
-        SELECT ch.channel, ch.bit,
+        SELECT ch.channel, ch.bit, spine.s,
           CASE bit_count(spine.s) WHEN 0 THEN 0.25
             WHEN 1 THEN 0.08333333333333333
             WHEN 2 THEN 0.08333333333333333 ELSE 0.25 END
@@ -2355,7 +2358,8 @@ object AnalyticsQueries {
         FROM ch JOIN v ON (v.mask & ch.bit) > 0 GROUP BY 1)
       SELECT terms.channel,
         CAST(COALESCE(MIN(nx.n_exposed), 0) AS BIGINT) AS n_exposed,
-        SUM(term) AS shapley
+        list_reduce(list_prepend(0.0, list(term ORDER BY terms.s)),
+          (acc, x) -> acc + x) AS shapley
       FROM terms LEFT JOIN nx ON nx.channel = terms.channel
       GROUP BY 1 ORDER BY 1"""),
     (s, d) => shapleyAttribution(events(s, d)))
@@ -2396,7 +2400,7 @@ object AnalyticsQueries {
         col("mo") === col("s"), "left")
       .join(broadcast(v.select(col("mask").as("mw"), col("v").as("vw"))),
         col("mw") === (col("s").bitwiseOR(col("bit"))), "left")
-      .select(col("channel"),
+      .select(col("channel"), col("s"),
         // 0.0833… as a literal: Spark parses `1.0 / 12` as DECIMAL
         // division (truncated precision); DuckDB as double — the 1e-7
         // gap the gate caught. The parsed double literal is identical
@@ -2411,7 +2415,18 @@ object AnalyticsQueries {
     // left join: a channel nobody was exposed to still has a Shapley
     // value under the unobserved-as-0 convention (and the efficiency
     // axiom needs all k channels in the sum)
-    terms.groupBy(col("channel")).agg(sum(col("term")).as("shapley"))
+    // Deterministic left-fold in ascending mask order, NOT sum(term):
+    // an 8-term double SUM associates per partition order on Spark and
+    // per scan order on DuckDB, and the trailing-ulp dust differs (the
+    // round-11 unrounded-replica catch). Both engines fold the SAME
+    // bit-identical terms in the SAME order from the same 0.0 init —
+    // the oracle mirrors with list_reduce(list_prepend(0.0,
+    // list(term ORDER BY s))).
+    terms.groupBy(col("channel"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("s"), col("term")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("term")).as("shapley"))
       .join(broadcast(nx), Seq("channel"), "left")
       .select(col("channel"),
         coalesce(col("n_exposed"), lit(0L)).cast("long").as("n_exposed"),
@@ -2748,8 +2763,9 @@ object AnalyticsQueries {
             PARTITION BY l_returnflag, ia ORDER BY d2, ib) AS rn
         FROM pr)
       SELECT l_returnflag, CAST(wka AS DATE) AS wk,
-        CAST(wkb AS DATE) AS nn_wk, d2,
-        ROUND(SQRT(d2) / $MpWindow, 4) AS dist
+        CAST(wkb AS DATE) AS nn_wk, CAST(d2 AS DOUBLE) AS d2,
+        CAST(ROUND(CAST(CAST(SQRT(d2) / $MpWindow AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS dist
       FROM nn WHERE rn = 1 ORDER BY 1, 2"""),
     (s, d) => matrixProfile(lineitem(s, d)
       .groupBy(col("l_returnflag"),
@@ -2907,11 +2923,13 @@ object AnalyticsQueries {
       col("wk").as("wkb"), col("w").as("wb"), col("sw").as("swb"))
     // Each diff fits int64 (≤ ~2·m·weeklyMax) but its square overflows
     // once weekly sums pass ~3e9, so square and accumulate in
-    // Decimal(38,0). The oracle accumulates in HUGEINT but must emit
-    // d2 AS DECIMAL(38,0) too: the driver's hash is TYPE-sensitive
-    // (round-9 lesson — identical values under HUGEINT still flipped
-    // the row red), so an output-type change IS a semantics change and
-    // both sides must move together.
+    // Decimal(38,0) — the NN argmin and (d2, ib) tie-break run on the
+    // exact value. The EMITTED d2 is cast to double in the final
+    // select only: DECIMAL output columns are unhashable at the
+    // driver gate (r9/r10 red even with both sides DECIMAL(38,0) and
+    // bit-identical values; r8's integer form was green), and both
+    // engines cast the same exact integer to the same correctly
+    // rounded IEEE double at any magnitude.
     val term = zip_with(col("wa"), col("wb"), (x, y) =>
       ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)) *
         ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)))
@@ -2925,7 +2943,7 @@ object AnalyticsQueries {
       .withColumn("rn", row_number().over(wNn))
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("wka").as("wk"),
-        col("wkb").as("nn_wk"), col("d2"),
+        col("wkb").as("nn_wk"), col("d2").cast("double").as("d2"),
         round(sqrt(col("d2")) / m, 4).as("dist"))
       .orderBy(col("l_returnflag"), col("wk"))
   }

@@ -369,7 +369,16 @@ object MixtureQueries {
     * sf0.001 sweep caught it landing exactly on a 4dp rounding
     * boundary (38.37875 → 38.3788 vs 38.3787). With integer sums,
     * every aggregate is order-independent and the remaining float
-    * math is scalar — bit-identical on both engines. */
+    * math is scalar — bit-identical on both engines.
+    *
+    * PRECONDITION (round-10 ADVICE): `value` must carry ≤ 2 decimal
+    * places. The per-row cents conversion itself rounds — Spark
+    * round(double) rounds the shortest decimal repr half-up while
+    * DuckDB ROUND(value*100) rounds the binary double, and a 3dp
+    * input like 1.005 lands the two engines on different cents. The
+    * fixture's `events.value` is generated at 2dp (exact in both
+    * readings); a frame with finer values needs the VARCHAR→DECIMAL
+    * route on the oracle side first. */
   def ucbMixture(ev: DataFrame): DataFrame = {
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(count(lit(1)).as("n"),

@@ -52,6 +52,28 @@ class TablesSpec extends AnyFunSuite {
     assert(out.agg(sum($"s")).as[Long].head() === 5050L)
   }
 
+  test("spread defaults unknown nodes to the no-probe path (allowlist contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // MapGroups requires a shuffle but was never in the round-10
+    // DENYLIST of shuffle-bearing nodes — the ADVICE gap this pins.
+    // The allowlist treats any node outside the scan-rooted contract
+    // (leaf/Project/Filter/Generate/SubqueryAlias) as not probe-safe,
+    // so the .rdd probe must not run; same isFinalPlan observable as
+    // the AQE-contract test above.
+    val frame = (1 to 100).toDF("x").as[Int]
+      .groupByKey(_ % 10).mapGroups((k, it) => (k, it.sum))
+      .toDF("k", "s")
+    val out = Tables.spread(frame)
+    frame.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        assert(!a.isFinalPlan,
+          "spread probed a MapGroups frame under AQE (double execution)")
+      case p => fail(s"expected an adaptive plan under default AQE, got $p")
+    }
+    assert(out.agg(sum($"s")).as[Long].head() === 5050L)
+  }
+
   test("atFullWidth: shuffle-bearing writes land at session width, conf restored (even on throw)") {
     import spark.implicits._
     val key = "spark.sql.adaptive.coalescePartitions.enabled"

@@ -2,7 +2,22 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.types._
+
 import graft.{SparkEntry, SparkTestSession}
+
+object QueriesSpec {
+  /** True if the type contains a DecimalType anywhere (nested
+    * arrays/maps/structs included) — the one output type class the
+    * driver gate cannot hash (r8→r10 q286 evidence). */
+  def hasDecimal(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+    case a: ArrayType => hasDecimal(a.elementType)
+    case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+    case _ => false
+  }
+}
 
 /** Every catalog query executes at sf0.001 (driver t1-smoke analogue);
   * oracle-level value checks run in the driver's t2 harness
@@ -16,9 +31,33 @@ class QueriesSpec extends AnyFunSuite {
 
   Catalog.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
-      val n = q.run(spark, SparkTestSession.Sf0001).count()
+      val df = q.run(spark, SparkTestSession.Sf0001)
+      // No catalog query may EMIT a DecimalType column (nested
+      // included): the driver gate cannot stably hash decimal128
+      // outputs — q286 stayed hash-red across r9/r10 even with both
+      // sides at DECIMAL(38,0) and bit-identical values, while its
+      // r8 integer form and the catalog's ~150 double columns are
+      // green. Accumulate in decimal internally if overflow demands
+      // it; cast the final emission to double/bigint.
+      val decimalCols =
+        df.schema.fields.filter(f => QueriesSpec.hasDecimal(f.dataType))
+      assert(decimalCols.isEmpty,
+        s"${q.name} emits DECIMAL output column(s) " +
+          s"${decimalCols.map(_.name).mkString(", ")} — unhashable at " +
+          "the driver gate (r8→r10 q286 evidence); cast to double/bigint " +
+          "in the final select")
+      val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
+  }
+
+  test("the decimal-output lint fires on a planted decimal column") {
+    // anti-rot: prove the detector sees top-level AND nested decimals
+    val planted = spark.sql(
+      "SELECT CAST(1 AS DECIMAL(38,0)) AS d, array(CAST(2 AS DECIMAL(10,2))) AS a")
+    assert(planted.schema.fields.forall(f => QueriesSpec.hasDecimal(f.dataType)))
+    val clean = spark.sql("SELECT 1.0D AS d, array(2L) AS a, named_struct('x', 3) AS s")
+    assert(!clean.schema.fields.exists(f => QueriesSpec.hasDecimal(f.dataType)))
   }
 
   test("entry() returns rows (t1 smoke)") {

@@ -51,8 +51,11 @@ def canon(rows, cols):
                 # them (q166 at sf0.1 — 191 spurious positional diffs),
                 # and a byte-level driver hash DOES distinguish signed
                 # zeros, so the replica must too. repr also makes
-                # NaN == NaN, matching a byte hash.
-                v = repr(round(v, 9))
+                # NaN == NaN, matching a byte hash. UNROUNDED (round-10
+                # ADVICE): the driver hash is byte-level, so a
+                # divergence in the 10th decimal is a real red — the
+                # old round(v, 9) masked exactly that class.
+                v = repr(v)
             rr.append(v)
         out.append(tuple(rr))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), \
