@@ -938,9 +938,12 @@ object AnalyticsQueries {
         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
       SELECT u, v, CAST(c AS BIGINT) AS n_both,
-        ROUND(c * 1.0 / n_orders, 6) AS support,
-        ROUND(c * 1.0 / pu.po, 4) AS conf_uv,
-        ROUND(c * 1.0 / pv.po, 4) AS conf_vu,
+        CAST(ROUND(CAST(CAST(c * 1.0 / n_orders AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS support,
+        CAST(ROUND(CAST(CAST(c * 1.0 / pu.po AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_uv,
+        CAST(ROUND(CAST(CAST(c * 1.0 / pv.po AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_vu,
         ROUND(c * 1.0 * n_orders / (pu.po * pv.po), 4) AS lift
       FROM pairs JOIN pc pu ON pu.p = u JOIN pc pv ON pv.p = v, n
       ORDER BY 1, 2"""),
@@ -1219,7 +1222,8 @@ object AnalyticsQueries {
         FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
       rowsum AS (SELECT from_type, SUM(c) AS n FROM tc GROUP BY 1)
       SELECT tc.from_type, to_type, CAST(c AS BIGINT) AS c,
-        ROUND(c * 1.0 / n, 4) AS p
+        CAST(ROUND(CAST(CAST(c * 1.0 / n AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS p
       FROM tc JOIN rowsum USING (from_type) ORDER BY 1, 2"""),
     (s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1437,9 +1441,10 @@ object AnalyticsQueries {
         FROM r)
       SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
         ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) AS u,
-        ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+        CAST(ROUND(CAST(CAST((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
           sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
-            - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z,
+            - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS z,
         CAST(CASE WHEN ABS((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
           sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
             - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0))))) > 1.96
@@ -1767,7 +1772,8 @@ object AnalyticsQueries {
           / (n.n * log10(1 + 1.0 / digit))) AS chi2
         FROM o, n)
       SELECT digit, CAST(c AS BIGINT) AS n_orders,
-        ROUND(c * 1.0 / n.n, 6) AS obs_frac,
+        CAST(ROUND(CAST(CAST(c * 1.0 / n.n AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS obs_frac,
         ROUND(log10(1 + 1.0 / digit), 6) AS benford_p,
         ROUND(x.chi2, 4) AS chi2
       FROM o, n, x ORDER BY digit"""),
@@ -2252,7 +2258,8 @@ object AnalyticsQueries {
         FROM pu)
       SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups,
         CAST(COUNT(days) AS BIGINT) AS n_converted,
-        ROUND(COUNT(days) * 1.0 / COUNT(*), 4) AS conv_rate,
+        CAST(ROUND(CAST(CAST(COUNT(days) * 1.0 / COUNT(*) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS conv_rate,
         quantile_cont(days, 0.5) AS median_days,
         quantile_cont(days, 0.9) AS p90_days
       FROM d GROUP BY 1 ORDER BY 1"""),
@@ -2470,7 +2477,8 @@ object AnalyticsQueries {
           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_violating,
           CAST(SUM(n) AS BIGINT) AS n_rows,
-          ROUND((SUM(n) - SUM(mx)) * 1.0 / SUM(n), 6) AS g3,
+          CAST(ROUND(CAST(CAST((SUM(n) - SUM(mx)) * 1.0 / SUM(n) AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS g3,
           CAST(CASE WHEN SUM(n) = SUM(mx) THEN 1 ELSE 0 END AS INTEGER)
             AS holds
         FROM (
@@ -2535,8 +2543,10 @@ object AnalyticsQueries {
           ON ud.day BETWEEN s.day - 27 AND s.day GROUP BY 1)
       SELECT dau.day, CAST(dau AS BIGINT) AS dau,
         CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
-        ROUND(dau * 1.0 / wau, 4) AS dau_wau,
-        ROUND(dau * 1.0 / mau, 4) AS dau_mau
+        CAST(ROUND(CAST(CAST(dau * 1.0 / wau AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS dau_wau,
+        CAST(ROUND(CAST(CAST(dau * 1.0 / mau AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS dau_mau
       FROM dau JOIN wau ON dau.day = wau.day
         JOIN mau ON dau.day = mau.day
       ORDER BY 1"""),

@@ -49,8 +49,9 @@ object CorpusQueries {
       nbg AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS n
               FROM toks WHERE len(t) >= 2)
       SELECT w1, w2, CAST(bc.c AS BIGINT) AS c,
-        ROUND(log2((bc.c * 1.0 / nbg.n) /
-          ((u1.c * 1.0 / nuni.n) * (u2.c * 1.0 / nuni.n))), 4) AS pmi
+        CAST(ROUND(CAST(CAST(log2((bc.c * 1.0 / nbg.n) /
+          ((u1.c * 1.0 / nuni.n) * (u2.c * 1.0 / nuni.n))) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS pmi
       FROM bc JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2,
         nbg, nuni
       ORDER BY c DESC, w1, w2 LIMIT 20"""),
@@ -105,7 +106,8 @@ object CorpusQueries {
       ff AS (SELECT c AS r, COUNT(*) AS n_r FROM tc GROUP BY 1),
       low AS (SELECT r, n_r FROM ff ORDER BY r LIMIT 10)
       SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
-        ROUND((a.r + 1) * b.n_r * 1.0 / a.n_r, 4) AS gt_r
+        CAST(ROUND(CAST(CAST((a.r + 1) * b.n_r * 1.0 / a.n_r AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS gt_r
       FROM low a LEFT JOIN ff b ON b.r = a.r + 1
       ORDER BY a.r"""),
     (s, d) => {
@@ -150,8 +152,10 @@ object CorpusQueries {
         SELECT doc_id, len(grams) AS n3, len(list_distinct(grams)) AS d3
         FROM g)
       SELECT s.doc_id, s.nw,
-        ROUND(1 - d3 * 1.0 / n3, 4) AS rep3_frac,
-        ROUND(maxc * 1.0 / nw, 4) AS top_tok_frac
+        CAST(ROUND(CAST(CAST(1 - d3 * 1.0 / n3 AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS rep3_frac,
+        CAST(ROUND(CAST(CAST(maxc * 1.0 / nw AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS top_tok_frac
       FROM tstats s JOIN gstats USING (doc_id) ORDER BY 1"""),
     (s, d) => {
       // spread: the tokenize explosion is the pre-shuffle cost here;
@@ -268,7 +272,8 @@ object CorpusQueries {
             AS BIGINT) AS n_hit
         FROM ex WHERE doc_id % 20 <> 0 GROUP BY 1)
       SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, n_hit,
-        ROUND(n_hit * 1.0 / n_sh, 4) AS overlap_frac,
+        CAST(ROUND(CAST(CAST(n_hit * 1.0 / n_sh AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS overlap_frac,
         CASE WHEN n_hit * 1.0 / n_sh >= 0.5 THEN 1 ELSE 0 END AS contaminated
       FROM corp ORDER BY doc_id"""),
     (s, d) => {

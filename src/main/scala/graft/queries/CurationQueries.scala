@@ -206,7 +206,8 @@ object CurationQueries {
         GROUP BY 1, 2),
       flagged AS (
         SELECT doc_id, dup_of,
-          ROUND(inter * 1.0 / (n_i + n_e - inter), 4) AS jaccard
+          CAST(ROUND(CAST(CAST(inter * 1.0 / (n_i + n_e - inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
         FROM cand WHERE inter * 1.0 / (n_i + n_e - inter) >= 0.4),
       best AS (
         SELECT doc_id, dup_of, jaccard, ROW_NUMBER() OVER (
@@ -313,8 +314,9 @@ object CurationQueries {
       SELECT g.doc_id, COUNT(*) AS n_grams,
         CAST(SUM(CASE WHEN df.df >= 0.01 * nd.n_docs THEN 1 ELSE 0 END)
           AS BIGINT) AS n_boiler,
-        ROUND(SUM(CASE WHEN df.df >= 0.01 * nd.n_docs THEN 1 ELSE 0 END)
-          * 1.0 / COUNT(*), 4) AS boiler_frac
+        CAST(ROUND(CAST(CAST(SUM(CASE WHEN df.df >= 0.01 * nd.n_docs THEN 1 ELSE 0 END)
+          * 1.0 / COUNT(*) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS boiler_frac
       FROM g JOIN df USING (sh) CROSS JOIN nd
       GROUP BY 1 ORDER BY 1"""),
     (s, d) => {
@@ -377,7 +379,8 @@ object CurationQueries {
         FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
         GROUP BY 1, 2)
       SELECT i.src_a, i.src_b, i.inter,
-        ROUND(i.inter * 1.0 / (na.n + nb.n - i.inter), 4) AS jaccard
+        CAST(ROUND(CAST(CAST(i.inter * 1.0 / (na.n + nb.n - i.inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
       FROM i JOIN n na ON na.source = i.src_a
         JOIN n nb ON nb.source = i.src_b
       ORDER BY src_a, src_b"""),

@@ -52,9 +52,12 @@ object DiagnosticsQueries {
       SELECT s.key_col, CAST(n_rows AS BIGINT) AS n_rows,
         CAST(n_keys AS BIGINT) AS n_keys,
         CAST(max_cnt AS BIGINT) AS max_cnt,
-        ROUND(max_cnt * 1.0 / n_rows, 4) AS top1_share,
-        ROUND(max_cnt * n_keys * 1.0 / n_rows, 4) AS max_over_avg,
-        ROUND(t10 * 1.0 / n_rows, 4) AS top10_share
+        CAST(ROUND(CAST(CAST(max_cnt * 1.0 / n_rows AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS top1_share,
+        CAST(ROUND(CAST(CAST(max_cnt * n_keys * 1.0 / n_rows AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS max_over_avg,
+        CAST(ROUND(CAST(CAST(t10 * 1.0 / n_rows AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS top10_share
       FROM s JOIN top10 ON s.key_col = top10.key_col
       ORDER BY 1"""),
     (s, d) => {
@@ -104,7 +107,8 @@ object DiagnosticsQueries {
     "completeness + cardinality profile per orders column",
     Some("""SELECT col AS column_name, CAST(n AS BIGINT) AS n,
         CAST(n_null AS BIGINT) AS n_null,
-        ROUND(n_null * 1.0 / n, 4) AS null_pct,
+        CAST(ROUND(CAST(CAST(n_null * 1.0 / n AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS null_pct,
         CAST(n_distinct AS BIGINT) AS n_distinct
       FROM (
         SELECT 'o_custkey' AS col, COUNT(*) AS n,

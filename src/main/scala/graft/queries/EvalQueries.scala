@@ -50,8 +50,10 @@ object EvalQueries {
           SUM(ss2 - 2 * ssy + sy) AS br
         FROM g)
       SELECT bin, CAST(n AS BIGINT) AS n,
-        ROUND(ss / n, 6) AS conf, ROUND(sy * 1.0 / n, 6) AS acc,
-        ROUND(abs(sy * 1.0 / n - ss / n), 6) AS gap,
+        ROUND(ss / n, 6) AS conf, CAST(ROUND(CAST(CAST(sy * 1.0 / n AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS acc,
+        CAST(ROUND(CAST(CAST(abs(sy * 1.0 / n - ss / n) AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS gap,
         ROUND(t.gap_w / t.nn, 6) AS ece,
         ROUND(t.br / t.nn, 6) AS brier
       FROM g, t ORDER BY bin"""),
@@ -137,7 +139,8 @@ object EvalQueries {
         CAST(test.n_test AS BIGINT) AS n_test,
         ROUND(pred.p / 100.0, 2) AS pred_price,
         ROUND(qhat.q / 100.0, 2) AS q_width,
-        ROUND(test.hits * 1.0 / test.n_test, 6) AS coverage
+        CAST(ROUND(CAST(CAST(test.hits * 1.0 / test.n_test AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS coverage
       FROM pred JOIN qhat ON qhat.flag = pred.flag
         JOIN test ON test.flag = pred.flag
       ORDER BY pred.flag"""),

@@ -36,7 +36,8 @@ object ExtraQueries {
         FROM daily)
       SELECT user_id, ds, n, n_prev,
         n - n_prev AS delta,
-        ROUND((n - n_prev) * 1.0 / greatest(n_prev, 1), 4) AS growth
+        CAST(ROUND(CAST(CAST((n - n_prev) * 1.0 / greatest(n_prev, 1) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS growth
       FROM lagged ORDER BY user_id, ds"""),
     (s, d) => {
       val daily = events(s, d)
@@ -746,8 +747,9 @@ object ExtraQueries {
         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
           AS med_n,
         ROUND(AVG(n), 4) AS avg_n,
-        ROUND(MAX(n) * 1.0 /
-          percentile_disc(0.5) WITHIN GROUP (ORDER BY n), 4) AS skew_ratio,
+        CAST(ROUND(CAST(CAST(MAX(n) * 1.0 /
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS skew_ratio,
         (SELECT key FROM k ORDER BY n DESC, key LIMIT 1) AS heaviest_key
       FROM k"""),
     (s, d) => {

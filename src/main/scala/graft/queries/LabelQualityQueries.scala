@@ -651,7 +651,8 @@ object LabelQualityQueries {
         CAST(n_conf AS BIGINT) AS n_confident,
         CAST(c00 AS BIGINT) AS c00, CAST(c01 AS BIGINT) AS c01,
         CAST(c10 AS BIGINT) AS c10, CAST(c11 AS BIGINT) AS c11,
-        ROUND((c01 + c10) * 1.0 / n_conf, 6) AS noise_rate
+        CAST(ROUND(CAST(CAST((c01 + c10) * 1.0 / n_conf AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS noise_rate
       FROM c, t"""),
     (s, d) => confidentLearning(lineitem(s, d).select(
       least(lit(0.99), lit(0.05) + col("l_discount") * 3 +

@@ -64,7 +64,8 @@ object MultimodalQueries {
         FROM b)
       SELECT doc_id, w, h,
         CAST(px_sum AS BIGINT) AS px_sum,
-        ROUND(px_sum * 1.0 / n, 4) AS px_mean,
+        CAST(ROUND(CAST(CAST(px_sum * 1.0 / n AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS px_mean,
         CAST(px_first AS INT) AS px_first,
         CAST(px_last AS INT) AS px_last
       FROM stats ORDER BY doc_id"""),

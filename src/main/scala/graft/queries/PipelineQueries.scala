@@ -468,7 +468,8 @@ object PipelineQueries {
       cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
       tot AS (SELECT COUNT(*) AS t FROM toks)
       SELECT k.doc_id, COUNT(*) AS n_tokens,
-        ROUND(SUM(ln(cnt.c * 1.0 / tot.t)) / COUNT(*) + 1e-9, 4)
+        CAST(ROUND(CAST(CAST(SUM(ln(cnt.c * 1.0 / tot.t)) / COUNT(*) + 1e-9 AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE)
           AS avg_logprob
       FROM toks k JOIN cnt USING (term) CROSS JOIN tot
       GROUP BY 1 ORDER BY 1"""),
@@ -502,7 +503,8 @@ object PipelineQueries {
       n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1)
       SELECT tf.doc_id, n.n AS n_tokens,
         CAST(COUNT(*) AS BIGINT) AS n_distinct,
-        ROUND(-SUM((tf.c * 1.0 / n.n) * ln(tf.c * 1.0 / n.n)) + 1e-9, 4)
+        CAST(ROUND(CAST(CAST(-SUM((tf.c * 1.0 / n.n) * ln(tf.c * 1.0 / n.n)) + 1e-9 AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE)
           AS entropy
       FROM tf JOIN n USING (doc_id)
       GROUP BY 1, 2 ORDER BY 1"""),

@@ -125,9 +125,12 @@ object ResolutionQueries {
       SELECT CAST(n_dirty AS BIGINT) AS n_dirty,
         CAST(n_clean AS BIGINT) AS n_clean,
         CAST(n_cand AS BIGINT) AS n_cand,
-        ROUND(n_covered * 1.0 / n_dirty, 6) AS pairs_completeness,
-        ROUND(1 - n_cand * 1.0 / (n_dirty * n_clean), 6) AS reduction_ratio,
-        ROUND(n_hit * 1.0 / n_dirty, 6) AS precision_at_1,
+        CAST(ROUND(CAST(CAST(n_covered * 1.0 / n_dirty AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS pairs_completeness,
+        CAST(ROUND(CAST(CAST(1 - n_cand * 1.0 / (n_dirty * n_clean) AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS reduction_ratio,
+        CAST(ROUND(CAST(CAST(n_hit * 1.0 / n_dirty AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS precision_at_1,
         ROUND(hit_jw, 6) AS mean_hit_jw
       FROM sizes, cs, bs"""),
     (s, d) => {

@@ -419,7 +419,8 @@ object SelectionQueries {
       SELECT o.doc_id, COUNT(*) AS n_words,
         CAST(SUM(d.np) AS BIGINT) AS n_pieces,
         CAST(SUM(d.nf) AS BIGINT) AS n_fallback,
-        ROUND(SUM(d.np) * 1.0 / COUNT(*), 4) AS fertility
+        CAST(ROUND(CAST(CAST(SUM(d.np) * 1.0 / COUNT(*) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS fertility
       FROM occ o JOIN done d USING (w) GROUP BY 1 ORDER BY 1"""),
     (s, d) => {
       import graft.functions.Subword

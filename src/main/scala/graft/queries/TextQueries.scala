@@ -58,8 +58,9 @@ object TextQueries {
           AS ws_tokens,
         CAST(SUM(len(regexp_extract_all(lower(trim(text)),
           ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS bpeish_tokens,
-        ROUND(SUM(n_chars) * 1.0 / SUM(len(regexp_extract_all(lower(trim(text)),
-          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))), 4) AS chars_per_token
+        CAST(ROUND(CAST(CAST(SUM(n_chars) * 1.0 / SUM(len(regexp_extract_all(lower(trim(text)),
+          ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS chars_per_token
       FROM documents GROUP BY 1 ORDER BY 1"""),
     (s, d) => documents(s, d)
       .select(col("lang"), col("n_chars"),
@@ -87,9 +88,11 @@ object TextQueries {
       SELECT source, COUNT(*) AS n_docs,
         ROUND(AVG(n_tok * 1.0), 4) AS avg_tokens,
         ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
-        ROUND(AVG(n_stop * 1.0 / n_tok), 4) AS avg_stopword_ratio,
-        ROUND(AVG(least(n_tok * 1.0 / 100.0, 1.0) * 0.3
-          + (n_stop * 1.0 / n_tok) * 0.4 + (1.0 - punct_ratio) * 0.3), 4)
+        CAST(ROUND(CAST(CAST(AVG(n_stop * 1.0 / n_tok) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_stopword_ratio,
+        CAST(ROUND(CAST(CAST(AVG(least(n_tok * 1.0 / 100.0, 1.0) * 0.3
+          + (n_stop * 1.0 / n_tok) * 0.4 + (1.0 - punct_ratio) * 0.3) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE)
           AS avg_quality
       FROM m GROUP BY 1 ORDER BY 1"""),
     (s, d) => documents(s, d)
@@ -142,7 +145,8 @@ object TextQueries {
     "exact 3-gram Jaccard near-dup pairs (threshold 0.4)",
     Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
-        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+        CAST(ROUND(CAST(CAST(inter * 1.0 / (n_a + n_b - inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
       ORDER BY doc_a, doc_b"""),
     (s, d) => Dedup.jaccardPairs(documents(s, d), 0.4,
@@ -163,7 +167,8 @@ object TextQueries {
     "prefix-filtered exact 3-gram Jaccard pairs at t=0.8 (PPJoin plan)",
     Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
-        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+        CAST(ROUND(CAST(CAST(inter * 1.0 / (n_a + n_b - inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.8
       ORDER BY doc_a, doc_b"""),
     (s, d) => Dedup.jaccardPairsPrefix(documents(s, d), 0.8,
@@ -191,7 +196,8 @@ object TextQueries {
     "MinHash+LSH banded near-dup pairs, Jaccard-verified (threshold 0.4)",
     Some(s"""WITH ${OracleCtes.shinglePairs}
       SELECT doc_a, doc_b,
-        ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+        CAST(ROUND(CAST(CAST(inter * 1.0 / (n_a + n_b - inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
       FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4
       ORDER BY doc_a, doc_b"""),
     (s, d) => Dedup.minHashLshPairs(documents(s, d), 0.4,
@@ -711,7 +717,8 @@ object TextQueries {
     Some(s"""WITH ${OracleCtes.shinglePairs},
       cand AS (
         SELECT doc_a, doc_b,
-          ROUND(inter * 1.0 / (n_a + n_b - inter), 4) AS jaccard
+          CAST(ROUND(CAST(CAST(inter * 1.0 / (n_a + n_b - inter) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard
         FROM pairs WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.4),
       t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
       d AS (
@@ -724,7 +731,8 @@ object TextQueries {
       SELECT doc_a, doc_b, jaccard,
         CAST(CASE WHEN ed <= 100 THEN ed ELSE -1 END AS INTEGER)
           AS edit_dist,
-        ROUND(CASE WHEN ed <= 100 THEN ed * 1.0 / mx ELSE -1 END, 4)
+        CAST(ROUND(CAST(CAST(CASE WHEN ed <= 100 THEN ed * 1.0 / mx ELSE -1 END AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE)
           AS edit_ratio,
         CAST(CASE WHEN ed <= 100 AND ed * 1.0 / mx <= 0.2 THEN 1 ELSE 0
           END AS INTEGER) AS is_dup
