@@ -94,8 +94,12 @@ object AgreementQueries {
           ON ma.cat = mb.cat AND ma.rater < mb.rater
         GROUP BY 1, 2)
       SELECT pairs.ra || '-' || pairs.rb AS pair,
-        ROUND(po, 4) AS po, ROUND(pe.pe, 4) AS pe,
-        ROUND((po - pe.pe) / (1 - pe.pe), 4) AS kappa
+        CAST(ROUND(CAST(CAST(po AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS po,
+        CAST(ROUND(CAST(CAST(pe.pe AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS pe,
+        CAST(ROUND(CAST(CAST((po - pe.pe) / (1 - pe.pe) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS kappa
       FROM pairs JOIN pe ON pairs.ra = pe.ra AND pairs.rb = pe.rb
       ORDER BY 1"""),
     (s, d) => cohensKappa(raters(documents(s, d))))
@@ -153,8 +157,12 @@ object AgreementQueries {
         FROM pc JOIN pbar ON pc.source = pbar.source
         GROUP BY 1)
       SELECT pbar.source, CAST(pbar.n_docs AS BIGINT) AS n_docs,
-        ROUND(p_bar, 4) AS p_bar, ROUND(p_e, 4) AS p_e,
-        ROUND((p_bar - p_e) / (1 - p_e), 4) AS kappa
+        CAST(ROUND(CAST(CAST(p_bar AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS p_bar,
+        CAST(ROUND(CAST(CAST(p_e AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS p_e,
+        CAST(ROUND(CAST(CAST((p_bar - p_e) / (1 - p_e) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS kappa
       FROM pbar JOIN pec ON pbar.source = pec.source ORDER BY 1"""),
     (s, d) => fleissKappa(raters(documents(s, d))))
 
@@ -209,9 +217,12 @@ object AgreementQueries {
         FROM nc a JOIN nc b ON a.c != b.c)
       SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM rt) AS BIGINT)
           AS n_units,
-        ROUND(dsum / n, 4) AS d_o,
-        ROUND(esum / (n * (n - 1)), 4) AS d_e,
-        ROUND(1 - (dsum / n) / (esum / (n * (n - 1))), 4) AS alpha
+        CAST(ROUND(CAST(CAST(dsum / n AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS d_o,
+        CAST(ROUND(CAST(CAST(esum / (n * (n - 1)) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS d_e,
+        CAST(ROUND(CAST(CAST(1 - (dsum / n) / (esum / (n * (n - 1)))
+          AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS alpha
       FROM dd, de, tot"""),
     (s, d) => krippendorff(raters(documents(s, d))))
 

@@ -944,7 +944,8 @@ object AnalyticsQueries {
           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_uv,
         CAST(ROUND(CAST(CAST(c * 1.0 / pv.po AS VARCHAR)
           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_vu,
-        ROUND(c * 1.0 * n_orders / (pu.po * pv.po), 4) AS lift
+        CAST(ROUND(CAST(CAST(c * 1.0 * n_orders / (pu.po * pv.po) AS VARCHAR)
+          AS DECIMAL(38,18)), 4) AS DOUBLE) AS lift
       FROM pairs JOIN pc pu ON pu.p = u JOIN pc pv ON pv.p = v, n
       ORDER BY 1, 2"""),
     (s, d) => {

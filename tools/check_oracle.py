@@ -123,7 +123,21 @@ def selftest():
     vals = check_one(con, "vals", f"'{pq}'",
                      "SELECT 1 AS k, CAST(124 AS DECIMAL(38,0)) AS d2")
     assert vals and "diffs" in vals, f"value diff not flagged: {vals!r}"
-    print("selftest ok: type skew flagged, aligned passes, value diff flagged")
+    # byte-fidelity float compare (round-11): a 1-ulp divergence
+    # beyond the old 9dp canon rounding must be flagged — the exact
+    # q246 class (0.04966329966329966 vs ...63, identical at 9dp).
+    pq2 = os.path.join(d, "f.parquet")
+    con.execute(
+        f"COPY (SELECT 1 AS k, 0.04966329966329966::DOUBLE AS v) "
+        f"TO '{pq2}' (FORMAT PARQUET)")
+    ulp = check_one(con, "ulp", f"'{pq2}'",
+                    "SELECT 1 AS k, 0.04966329966329963::DOUBLE AS v")
+    assert ulp and "diffs" in ulp, f"1-ulp float diff not flagged: {ulp!r}"
+    same = check_one(con, "same", f"'{pq2}'",
+                     "SELECT 1 AS k, 0.04966329966329966::DOUBLE AS v")
+    assert same is None, f"bit-identical float failed: {same!r}"
+    print("selftest ok: type skew, value diff, and sub-9dp float diff "
+          "all flagged; aligned fixtures pass")
 
 
 def main():
