@@ -346,8 +346,9 @@ object SeriesQueries {
     * output means are emitted UNROUNDED: cents/t is rational with a
     * small denominator, so 4dp display rounding lands exactly on
     * .xxxx5 boundaries where the two engines' ROUND-of-double
-    * conventions split — the raw doubles are bit-identical and the
-    * gate compares at 9dp. The argmax ranks at 9dp (the q215/q241 dust
+    * conventions split — the raw doubles are bit-identical (scalar
+    * math over integer cents), which the round-11 unrounded gate
+    * compares byte-exactly. The argmax ranks at 9dp (the q215/q241 dust
     * convention) with the EARLIEST day winning ties. Reported shift is
     * μ_r − μ_l at the best split.
     */
