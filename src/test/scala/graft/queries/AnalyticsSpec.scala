@@ -426,6 +426,28 @@ class AnalyticsSpec extends AnyFunSuite {
     // efficiency: Σ shapley = v(full) − v(∅) = 0 − 0 under the
     // unobserved-as-0 convention
     assert(math.abs(got.values.map(_._2).sum) < 1e-12)
+
+    // BIT-exactness pin (round 11): the emission promises a
+    // deterministic ascending-mask left-fold from a 0.0 init — the
+    // oracle replays the same sequence with list_reduce, so a revert
+    // to a plain sum(term) (whose partial-aggregation order is
+    // engine- and width-dependent) must redden HERE, not wait for
+    // the trailing-ulp dust to split at the gate. Replicate the
+    // exact IEEE op sequence and compare raw bits.
+    val w = Map(0 -> 0.25, 1 -> 0.08333333333333333,
+      2 -> 0.08333333333333333, 3 -> 0.25)
+    val v = Map(1 -> 1.0, 2 -> 0.0, 3 -> 0.5) // the planted game's v(S)
+    def foldShap(bit: Int): Double =
+      (0 until 16).filter(s => (s & bit) == 0).foldLeft(0.0) { (acc, s) =>
+        acc + w(Integer.bitCount(s)) *
+          (v.getOrElse(s | bit, 0.0) - v.getOrElse(s, 0.0))
+      }
+    for ((ch, bit) <- Seq("click" -> 1, "view" -> 2, "signup" -> 4,
+        "error" -> 8))
+      assert(java.lang.Double.doubleToRawLongBits(got(ch)._2) ===
+        java.lang.Double.doubleToRawLongBits(foldShap(bit)),
+        s"$ch shapley is not the exact ascending-mask fold: " +
+          s"${got(ch)._2} vs ${foldShap(bit)}")
   }
 
   test("q245 time-to-convert: at-or-after convention and hand quantiles") {
