@@ -1763,7 +1763,8 @@ object AnalyticsQueries {
     "q211_benford",
     "Benford first-digit test of o_totalprice (per-digit shares + chi2)",
     Some("""WITH d AS (
-        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        SELECT CAST(substr(CAST(CAST(ROUND(CAST(CAST(o_totalprice * 100
+            AS VARCHAR) AS DECIMAL(38,18)), 0) AS BIGINT)
             AS VARCHAR), 1, 1) AS INTEGER) AS digit
         FROM orders),
       o AS (SELECT digit, COUNT(*) AS c FROM d GROUP BY 1),
@@ -1997,7 +1998,8 @@ object AnalyticsQueries {
     "winsorized (p05/p95) and trimmed means of price per return flag",
     Some("""WITH b AS (
         SELECT l_returnflag AS flag,
-          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          CAST(ROUND(CAST(CAST(l_extendedprice * 100 AS VARCHAR)
+            AS DECIMAL(38,18)), 0) AS BIGINT) AS cents
         FROM lineitem),
       f AS (
         SELECT flag, quantile_cont(cents, 0.05) AS p05,
@@ -2070,7 +2072,8 @@ object AnalyticsQueries {
           date_diff('day', MAX(CAST(o_orderdate AS DATE)),
             (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
           COUNT(*) AS freq,
-          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon
+          SUM(CAST(ROUND(CAST(CAST(o_totalprice * 100 AS VARCHAR)
+            AS DECIMAL(38,18)), 0) AS BIGINT)) AS mon
         FROM orders GROUP BY 1),
       q AS (
         SELECT quantile_cont(rec, 0.25) AS r25, quantile_cont(rec, 0.5)

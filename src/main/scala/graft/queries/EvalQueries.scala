@@ -31,6 +31,15 @@ object EvalQueries {
     * derive from the 7 bins' (n, Σs, Σy, Σs², Σsy) — Brier =
     * (Σs² − 2Σsy + Σy)/N because y is 0/1 — so the corpus crosses
     * exactly one 7-row shuffle regardless of scale.
+    *
+    * All five ratio emissions (conf/acc/gap/ece/brier) round through
+    * the VARCHAR→DECIMAL half-up idiom (round-11 ADVICE): given
+    * bit-identical ratio doubles — the typical case here — a plain
+    * DuckDB ROUND still splits from Spark's shortest-repr half-up on
+    * half-boundary reprs. The double SUMs beneath the ratios remain
+    * the order-dependent residual class (DoubleSums registry), where
+    * dust is sub-ulp at these bin sizes and the off-point sweep is
+    * the backstop.
     */
   val q217Calibration = GraftQuery(
     "q217_calibration",
@@ -50,12 +59,16 @@ object EvalQueries {
           SUM(ss2 - 2 * ssy + sy) AS br
         FROM g)
       SELECT bin, CAST(n AS BIGINT) AS n,
-        ROUND(ss / n, 6) AS conf, CAST(ROUND(CAST(CAST(sy * 1.0 / n AS VARCHAR)
+        CAST(ROUND(CAST(CAST(ss / n AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS conf,
+        CAST(ROUND(CAST(CAST(sy * 1.0 / n AS VARCHAR)
           AS DECIMAL(38,18)), 6) AS DOUBLE) AS acc,
         CAST(ROUND(CAST(CAST(abs(sy * 1.0 / n - ss / n) AS VARCHAR)
           AS DECIMAL(38,18)), 6) AS DOUBLE) AS gap,
-        ROUND(t.gap_w / t.nn, 6) AS ece,
-        ROUND(t.br / t.nn, 6) AS brier
+        CAST(ROUND(CAST(CAST(t.gap_w / t.nn AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS ece,
+        CAST(ROUND(CAST(CAST(t.br / t.nn AS VARCHAR)
+          AS DECIMAL(38,18)), 6) AS DOUBLE) AS brier
       FROM g, t ORDER BY bin"""),
     (s, d) => calibration(lineitem(s, d).select(
       least(lit(0.99), lit(0.05) + col("l_discount") * 3 +
@@ -106,7 +119,8 @@ object EvalQueries {
     "split-conformal price interval per return flag, integer-cent exact",
     Some("""WITH b AS (
         SELECT l_returnflag AS flag,
-          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(ROUND(CAST(CAST(l_extendedprice * 100 AS VARCHAR)
+            AS DECIMAL(38,18)), 0) AS BIGINT) AS cents,
           l_orderkey AS ok, l_linenumber AS ln,
           CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
             AS VARCHAR)), 1, 8) AS UBIGINT) % 3 AS split
@@ -426,7 +440,8 @@ object EvalQueries {
     Some("""WITH b AS (
         SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
             AS UBIGINT) % 10 AS bucket,
-          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          CAST(ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) * 100
+            AS VARCHAR) AS DECIMAL(38,18)), 0) AS BIGINT)
             AS rev,
           CAST(l_quantity AS BIGINT) AS qty
         FROM lineitem),
@@ -532,7 +547,8 @@ object EvalQueries {
     "5-fold CV MSE of the per-flag mean price, LOO-sum trained",
     Some("""WITH b AS (
         SELECT l_returnflag AS flag,
-          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(ROUND(CAST(CAST(l_extendedprice * 100 AS VARCHAR)
+            AS DECIMAL(38,18)), 0) AS BIGINT) AS cents,
           CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
             AS VARCHAR)), 1, 8) AS UBIGINT) % 5 AS fold
         FROM lineitem),
@@ -615,7 +631,8 @@ object EvalQueries {
     "held-out MAE of the per-flag mean price at nested 10/20/40/80% train splits",
     Some("""WITH b AS (
         SELECT l_returnflag AS flag,
-          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(ROUND(CAST(CAST(l_extendedprice * 100 AS VARCHAR)
+            AS DECIMAL(38,18)), 0) AS BIGINT) AS cents,
           CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
             AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS u
         FROM lineitem),
@@ -728,7 +745,8 @@ object EvalQueries {
     "Poisson(1)-bootstrap percentile CI for revenue-per-unit per flag (B=100)",
     Some("""WITH b AS (
         SELECT l_returnflag AS flag,
-          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          CAST(ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) * 100
+            AS VARCHAR) AS DECIMAL(38,18)), 0) AS BIGINT)
             AS rev,
           CAST(l_quantity AS BIGINT) AS qty,
           l_orderkey * 10 + l_linenumber AS rid

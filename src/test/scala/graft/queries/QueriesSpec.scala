@@ -17,6 +17,20 @@ object QueriesSpec {
     case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
     case _ => false
   }
+
+  /** The POSITIVE emission-type allowlist (round-11 verdict #1): the
+    * q286 lesson generalized. The driver's hash internals are
+    * unobservable, so the hash-safe type surface must be CLOSED, not
+    * inferred per-incident: these six are exactly the types every one
+    * of the 285 r11 result schemas emitted, all driver-hash-proven
+    * green. Anything else — float32 (parquet type skew vs DuckDB
+    * REAL), decimal128 (the proven-unhashable q286 class), binary,
+    * array/map/struct (engine-specific canonicalization), interval,
+    * boolean (never emitted, hence never proven) — fails at
+    * construction time; widen this set only with a green driver round
+    * proving the new type, never by assumption. */
+  val hashSafeTypes: Set[DataType] = Set(
+    IntegerType, LongType, DoubleType, StringType, DateType, TimestampType)
 }
 
 /** Every catalog query executes at sf0.001 (driver t1-smoke analogue);
@@ -32,20 +46,22 @@ class QueriesSpec extends AnyFunSuite {
   Catalog.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
       val df = q.run(spark, SparkTestSession.Sf0001)
-      // No catalog query may EMIT a DecimalType column (nested
-      // included): the driver gate cannot stably hash decimal128
-      // outputs — q286 stayed hash-red across r9/r10 even with both
-      // sides at DECIMAL(38,0) and bit-identical values, while its
-      // r8 integer form and the catalog's ~150 double columns are
-      // green. Accumulate in decimal internally if overflow demands
-      // it; cast the final emission to double/bigint.
-      val decimalCols =
-        df.schema.fields.filter(f => QueriesSpec.hasDecimal(f.dataType))
-      assert(decimalCols.isEmpty,
-        s"${q.name} emits DECIMAL output column(s) " +
-          s"${decimalCols.map(_.name).mkString(", ")} — unhashable at " +
-          "the driver gate (r8→r10 q286 evidence); cast to double/bigint " +
-          "in the final select")
+      // Positive emission-type allowlist (round-11 verdict #1): every
+      // output column must be one of the six driver-hash-proven types.
+      // This subsumes the round-11 decimal ban (q286: decimal128 is
+      // unhashable at the gate even type-matched and bit-identical)
+      // and closes the rest of the surface — float32, binary, nested
+      // types, interval — before a first incident instead of after.
+      val offList = df.schema.fields
+        .filterNot(f => QueriesSpec.hashSafeTypes.contains(f.dataType))
+      assert(offList.isEmpty,
+        s"${q.name} emits column(s) outside the driver-hash-proven type " +
+          s"allowlist {int, bigint, double, string, date, timestamp}: " +
+          offList.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ") +
+          " — cast the final emission to an allowlisted type " +
+          "(q286 lesson: the driver's hash is type-sensitive and its " +
+          "internals are unobservable)")
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
@@ -58,6 +74,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(planted.schema.fields.forall(f => QueriesSpec.hasDecimal(f.dataType)))
     val clean = spark.sql("SELECT 1.0D AS d, array(2L) AS a, named_struct('x', 3) AS s")
     assert(!clean.schema.fields.exists(f => QueriesSpec.hasDecimal(f.dataType)))
+  }
+
+  test("the type allowlist reddens on planted off-list columns") {
+    // anti-rot for the positive lint: each planted column is a type a
+    // plausible refactor could emit by accident — float32 (a Float
+    // literal or ML vector element), array (a forgotten explode),
+    // decimal (unconverted accumulation), boolean (a raw predicate),
+    // binary (a raw hash) — and every one must classify off-list.
+    val planted = spark.sql(
+      "SELECT CAST(1.5 AS FLOAT) AS f, array(1L) AS a, " +
+        "CAST(1 AS DECIMAL(38,0)) AS d, (1 = 1) AS b, " +
+        "unhex('AB') AS bin, named_struct('x', 1) AS s")
+    planted.schema.fields.foreach { f =>
+      assert(!QueriesSpec.hashSafeTypes.contains(f.dataType),
+        s"planted off-list column ${f.name} passed the allowlist")
+    }
+    val clean = spark.sql(
+      "SELECT 1 AS i, 1L AS l, 1.0D AS d, 'x' AS s, " +
+        "DATE '2024-01-01' AS dt, TIMESTAMP '2024-01-01 00:00:00' AS ts")
+    clean.schema.fields.foreach { f =>
+      assert(QueriesSpec.hashSafeTypes.contains(f.dataType),
+        s"allowlisted type ${f.dataType} failed the allowlist")
+    }
   }
 
   test("entry() returns rows (t1 smoke)") {
