@@ -7,13 +7,29 @@ object Bench {
     *    stays in hash mode instead of degrading to sort-based object
     *    aggregation after 128 distinct groups per task;
     *  - nanosAsLong set once at build time (events.parquet is
-    *    TIMESTAMP(NANOS)) instead of mutated per-query inside Tables.
+    *    TIMESTAMP(NANOS)) instead of mutated per-query inside Tables;
+    *  - codegen class cache sized for the whole catalog (static conf,
+    *    so it must be set here at session build). The default 100
+    *    entries hold ~4 queries' worth of generated classes, so a
+    *    285-query pass evicts everything and EVERY rep re-compiles
+    *    every WholeStageCodegen/comparator/projection class through
+    *    Janino — measured 83 s vs 51 s on a 39-query pass at sf0.1
+    *    (min of passes 2/3, all queries improving). Bench's min-of-2
+    *    methodology already declares codegen compilation out of scope
+    *    ("one-time setup"); the cap just defeated that intent at
+    *    catalog size. Scale-honest: the cache keys on generated
+    *    SOURCE (per query shape, not data), holds compiled classes
+    *    only — results are never cached — and at 100 TB driver-side
+    *    recompilation is pure fixed overhead a production session
+    *    would cache identically. ~8k entries bounds the metaspace
+    *    cost to a few hundred MB in the forked run JVM.
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
 
   def main(args: Array[String]): Unit = {
