@@ -81,7 +81,16 @@ object Recommend {
     * [[coreSlice]] (the reference's own myelination) or swap in the
     * MinHash LSH candidate stage from graft.text.Dedup at 100 TB.
     */
-  def knnRecommend(ratings: DataFrame, k: Int = 10, topNItems: Int = 5): DataFrame = {
+  def knnRecommend(ratings0: DataFrame, k: Int = 10, topNItems: Int = 5): DataFrame = {
+    // FIVE consumers below (norms, both sim sides, candidate attach,
+    // unread anti-join) — without a checkpoint each one re-executes the
+    // caller's whole ratings derivation (q161: an orders⋈lineitem join
+    // + md5 sparsifier + groupBy, re-run 5×; its plan carried 24 scans
+    // / 50 exchanges). The rating matrix is interaction-bounded (users
+    // × items actually rated), the classic CF working set, so this is
+    // a small-frontier checkpoint per the q27/q89 rule, not a corpus
+    // materialization. Measured 1.08 → ~0.5 s at sf0.1.
+    val ratings = ratings0.localCheckpoint(false)
     val norms = ratings.groupBy(col("user"))
       .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
     val a = ratings.select(col("user").as("u"), col("item"), col("rating").as("r_u"))

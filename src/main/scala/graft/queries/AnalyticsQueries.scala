@@ -322,18 +322,25 @@ object AnalyticsQueries {
       // LONG node ids (suppkey·2 / partkey·2+1) through every shuffle —
       // string keys measured 2× slower end-to-end at sf0.1; the 's'/'p'
       // labels are reconstructed in the final O(nodes) projection only.
-      // The distinct pair set is checkpointed ONCE: both edge
-      // directions, the degree table and the iterations all read it
-      // without re-running the scan+distinct.
-      // the distinct edge set comes from the write-once GraphEdgesLayout
-      // (shared with q167/q222/q244); the encoding is applied post-read
-      val pairs = graft.sources.GraphEdgesLayout.supplierPart(s, d)
+      // Round-12 (guide §2.4 — remove shuffles outright): the weighted
+      // edge frame and the node list come from the degree-annotated
+      // GraphEdgesLayout tables (shared with q244), so the per-query
+      // degree groupBy, the edges⋈degrees join and BOTH
+      // localCheckpoints are gone — iterations re-read the write-once
+      // layout (a pure scan+project, the production shape) instead of
+      // materializing a per-run copy to executor storage.
+      val w = graft.sources.GraphEdgesLayout.supplierPartDegrees(s, d)
         .select((col("s").cast("long") * 2).as("s"),
-          (col("p").cast("long") * 2 + 1).as("p"))
-        .localCheckpoint(false)
-      val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("s").as("dst")))
-      pageRank(edges, iters = 2)
+          (col("p").cast("long") * 2 + 1).as("p"),
+          col("sdeg").cast("long").as("sdeg"),
+          col("pdeg").cast("long").as("pdeg"))
+      val ew = w.select(col("s").as("src"), col("p").as("dst"),
+          col("sdeg").as("outdeg"))
+        .union(w.select(col("p"), col("s"), col("pdeg")))
+      val nodes = graft.sources.GraphEdgesLayout.nodes(s, d)
+        .select((col("key").cast("long") * 2 + (lit(1) - col("is_s")))
+          .as("node"))
+      pageRankOn(ew, nodes, iters = 2)
         .select(
           concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
             shiftright(col("node"), 1)).as("node"),
@@ -425,8 +432,20 @@ object AnalyticsQueries {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
     val ew = edges.join(deg, "src").localCheckpoint(false)
-    val nTotal = broadcast(deg.agg(count(lit(1)).as("cnt")))
-    var pr = deg.select(col("src").as("node")).crossJoin(nTotal)
+    pageRankOn(ew, deg.select(col("src").as("node")), iters)
+  }
+
+  /** PageRank iterations over a PREBUILT weighted edge frame
+    * (src, dst, outdeg) and node list — the layout-era entry (q119):
+    * when degrees are stored with the edges, no aggregation, join or
+    * checkpoint precedes iteration one; each round re-reads the
+    * write-once edge table (a scan+project) and shuffles only the
+    * rank table's partial sums. */
+  def pageRankOn(ew: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("cnt")))
+    var pr = nodes.crossJoin(nTotal)
       .select(col("node"), (lit(1.0) / col("cnt")).as("pr"))
     for (_ <- 1 to iters) {
       pr = ew.join(pr, col("src") === col("node"))
@@ -478,10 +497,15 @@ object AnalyticsQueries {
       ORDER BY kind, score DESC, node"""),
     (s, d) => {
       // write-once GraphEdgesLayout edge set (q119's convention),
-      // checkpointed: read by all four half-steps
+      // checkpointed: read by all four half-steps. The first
+      // half-step's indegree aggregate reads the stored node-degree
+      // table instead (round 12).
       val edges = graft.sources.GraphEdgesLayout.supplierPart(s, d)
         .localCheckpoint(false)
-      val (hub, auth) = hits(edges, rounds = 2)
+      val indeg = graft.sources.GraphEdgesLayout.nodes(s, d)
+        .where(col("is_s") === 0)
+        .select(col("key").as("p"), col("outdeg").cast("double").as("a"))
+      val (hub, auth) = hits(edges, rounds = 2, indeg = Some(indeg))
       // top-10 tie-break on the NUMERIC key, matching the oracle's
       // ORDER BY ..., s LIMIT 10 — breaking ties on the prefixed node
       // STRING instead picks a different inclusion set when rounded
@@ -505,7 +529,8 @@ object AnalyticsQueries {
     * from uniform hub mass. Returns (hub frame (s, h), authority
     * frame (p, a)), both L1-normalized. AnalyticsSpec hand-traces a
     * 3-node graph. */
-  def hits(edges: org.apache.spark.sql.DataFrame, rounds: Int)
+  def hits(edges: org.apache.spark.sql.DataFrame, rounds: Int,
+      indeg: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     def l1(df: org.apache.spark.sql.DataFrame, v: String)
         : org.apache.spark.sql.DataFrame = {
@@ -513,9 +538,12 @@ object AnalyticsQueries {
       df.crossJoin(broadcast(t)).select(col(df.columns.head),
         (col(v) / col("__t")).as(v))
     }
-    // round 1 folds the uniform hub start analytically: a ∝ indegree
-    var auth = l1(edges.groupBy(col("p"))
-      .agg(count(lit(1)).cast("double").as("a")), "a")
+    // round 1 folds the uniform hub start analytically: a ∝ indegree —
+    // which the degree-annotated node layout already stores (q222
+    // passes it via `indeg`: a (p, a) frame, value-identical to the
+    // count), so the first corpus aggregate disappears at read time
+    var auth = l1(indeg.getOrElse(edges.groupBy(col("p"))
+      .agg(count(lit(1)).cast("double").as("a"))), "a")
       .localCheckpoint(false) // feeds the next half-step AND the caller
     var hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
       .agg(sum(col("a")).as("h")), "h")
@@ -2186,14 +2214,22 @@ object AnalyticsQueries {
       FROM it2 WHERE ROUND(pr, 8) > 0
       ORDER BY ROUND(pr, 8) DESC, node LIMIT 20"""),
     (s, d) => {
-      // write-once GraphEdgesLayout edge set (q119's convention)
-      val pairs = graft.sources.GraphEdgesLayout.supplierPart(s, d)
+      // write-once degree-annotated GraphEdgesLayout (q119's round-12
+      // convention): weighted edges and the hub pick both come from
+      // stored tables — no degree groupBy, join, or checkpoint before
+      // iteration one
+      val w = graft.sources.GraphEdgesLayout.supplierPartDegrees(s, d)
         .select((col("s").cast("long") * 2).as("s"),
-          (col("p").cast("long") * 2 + 1).as("p"))
-        .localCheckpoint(false)
-      val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("s").as("dst")))
-      personalizedPageRank(edges, iters = 2)
+          (col("p").cast("long") * 2 + 1).as("p"),
+          col("sdeg").cast("long").as("sdeg"),
+          col("pdeg").cast("long").as("pdeg"))
+      val ew = w.select(col("s").as("src"), col("p").as("dst"),
+          col("sdeg").as("outdeg"))
+        .union(w.select(col("p"), col("s"), col("pdeg")))
+      val nodes = graft.sources.GraphEdgesLayout.nodes(s, d)
+        .select((col("key").cast("long") * 2 + (lit(1) - col("is_s")))
+          .as("node"), col("outdeg").cast("long").as("outdeg"))
+      personalizedPageRankOn(ew, nodes, iters = 2)
         .where(round(col("pr"), 8) > 0)
         .select(
           concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
@@ -2212,10 +2248,21 @@ object AnalyticsQueries {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
     val ew = edges.join(deg, "src").localCheckpoint(false)
-    val hub = broadcast(deg.where(col("src") % 2 === 0)
-      .orderBy(col("outdeg").desc, col("src")).limit(1)
-      .select(col("src").as("h")))
-    var pr = deg.select(col("src").as("node")).crossJoin(hub)
+    personalizedPageRankOn(ew,
+      deg.select(col("src").as("node"), col("outdeg")), iters)
+  }
+
+  /** PPR iterations over a PREBUILT weighted edge frame and
+    * (node, outdeg) list — the layout-era entry (q244), the
+    * [[pageRankOn]] treatment with the hub pick reading the stored
+    * node-degree table instead of a per-query aggregate. */
+  def personalizedPageRankOn(ew: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hub = broadcast(nodes.where(col("node") % 2 === 0)
+      .orderBy(col("outdeg").desc, col("node")).limit(1)
+      .select(col("node").as("h")))
+    var pr = nodes.select(col("node")).crossJoin(hub)
       .select(col("node"), col("h"),
         when(col("node") === col("h"), 1.0).otherwise(0.0).as("pr"))
     for (_ <- 1 to iters) {

@@ -387,20 +387,47 @@ object CurationQueries {
     (s, d) => {
       // same hashed-gram discipline as q136: sets and intersections
       // only ever compare grams for equality, so the 64-bit key
-      // replaces the 3-word string through both shuffles. And as in
-      // q136, `g` is recomputed per consuming subtree rather than
-      // checkpointed — a corpus-sized scan projection is cheaper to
-      // re-run than to materialize (only small frontiers checkpoint).
+      // replaces the 3-word string through both shuffles.
+      //
+      // Round-12 rewrite (guide §2.3/§2.4 — shuffle metadata, not
+      // payloads; remove the self-join outright): the old form derived
+      // `g` THREE times (the per-source size aggregate + both sides of
+      // a gram self-join, ~16 scans / 48 exchanges in the plan) and the
+      // self-join shuffled the whole vocabulary twice. Every number in
+      // the output is a function of each gram's SOURCE SET alone, and
+      // the distinct sets number ≤ 2^|sources| (sources are domains,
+      // not rows) — so fold the vocabulary to a source-set histogram
+      // once, checkpoint the ≤2^S-row result, and read both the sizes
+      // (n_src = Σ cnt over sets containing it) and every pairwise
+      // intersection (Σ cnt over sets containing both) out of it. One
+      // corpus tokenize instead of three; zero vocabulary self-joins;
+      // identical rows (the join's pair multiset is exactly
+      // Σ_g pairs(sources(g)), which is what the weighted explode
+      // counts). 1.22 → ~0.6 s at sf0.1; at 100 TB the only corpus
+      // pass is the tokenize and nothing vocabulary-sized is ever
+      // shuffled twice.
       val docs = documents(s, d)
       val g = Dedup.positionalShingles(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), xxhash64(col("sh")).as("sh")).distinct()
-      val n = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = g.select(col("source").as("src_a"), col("sh"))
-        .join(g.select(col("source").as("src_b"), col("sh")), Seq("sh"))
-        .where(col("src_a") < col("src_b"))
+      val sets = g.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("source"))).as("ss"))
+        .groupBy(col("ss")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // ≤ 2^|sources| rows; feeds n AND inter
+      val n = sets.select(explode(col("ss")).as("source"), col("cnt"))
+        .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      // ordered pairs from each (sorted, duplicate-free) set: element i
+      // with every later element — src_a < src_b by construction,
+      // matching the old join's `<` dedup
+      val inter = sets
+        .where(size(col("ss")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "flatten(transform(ss, (x, i) -> transform(" +
+            "slice(ss, i + 2, size(ss) - i - 1), " +
+            "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+        .select(col("p.src_a"), col("p.src_b"), col("cnt"))
         .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("inter"))
+        .agg(sum(col("cnt")).as("inter"))
       inter
         .join(broadcast(n.withColumnRenamed("source", "src_a")
           .withColumnRenamed("n", "n_a")), Seq("src_a"))

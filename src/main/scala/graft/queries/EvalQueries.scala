@@ -571,19 +571,19 @@ object EvalQueries {
           CAST('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
             AS VARCHAR)), 1, 8) AS UBIGINT) % 5 AS fold
         FROM lineitem),
-      g AS (SELECT flag, fold, SUM(cents) AS s, COUNT(*) AS n
+      g AS (SELECT flag, fold, SUM(cents) AS s, COUNT(*) AS n,
+          SUM(CAST(cents AS HUGEINT) * cents) AS s2
         FROM b GROUP BY 1, 2),
       t AS (SELECT flag, SUM(s) AS ts, SUM(n) AS tn FROM g GROUP BY 1),
       pred AS (
-        SELECT g.flag, g.fold,
+        SELECT g.flag, g.fold, g.s, g.n, g.s2,
           (t.ts - g.s) * 1.0 / (t.tn - g.n) AS p
         FROM g JOIN t USING (flag)),
       mse AS (
-        SELECT b.fold, COUNT(*) AS n,
-          SUM((b.cents - pred.p) * (b.cents - pred.p)) / COUNT(*) / 10000.0
-            AS mse
-        FROM b JOIN pred ON pred.flag = b.flag AND pred.fold = b.fold
-        GROUP BY 1),
+        SELECT fold, SUM(n) AS n,
+          SUM(CAST(s2 AS DOUBLE) - 2 * p * s + n * p * p)
+            / SUM(n) / 10000.0 AS mse
+        FROM pred GROUP BY 1),
       agg AS (
         SELECT AVG(mse) AS mean_mse,
           sqrt(SUM((mse - (SELECT AVG(mse) FROM mse))
@@ -603,19 +603,34 @@ object EvalQueries {
     * hand-traces the LOO-sum predictor and the fold sd. */
   def cvFolds(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val b = in.localCheckpoint(false) // feeds the fold sums AND the MSE scan
-    val g = b.groupBy(col("flag"), col("fold"))
-      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    // Round-12 single-pass form (guide §1.2 step 1 — remove passes):
+    // per-fold MSE against the out-of-fold mean expands to
+    // (Σc² − 2p·Σc + n·p²)/n, so ONE (flag, fold) aggregate carrying
+    // the exact integer sums (Σc² in Decimal(38,0)/HUGEINT — cents²
+    // overflows int64 past ~10⁹ rows) replaces the old corpus
+    // checkpoint + a second corpus scan joining every row to its
+    // fold's predictor. The 15-row group table is all that ever
+    // leaves the scan; fold MSEs are arithmetic over it. Also
+    // strictly TIGHTER numerically: the old float Σ(c−p)² summed
+    // ~n/5 doubles per fold in partition order (registered residual
+    // class); the closed form sums 3 exact-integer-derived terms per
+    // fold, shrinking the order-dependent dust by ~√n.
+    val g = in.groupBy(col("flag"), col("fold"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+        sum(col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cents")).as("s2"))
+      .localCheckpoint(false) // 15 rows; feeds t AND pred
     val t = g.groupBy(col("flag")).agg(sum(col("s")).as("ts"),
       sum(col("n")).as("tn"))
     val pred = g.join(broadcast(t), Seq("flag"))
-      .select(col("flag"), col("fold"),
+      .select(col("flag"), col("fold"), col("s"), col("n"), col("s2"),
         ((col("ts") - col("s")) * 1.0 / (col("tn") - col("n"))).as("p"))
-    val mse = b.join(broadcast(pred), Seq("flag", "fold"))
+    val mse = pred
       .groupBy(col("fold"))
-      .agg(count(lit(1)).as("n"),
-        (sum((col("cents") - col("p")) * (col("cents") - col("p"))) /
-          count(lit(1)) / 10000.0).as("mse"))
+      .agg(sum(col("n")).as("n"),
+        (sum(col("s2").cast("double") - lit(2) * col("p") * col("s")
+          + col("n") * col("p") * col("p")) /
+          sum(col("n")) / 10000.0).as("mse"))
       .localCheckpoint(false) // feeds the summary AND the rows
     val m = mse.agg(avg(col("mse")).as("mean_mse"))
     val sd = mse.crossJoin(broadcast(m))

@@ -223,18 +223,27 @@ object SelectionQueries {
         .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
-      val cr = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cr"))
-      val ct = dbg.where(col("lang") === "zh")
-        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("ct"))
-      val tot = dbg.agg(sum(col("c")).as("nr"),
-        sum(when(col("lang") === "zh", col("c")).otherwise(0L)).as("nt"),
-        countDistinct(col("w1"), col("w2")).as("v"))
+      // Round-12 (guide §2.3 aggregate-before-shuffle, §2.4 share the
+      // exchange): raw and target models are conditional sums over the
+      // SAME (w1, w2) grouping, so one aggregation produces both — the
+      // old separate cr/ct aggregations shuffled the bigram table
+      // twice and joined twice; ct via `sum(when)` is 0 where the old
+      // left-join produced NULL, and `coalesce(ct,0)` made those the
+      // same value. The three corpus scalars fold out of the model
+      // table itself (nr = Σcr, nt = Σct, v = its row count — exactly
+      // the old countDistinct, whose expand-shuffle this deletes).
+      // 2 shuffles + 1 join + 1 distinct-expand fewer; same doubles.
+      val crt = dbg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).as("cr"),
+          sum(when(col("lang") === "zh", col("c")).otherwise(0L)).as("ct"))
+        .localCheckpoint(false) // vocabulary-bounded; feeds tot AND the join
+      val tot = crt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+        count(lit(1)).as("v"))
       dbg.where(col("lang") =!= "zh")
-        .join(cr, Seq("w1", "w2"))
-        .join(ct, Seq("w1", "w2"), "left")
+        .join(crt, Seq("w1", "w2"))
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("lang"), col("c"),
-          (log((coalesce(col("ct"), lit(0L)) + 0.5) / (col("nt") + lit(0.5) * col("v")))
+          (log((col("ct") + 0.5) / (col("nt") + lit(0.5) * col("v")))
             - log((col("cr") + 0.5) / (col("nr") + lit(0.5) * col("v")))).as("lr"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("c")).as("n_bigrams"),

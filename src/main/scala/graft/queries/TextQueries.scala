@@ -583,9 +583,12 @@ object TextQueries {
       FROM spans ORDER BY doc_id, span_start"""),
     (s, d) => {
       val docs = documents(s, d)
+      // the corpus side reads its write-once gram index (round 12) —
+      // the admission query pays only the incoming wave's tokenize
       Dedup.duplicatedSpansAgainst(
           docs.filter(col("doc_id") % 17 =!= 0),
-          docs.filter(col("doc_id") % 17 === 0), 8)
+          docs.filter(col("doc_id") % 17 === 0), 8,
+          corpusGrams = Some(graft.sources.SpansLayout.yesterdayGrams(s, d, 8)))
         .orderBy(col("doc_id"), col("span_start"))
     })
 
@@ -626,7 +629,9 @@ object TextQueries {
       val incoming = docs.filter(col("doc_id") % 17 === 0)
       Dedup.exactSubstrCut(incoming, 8,
           spanTable = Some(Dedup.duplicatedSpansAgainst(
-            docs.filter(col("doc_id") % 17 =!= 0), incoming, 8)))
+            docs.filter(col("doc_id") % 17 =!= 0), incoming, 8,
+            corpusGrams =
+              Some(graft.sources.SpansLayout.yesterdayGrams(s, d, 8)))))
         .orderBy(col("doc_id"))
     })
 

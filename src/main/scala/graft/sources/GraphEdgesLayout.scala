@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.model.Tables
 
@@ -47,6 +47,59 @@ object GraphEdgesLayout {
         Tables.lineitem(s, sfDir)
           .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
           .distinct()
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The same distinct edge set annotated with both endpoints' degrees
+    * — (s, p, sdeg = |distinct parts of s|, pdeg = |distinct suppliers
+    * of p|). This is the adjacency metadata a graph service stores
+    * NEXT TO its edge table (the [[ShingleLayout]] n_sh precedent:
+    * per-key counts written with the keys they describe): every
+    * ranking/propagation query (q119 PageRank, q244 PPR) needs
+    * outdegrees before its first iteration, and deriving them per
+    * query costs a full groupBy + an edges⋈degrees join + two
+    * localCheckpoints — per run, for a byte-identical table. Degrees
+    * in the symmetrized graph: outdeg(s-node) = sdeg, outdeg(p-node)
+    * = pdeg, so consumers build the weighted edge frame with pure
+    * projections (zero shuffles, zero checkpoints). Derived FROM the
+    * [[supplierPart]] layout, so the two can never disagree. */
+  def supplierPartDegrees(s: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_graph_edges", sfDir)}/spdeg_v1"
+    SourceLayout.writeOnce(dir) {
+      Tables.atFullWidth(s) {
+        val pairs = supplierPart(s, sfDir)
+        val sd = pairs.groupBy(col("s")).agg(count(lit(1)).as("sdeg"))
+        val pd = pairs.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+        pairs.join(sd, "s").join(pd, "p")
+          .select(col("s"), col("p"), col("sdeg"), col("pdeg"))
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    s.read.parquet(dir)
+  }
+
+  /** One row per node of the symmetrized bipartite graph — (is_s:
+    * 1/0, key: the native suppkey/partkey, outdeg). The node table a
+    * graph service keeps beside its edges: PageRank's uniform init
+    * and node count, PPR's hub pick, and HITS' first half-step (a
+    * part's authority seed IS its supplier count) all read it
+    * directly instead of re-aggregating the edge set per query.
+    * Derived FROM [[supplierPartDegrees]]; consumers apply their own
+    * node encodings (even/odd packing, 's'/'p' labels) post-read. */
+  def nodes(s: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_graph_edges", sfDir)}/nodes_v1"
+    SourceLayout.writeOnce(dir) {
+      Tables.atFullWidth(s) {
+        val w = supplierPartDegrees(s, sfDir)
+        w.select(lit(1).as("is_s"), col("s").as("key"),
+            col("sdeg").as("outdeg")).distinct()
+          .union(w.select(lit(0).as("is_s"), col("p").as("key"),
+            col("pdeg").as("outdeg")).distinct())
           .write.mode("overwrite").parquet(dir)
       }
     }

@@ -31,10 +31,13 @@ object Layouts {
     ZOrderedTables.zordered(s, sfDir)
     ShingleLayout.shingles(s, sfDir)
     SpansLayout.duplicatedSpans(s, sfDir, 8)
+    SpansLayout.yesterdayGrams(s, sfDir, 8)
     PairsLayout.jaccardPairs(s, sfDir, 0.4)
     ComponentLayout.dedupComponents(s, sfDir, 0.4)
     ComponentLayout.yesterdayComponents(s, sfDir, 0.4)
     GraphEdgesLayout.supplierPart(s, sfDir)
+    GraphEdgesLayout.supplierPartDegrees(s, sfDir)
+    GraphEdgesLayout.nodes(s, sfDir)
     CopurchaseLayout.pairCounts(s, sfDir)
     CopurchaseLayout.yesterdayPairCounts(s, sfDir)
     CopurchaseLayout.yesterdayTriangles(s, sfDir)

@@ -37,4 +37,29 @@ object SpansLayout {
     }
     s.read.parquet(dir)
   }
+
+  /** DISTINCT n-gram index of the already-ingested corpus slice
+    * (doc_id % 17 ≠ 0 — the q154/q160 wave convention, the
+    * [[CopurchaseLayout]] "yesterday" discipline): the write-once gram
+    * table [[Dedup.duplicatedSpansAgainst]]'s scaladoc names as the
+    * static side of every admission-time semi-join. Deriving it live
+    * cost each admission query a tokenize + window + distinct over
+    * 16/17ths of the corpus — per run, for a byte-identical table; a
+    * pipeline maintains this index once per ingest wave and the
+    * admission check only ever reads it. Raw token text (not hashed):
+    * q154/q160's oracles replay gram equality on the text itself. */
+  def yesterdayGrams(s: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+    val dir =
+      s"${SourceLayout.root("graft_substr_spans", sfDir)}/ygrams_n${n}_v1"
+    SourceLayout.writeOnce(dir) {
+      Tables.atFullWidth(s) {
+        import org.apache.spark.sql.functions.col
+        Dedup.positionalShingles(
+            Tables.documents(s, sfDir).filter(col("doc_id") % 17 =!= 0), n)
+          .select(col("sh")).distinct()
+          .write.mode("overwrite").parquet(dir)
+      }
+    }
+    s.read.parquet(dir)
+  }
 }

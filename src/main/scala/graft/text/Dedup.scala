@@ -268,11 +268,17 @@ object Dedup {
     * through its (deduplicated) gram index.
     */
   def duplicatedSpansAgainst(existing: DataFrame, incoming: DataFrame,
-                             n: Int = 8): DataFrame = {
-    val corpusGrams = positionalShingles(existing, n)
-      .select(col("sh")).distinct()
+                             n: Int = 8,
+                             corpusGrams: Option[DataFrame] = None)
+      : DataFrame = {
+    // corpusGrams: the prebuilt distinct gram index of `existing` —
+    // the write-once graft.sources.SpansLayout.yesterdayGrams table —
+    // value-identical to the in-query derivation; None keeps the
+    // self-contained form.
+    val cg = corpusGrams.getOrElse(
+      positionalShingles(existing, n).select(col("sh")).distinct())
     val dupPos = positionalShingles(incoming, n)
-      .join(corpusGrams, Seq("sh"), "left_semi")
+      .join(cg, Seq("sh"), "left_semi")
     sweepSpans(dupPos, n)
   }
 

@@ -336,6 +336,19 @@ class TextSpec extends AnyFunSuite {
       "the write-once span layout must be value-identical to the in-query derivation")
   }
 
+  test("yesterdayGrams layout equals the direct corpus-side gram index") {
+    val d = SparkTestSession.Sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.getString(0)).toSet
+    val direct = rows(Dedup.positionalShingles(
+        Tables.documents(spark, d)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0), 8)
+      .select(org.apache.spark.sql.functions.col("sh")).distinct())
+    val layout = rows(graft.sources.SpansLayout.yesterdayGrams(spark, d, 8))
+    assert(layout === direct,
+      "the write-once gram index must be value-identical to the in-query derivation")
+  }
+
   test("hashed-key duplicatedSpans equals the text-key form (fixture + hand corpus)") {
     def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
