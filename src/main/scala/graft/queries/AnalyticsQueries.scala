@@ -2994,18 +2994,22 @@ object AnalyticsQueries {
     val term = zip_with(col("wa"), col("wb"), (x, y) =>
       ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)) *
         ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)))
-    val wNn = Window.partitionBy(col("l_returnflag"), col("ia"))
-      .orderBy(col("d2"), col("ib"))
+    // NN argmin as min(struct(d2, ib, wkb)) — a map-side-combined hash
+    // aggregate (the q167 propagateMode idiom) instead of the old
+    // row_number window, which shuffled and sorted the full pair
+    // fan-out per (flag, ia) partition. (d2, ib) is unique within a
+    // group, so the lexicographic struct min selects exactly the old
+    // rn = 1 row — same exact-decimal comparison, same tie-break.
     a.join(b, Seq("l_returnflag"))
       .filter(abs(col("ia") - col("ib")) >= m)
       .withColumn("d2",
         aggregate(term, lit(0).cast(DecimalType(38, 0)),
           (acc, v) => acc + v).cast(DecimalType(38, 0)))
-      .withColumn("rn", row_number().over(wNn))
-      .filter(col("rn") === 1)
+      .groupBy(col("l_returnflag"), col("ia"), col("wka"))
+      .agg(min(struct(col("d2"), col("ib"), col("wkb"))).as("nn"))
       .select(col("l_returnflag"), col("wka").as("wk"),
-        col("wkb").as("nn_wk"), col("d2").cast("double").as("d2"),
-        round(sqrt(col("d2")) / m, 4).as("dist"))
+        col("nn.wkb").as("nn_wk"), col("nn.d2").cast("double").as("d2"),
+        round(sqrt(col("nn.d2")) / m, 4).as("dist"))
       .orderBy(col("l_returnflag"), col("wk"))
   }
 }

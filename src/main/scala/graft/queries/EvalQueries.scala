@@ -171,14 +171,19 @@ object EvalQueries {
     * k > n_cal clamp against hand residual sets. */
   def conformal(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      // feeds train, cal, test subtrees; spread first — the per-row md5
-      // split hash is evaluated into this checkpoint, and the raw
-      // fixture scan is 3 partitions (q238 rationale). Only the three
-      // columns the plan reads are checkpointed: the histogram-rank
-      // form below made the (ok, ln) tie-break columns dead weight —
-      // the k-th order statistic is tie-break-independent.
-      val b = graft.model.Tables
-        .spread(in.select(col("flag"), col("cents"), col("split")))
+      // feeds train, cal, test subtrees. Only the three columns the
+      // plan reads are checkpointed: the histogram-rank form below
+      // made the (ok, ln) tie-break columns dead weight — the k-th
+      // order statistic is tie-break-independent. Round-12: the
+      // spread that used to precede this checkpoint was REMOVED after
+      // an A/B (3.3–4.0 s → 2.4–2.5 s at sf0.1): unlike q238 there is
+      // no explode downstream — every consumer is a map-combined
+      // aggregate, so the round-robin exchange (plus its
+      // sort-before-repartition pass) cost more than the 3-partition
+      // checkpoint write it widened; at cluster scale spread is a
+      // probe-elided no-op on this scan-rooted frame anyway, so the
+      // plan at 100 TB is unchanged.
+      val b = in.select(col("flag"), col("cents"), col("split"))
         .localCheckpoint(false)
       val pred = b.where(col("split") === 0).groupBy(col("flag"))
         .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_train"))
