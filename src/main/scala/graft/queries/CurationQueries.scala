@@ -407,25 +407,40 @@ object CurationQueries {
       // pass is the tokenize and nothing vocabulary-sized is ever
       // shuffled twice.
       val docs = documents(s, d)
+      // tiny source dimension with a deterministic bit index (sources
+      // sorted ascending, so idx order == string order and ia < ib ⟺
+      // src_a < src_b — the old join's dedup order preserved exactly).
+      // The set encoding is a LONG BITMASK, not a collected array: the
+      // first cut used groupBy(sh).collect_list(source), whose
+      // object-hash aggregate over the gram vocabulary measured ~1.9×
+      // the old self-join at sf0.1 — the mask form keeps the whole
+      // fold in codegen'd long arithmetic. 63 sources bound the mask;
+      // at a scale that exceeds it, chunk the mask into an array of
+      // longs (same algebra per 63-source block).
+      val srcs = docs.select(col("source")).distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast("int"))
+        .localCheckpoint(false) // |sources| rows; bit dim + require below
+      require(srcs.count() <= 63,
+        "q139 bitmask source-set encoding needs <= 63 sources; " +
+          "chunk the mask into an array of longs past that")
       val g = Dedup.positionalShingles(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), xxhash64(col("sh")).as("sh")).distinct()
-      val sets = g.groupBy(col("sh"))
-        .agg(sort_array(collect_list(col("source"))).as("ss"))
-        .groupBy(col("ss")).agg(count(lit(1)).as("cnt"))
+      val sets = g.join(broadcast(srcs), Seq("source"))
+        .groupBy(col("sh"))
+        .agg(sum(expr("shiftleft(1L, idx)")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false) // ≤ 2^|sources| rows; feeds n AND inter
-      val n = sets.select(explode(col("ss")).as("source"), col("cnt"))
+      val n = sets.join(broadcast(srcs),
+          expr("((mask >> idx) & 1) = 1"))
         .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
-      // ordered pairs from each (sorted, duplicate-free) set: element i
-      // with every later element — src_a < src_b by construction,
-      // matching the old join's `<` dedup
-      val inter = sets
-        .where(size(col("ss")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "flatten(transform(ss, (x, i) -> transform(" +
-            "slice(ss, i + 2, size(ss) - i - 1), " +
-            "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
-        .select(col("p.src_a"), col("p.src_b"), col("cnt"))
+      val pairDim = srcs.select(col("source").as("src_a"), col("idx").as("ia"))
+        .crossJoin(srcs.select(col("source").as("src_b"), col("idx").as("ib")))
+        .where(col("ia") < col("ib"))
+      val inter = sets.join(broadcast(pairDim),
+          expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(sum(col("cnt")).as("inter"))
       inter

@@ -116,11 +116,17 @@ object Dedup {
     val ex = shingleTable.getOrElse(shingleRows(docs, n))
     val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    // checkpointed: fwd and bwd below are two projections of this ONE
+    // aggregated pair table (a small frontier — pairs, not corpus);
+    // without it the Union re-executed the whole shingle self-join +
+    // aggregate per direction (q169's round-12 plan carried the join
+    // subtree twice — the q27/q89 multi-use lesson)
     val agg = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), min(col("n_a")).as("n_a"),
            min(col("n_b")).as("n_b"))
+      .localCheckpoint(false)
     val fwd = agg.select(col("doc_a").as("contained"),
       col("doc_b").as("container"), (col("inter") / col("n_a")).as("cont"))
     val bwd = agg.select(col("doc_b").as("contained"),

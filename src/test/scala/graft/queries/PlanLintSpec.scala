@@ -172,6 +172,11 @@ class PlanLintSpec extends AnyFunSuite {
       "bounded: 4-row literal day-offset frame broadcast onto cohorts",
     "q125_chi2_drift" ->
       "bounded: per-language totals attach (rows = |langs|)",
+    "q139_source_overlap" ->
+      ("bounded: bit-test joins broadcast the SOURCE dimension " +
+        "(rows = |sources|, required <= 63) and its |sources|^2/2 " +
+        "pair spine onto the mask histogram — sources are domains, " +
+        "a catalog constant, never corpus rows"),
     "q246_shapley_attribution" ->
       ("bounded: coalition arithmetic joins run on the 16-row mask " +
         "spine x 4-row channel table (the powerset universe is a " +
