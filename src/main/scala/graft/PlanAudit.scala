@@ -14,8 +14,9 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Bench.configure(
-      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Catalog.all
       .filter(q => names.isEmpty || names(q.name))

@@ -2970,14 +2970,19 @@ object AnalyticsQueries {
     val m = MpWindow
     val wI = Window.partitionBy(col("l_returnflag")).orderBy(col("wk"))
     val frame = wI.rowsBetween(Window.currentRow, m - 1)
-    val win = weekly
+    // spread after the checkpoint: the weekly aggregate coalesces to
+    // ~1 partition at fixture scale, so without it the WHOLE pair
+    // fan-out (≥350k zip_with + Decimal(38,0) reductions) ran on one
+    // core of the session width (round-12 probe: pair stage `(0+1)/1`
+    // in the UI, 1.3 s single-threaded).
+    val win = graft.model.Tables.spread(weekly
       .withColumn("i", row_number().over(wI))
       .withColumn("c", col("y").cast("long"))
       .withColumn("w", collect_list(col("c")).over(frame))
       .withColumn("sw", sum(col("c")).over(frame))
       .filter(size(col("w")) === m)
       .select(col("l_returnflag"), col("i"), col("wk"), col("w"), col("sw"))
-      .localCheckpoint(false) // feeds both sides of the pair join
+      .localCheckpoint(false)) // feeds both sides of the pair join
     val a = win.select(col("l_returnflag"), col("i").as("ia"),
       col("wk").as("wka"), col("w").as("wa"), col("sw").as("swa"))
     val b = win.select(col("l_returnflag"), col("i").as("ib"),
@@ -2991,20 +2996,39 @@ object AnalyticsQueries {
     // bit-identical values; r8's integer form was green), and both
     // engines cast the same exact integer to the same correctly
     // rounded IEEE double at any magnitude.
-    val term = zip_with(col("wa"), col("wb"), (x, y) =>
-      ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)) *
-        ((x - y) * m - (col("swa") - col("swb"))).cast(DecimalType(38, 0)))
+    //
+    // d2 is computed ONCE per unordered pair (ib − ia ≥ m) via the
+    // algebraic identity Σ_t(m·(aₜ−bₜ) − (Sa−Sb))² =
+    // m²·Σ(aₜ−bₜ)² − m·(Sa−Sb)² (expand; Σ(aₜ−bₜ) = Sa−Sb and the
+    // window has exactly m terms), then exploded into both
+    // directions — every intermediate is an exact integer in
+    // Decimal(38,0), so the value is bit-identical to the per-element
+    // fold while halving the pair fan-out's decimal work (round-12
+    // probe: exceptAll both ways = 0 rows at sf0.1).
+    val dd = (col("swa") - col("swb")).cast(DecimalType(38, 0))
+    val s2 = aggregate(
+      zip_with(col("wa"), col("wb"), (x, y) =>
+        (x - y).cast(DecimalType(38, 0)) * (x - y).cast(DecimalType(38, 0))),
+      lit(0).cast(DecimalType(38, 0)), (acc, v) => acc + v)
+    val half = a.join(b, Seq("l_returnflag"))
+      .filter(col("ib") - col("ia") >= m)
+      .withColumn("d2",
+        (lit(m * m).cast(DecimalType(38, 0)) * s2 -
+          lit(m).cast(DecimalType(38, 0)) * dd * dd)
+          .cast(DecimalType(38, 0)))
     // NN argmin as min(struct(d2, ib, wkb)) — a map-side-combined hash
     // aggregate (the q167 propagateMode idiom) instead of the old
     // row_number window, which shuffled and sorted the full pair
     // fan-out per (flag, ia) partition. (d2, ib) is unique within a
     // group, so the lexicographic struct min selects exactly the old
     // rn = 1 row — same exact-decimal comparison, same tie-break.
-    a.join(b, Seq("l_returnflag"))
-      .filter(abs(col("ia") - col("ib")) >= m)
-      .withColumn("d2",
-        aggregate(term, lit(0).cast(DecimalType(38, 0)),
-          (acc, v) => acc + v).cast(DecimalType(38, 0)))
+    half.select(col("l_returnflag"), explode(array(
+        struct(col("ia"), col("wka"), col("d2"), col("ib"), col("wkb")),
+        struct(col("ib").as("ia"), col("wkb").as("wka"), col("d2"),
+          col("ia").as("ib"), col("wka").as("wkb")))).as("e"))
+      .select(col("l_returnflag"), col("e.ia").as("ia"),
+        col("e.wka").as("wka"), col("e.d2").as("d2"),
+        col("e.ib").as("ib"), col("e.wkb").as("wkb"))
       .groupBy(col("l_returnflag"), col("ia"), col("wka"))
       .agg(min(struct(col("d2"), col("ib"), col("wkb"))).as("nn"))
       .select(col("l_returnflag"), col("wka").as("wk"),
