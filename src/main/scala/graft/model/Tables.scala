@@ -101,7 +101,35 @@ object Tables {
     * (call it AFTER pushdown-eligible filters/projections, so those
     * stay at the scan).
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame =
+    spreadVia(df, _.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions))
+
+  /** [[spread]] with a caller-supplied DETERMINISTIC spread key — the
+    * guide-§2.5 form of the exchange: round-robin `repartition(n)`
+    * first pays a local sort of its whole input
+    * (`spark.sql.execution.sortBeforeRepartition`, on since
+    * SPARK-23207 so retried tasks reproduce their row→partition
+    * assignment); hashing a deterministic key needs no such sort AND
+    * is retry-exact by construction. Measured at sf0.1 on the 600k-row
+    * lineitem projection: 0.66 s round-robin vs 0.37 s keyed, same
+    * downstream shape. The key must be (near-)unique — duplicate keys
+    * co-locate, so a heavy-duplicate key column would rebuild the skew
+    * spread exists to remove; callers pass the row id (doc_id, rid,
+    * cents…). `width·64` hash buckets keep the bucket→partition step
+    * balanced (20–100× more distinct values than partitions, §2.5).
+    * Unlike the round-robin form the partition expression references
+    * the key column, so column pruning through the exchange keeps
+    * key+used columns — call it on an already-projected frame (the
+    * standing spread discipline). */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    spreadVia(df, _.repartition(width, pmod(xxhash64(key), lit(width * 64))))
+  }
+
+  private def spreadVia(df: DataFrame,
+                        exchange: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val analyzed = df.queryExecution.analyzed
@@ -119,7 +147,7 @@ object Tables {
       case _ => true
     }
     if (probeSafe)
-      return if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+      return if (df.rdd.getNumPartitions < width) exchange(df) else df
     // Not probe-safe: never probe. An explicit outermost repartition
     // states its width in the plan — honor it statically; anything
     // whose runtime width only AQE knows gets the unconditional
@@ -138,7 +166,7 @@ object Tables {
     }
     declaredWidth match {
       case Some(n) if n >= width => df
-      case _                     => df.repartition(width)
+      case _                     => exchange(df)
     }
   }
 

@@ -532,10 +532,19 @@ object AnalyticsQueries {
   def hits(edges: org.apache.spark.sql.DataFrame, rounds: Int,
       indeg: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // l1 checkpoints its INPUT, not its output: the normalizer total
+    // and the normalized frame are two consumers of the same half-step
+    // aggregate, so the un-checkpointed form executed every half-step's
+    // edge join + aggregate TWICE — once under the broadcast total,
+    // once for the main pass (the q27/q89 multi-use lesson, found via
+    // the round-12 job-count inventory: 17 jobs for 4 half-steps). The
+    // normalized frame itself is a cheap projection of the checkpoint,
+    // so consumers re-derive it for free — no output checkpoint needed.
     def l1(df: org.apache.spark.sql.DataFrame, v: String)
         : org.apache.spark.sql.DataFrame = {
-      val t = df.agg(sum(col(v)).as("__t"))
-      df.crossJoin(broadcast(t)).select(col(df.columns.head),
+      val c = df.localCheckpoint(false)
+      val t = c.agg(sum(col(v)).as("__t"))
+      c.crossJoin(broadcast(t)).select(col(c.columns.head),
         (col(v) / col("__t")).as(v))
     }
     // round 1 folds the uniform hub start analytically: a ∝ indegree —
@@ -544,17 +553,13 @@ object AnalyticsQueries {
     // count), so the first corpus aggregate disappears at read time
     var auth = l1(indeg.getOrElse(edges.groupBy(col("p"))
       .agg(count(lit(1)).cast("double").as("a"))), "a")
-      .localCheckpoint(false) // feeds the next half-step AND the caller
     var hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
       .agg(sum(col("a")).as("h")), "h")
-      .localCheckpoint(false)
     for (_ <- 2 to rounds) {
       auth = l1(edges.join(hub, Seq("s")).groupBy(col("p"))
         .agg(sum(col("h")).as("a")), "a")
-        .localCheckpoint(false)
       hub = l1(edges.join(auth, Seq("p")).groupBy(col("s"))
         .agg(sum(col("a")).as("h")), "h")
-        .localCheckpoint(false)
     }
     (hub, auth)
   }
@@ -2056,7 +2061,7 @@ object AnalyticsQueries {
     // percentile's partial aggregation buffers every value per flag,
     // and at the raw fixture scan's 3 partitions that collection leg
     // runs on 3 of 32 cores (q238 rationale)
-    val b = graft.model.Tables.spread(in).localCheckpoint(false)
+    val b = graft.model.Tables.spread(in, col("cents")).localCheckpoint(false)
     val f = b.groupBy(col("flag"))
       .agg(expr("percentile(cents, 0.05)").as("p05"),
         expr("percentile(cents, 0.95)").as("p95"))
@@ -2982,7 +2987,7 @@ object AnalyticsQueries {
       .withColumn("sw", sum(col("c")).over(frame))
       .filter(size(col("w")) === m)
       .select(col("l_returnflag"), col("i"), col("wk"), col("w"), col("sw"))
-      .localCheckpoint(false)) // feeds both sides of the pair join
+      .localCheckpoint(false), col("i")) // feeds both sides of the pair join
     val a = win.select(col("l_returnflag"), col("i").as("ia"),
       col("wk").as("wka"), col("w").as("wa"), col("sw").as("swa"))
     val b = win.select(col("l_returnflag"), col("i").as("ib"),

@@ -839,7 +839,7 @@ object EvalQueries {
     // runs at the checkpoint's parallelism (the raw fixture scan is 3
     // partitions, so the 60M-replica stage would use 3 of 32 cores:
     // measured 3.3 s → 1.0 s warm at sf0.1 with the spread)
-    val b = graft.model.Tables.spread(in).localCheckpoint(false)
+    val b = graft.model.Tables.spread(in, col("rid")).localCheckpoint(false)
     val rep = b
       .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("u",

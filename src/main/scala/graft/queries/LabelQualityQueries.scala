@@ -84,7 +84,7 @@ object LabelQualityQueries {
     // payload tie-break (smaller id) matches ORDER BY sim DESC, nb
     // stream-side spread, same rationale as [[knnLabelAgreement]]
     matryoshkaOverPairs(
-      broadcast(q).join(graft.model.Tables.spread(e),
+      broadcast(q).join(graft.model.Tables.spread(e, col("vec_id")),
           col("q_id") =!= col("vec_id"))
         .select(col("q_id"),
           when(npF =!= 0.0, Sim.dot(col("qv"), col("v")) / npF)
@@ -235,7 +235,7 @@ object LabelQualityQueries {
     // one row group → 1 partition (q side stays on the raw scan — it
     // is collected for broadcast anyway)
     agreementOverPairs(
-      broadcast(q).join(graft.model.Tables.spread(e),
+      broadcast(q).join(graft.model.Tables.spread(e, col("vec_id")),
           col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("la"),
           when(np =!= 0.0, Sim.dot(col("qv"), col("v")) / np)
@@ -387,7 +387,7 @@ object LabelQualityQueries {
     val np = col("qnrm") * col("nrm")
     // stream-side spread, same rationale as [[knnLabelAgreement]]
     tripletOverPairs(
-      broadcast(q).join(graft.model.Tables.spread(e),
+      broadcast(q).join(graft.model.Tables.spread(e, col("vec_id")),
           col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("la"), col("vec_id").as("nb"),
           col("label").as("lb"),

@@ -47,7 +47,7 @@ object RankingQueries {
       .orderBy(col("cos").desc, col("vec_id"))
     // stream-side spread: the quadratic cosine leg runs at the corpus
     // stream's parallelism (1-partition fixture scan otherwise)
-    broadcast(q).join(graft.model.Tables.spread(e),
+    broadcast(q).join(graft.model.Tables.spread(e, col("vec_id")),
         col("q_id") =!= col("vec_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
       .withColumn("rk", row_number().over(w))
@@ -224,7 +224,7 @@ object RankingQueries {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .localCheckpoint(false) // feeds both ranker sides and the spine
     // stream-side spread, same rationale as [[rankedTopK]]
-    val es = graft.model.Tables.spread(e)
+    val es = graft.model.Tables.spread(e, col("vec_id"))
     def ranked(qc: Column, vc: Column, rkName: String): DataFrame = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))

@@ -500,7 +500,12 @@ object StructureQueries {
       .select(lit(src).as("node"), lit(0).as("h")).localCheckpoint(false)
     var frontier = visited
     var h = 0
-    while (h < maxHops && !frontier.isEmpty) {
+    var drained = false
+    // ONE action per hop (round-12 job-count inventory: the old
+    // two-isEmpty loop billed 48 jobs to a 6-hop BFS): the union with
+    // an empty frontier is a no-op, so append unconditionally and let
+    // the single isEmpty both advance and terminate the loop.
+    while (h < maxHops && !drained) {
       h += 1
       frontier = frontier
         .join(ud, frontier("node") === ud("u"))
@@ -508,10 +513,11 @@ object StructureQueries {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("h", lit(h))
         .localCheckpoint(false)
-      if (!frontier.isEmpty)
+      drained = frontier.isEmpty
+      if (!drained)
         visited = visited.union(frontier).localCheckpoint(false)
     }
-    require(frontier.isEmpty,
+    require(drained,
       s"BFS frontier not drained after $maxHops hops — raise the bound " +
         "in BOTH the helper call and the recursive oracle")
     visited.select(col("node"), col("h").cast("int").as("hops"))

@@ -125,10 +125,14 @@ object TextQueries {
         CASE WHEN en >= es AND en >= de THEN 'en'
              WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
       FROM s ORDER BY doc_id"""),
+    // sort-then-project (the q277 double-evaluation note): langId is
+    // the whole cost of this map-only query, and a sort ABOVE it would
+    // evaluate it once more in the range-sampling pass
     (s, d) => documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        TA.langId(col("text")).as("lang_pred"))
-      .orderBy(col("doc_id")))
+        TA.langId(col("text")).as("lang_pred")))
 
   val q25ExactDedup = GraftQuery(
     "q25_exact_dedup",
@@ -804,7 +808,10 @@ object TextQueries {
           AS flesch,
         ROUND(0.39 * w / s + 11.8 * syl / w - 15.59 + 1e-9, 4) AS fk_grade
       FROM c ORDER BY doc_id"""),
-    (s, d) => readability(documents(s, d)).orderBy(col("doc_id")))
+    // sort BELOW the projection (the q277 double-evaluation note):
+    // the regex pipeline is the whole query; output order unchanged
+    (s, d) => readability(documents(s, d)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))))
 
   /** The q213 plan over any (doc_id, text) frame — TextSpec pins a
     * hand-counted two-sentence paragraph and the vowelless-token
@@ -901,7 +908,7 @@ object TextQueries {
     val wRun = Window.partitionBy(col("doc_id"), col("run_id"))
       .orderBy(col("pos"))
     // spread: the tokenize explosion is the pre-shuffle cost here
-    val np = graft.model.Tables.spread(docs)
+    val np = graft.model.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(
         split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
       .withColumn("stop", col("w").isInCollection(TA.Stopwords))
@@ -1078,9 +1085,18 @@ object TextQueries {
     val seen2 = "if(array_contains(acc.seen, t), acc.seen, " +
       "array_append(acc.seen, t))"
     val ttr = s"cast(size($seen2) as double) / (acc.tokf + 1)"
+    // final sort FIRST, fold after: a global sort's range-partition
+    // sampling pass executes its whole narrow child once more, so a
+    // sort placed above the fold runs the per-token aggregate lambda
+    // (interpreted, the expensive leg) TWICE per row (round-12 probe:
+    // q24's identical shape measured 2× its projection cost). Sorting
+    // the (doc_id, toks) frame and folding above it keeps the sample
+    // pass to tokenize-only and the output order is untouched — a
+    // Project preserves its child's ordering.
     docs.select(col("doc_id"),
         filter(split(lower(trim(col("text"))), "\\s+"),
           w => length(w) > 0).as("toks"))
+      .orderBy(col("doc_id"))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("ft", expr(
         s"""aggregate(toks,
@@ -1097,6 +1113,5 @@ object TextQueries {
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
         round(col("ft"), 4).as("factors"),
         round(col("n_toks") / nullif(col("ft"), lit(0.0)), 4).as("mtld"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -33,7 +33,7 @@ object Bpe {
   /** Distributed word counts, capped to the `vocabCap` most frequent
     * words (count desc, word asc) — the ONLY corpus-wide pass. */
   def wordCounts(docs: DataFrame, vocabCap: Int = 10000): Array[(String, Long)] =
-    graft.model.Tables.spread(docs)
+    graft.model.Tables.spread(docs, col("doc_id"))
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))

@@ -208,7 +208,7 @@ object CorpusPipeline {
     // text-walking expressions evaluated before the first shuffle, and
     // the fixture documents scan is one row group → 1 partition
     val base = trainingSide(graft.model.Tables.spread(docs0
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars")))
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars")), col("doc_id"))
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")))
       .withColumn("content_hash", contentHash(col("text")))
       .withColumn("f_ek", row_number().over(wEk) === 1)

@@ -59,7 +59,7 @@ object Dedup {
     // spread before the split+posexplode: the tokenize explosion is the
     // heavy narrow leg of every shingle derivation, and the fixture
     // documents scan is one row group → 1 partition (no-op at scale)
-    val toks = graft.model.Tables.spread(docs).select(col("doc_id"),
+    val toks = graft.model.Tables.spread(docs, col("doc_id")).select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -642,7 +642,7 @@ object Dedup {
     // function is documented for) and falls back to a partitioned
     // cartesian beyond that; [[embeddingDupPairsLsh]] is the scale path.
     val a = graft.model.Tables.spread(
-      e.select(col("vec_id").as("vec_a"), col("v").as("va")))
+      e.select(col("vec_id").as("vec_a"), col("v").as("va")), col("vec_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
@@ -716,7 +716,7 @@ object Dedup {
     import graft.functions.SimHashAgg.simhash_agg
     // spread: tokenize + per-token xxhash64 + the vote-buffer partial
     // aggregation all run before the doc_id shuffle (q274 rationale)
-    val toks = graft.model.Tables.spread(docs)
+    val toks = graft.model.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -54,7 +54,7 @@ object Similarity {
     // embeddings scan is one row group → 1 partition, so the whole
     // quadratic leg would otherwise run on one core (the query side
     // stays on the raw scan — it is collected for broadcast anyway)
-    val e = graft.model.Tables.spread(e0)
+    val e = graft.model.Tables.spread(e0, col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -99,7 +99,7 @@ object Similarity {
     val q = e.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv"))
     // same stream-side spread rationale as [[cosineTopK]]
     val corpus = graft.model.Tables.spread(
-      e.select(col("vec_id"), int8_round_trip(col("v")).as("v")))
+      e.select(col("vec_id"), int8_round_trip(col("v")).as("v")), col("vec_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(corpus, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))

@@ -19,6 +19,44 @@ class TablesSpec extends AnyFunSuite {
       "round-robin redistribution only — same rows")
   }
 
+  test("keyed spread raises width without a sort pass, rows intact and balanced") {
+    import spark.implicits._
+    val narrow = (1 to 10000).toDF("x").coalesce(1)
+    val wide = Tables.spread(narrow, col("x"))
+    assert(wide.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+    assert(wide.select(sum($"x")).as[Long].head() === 50005000L,
+      "hash redistribution only — same rows")
+    // the exchange is hashpartitioning on the deterministic key, NOT
+    // RoundRobinPartitioning — no sortBeforeRepartition pass
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("roundrobin") && !plan.contains("RoundRobin"), plan)
+    // distribution: no partition owns more than 4x the mean
+    val sizes = wide.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max <= 4 * (10000 / sizes.length),
+      s"skewed keyed spread: ${sizes.mkString(",")}")
+  }
+
+  test("keyed spread is the identity at or above width and keeps pruning to key+used columns") {
+    import spark.implicits._
+    val width = spark.sessionState.conf.numShufflePartitions
+    val wide = (1 to 100).toDF("x").repartition(width + 2)
+    assert(Tables.spread(wide, col("x")) eq wide)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spreadkey_probe")
+    val p = s"$dir/t.parquet"
+    spark.range(1000).selectExpr("id", "id % 7 as k", "cast(id as string) as s")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val q = Tables.spread(spark.read.parquet(p), col("id"))
+      .filter(col("k") === 3).select(col("id"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("Scan parquet")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]"), scan)
+    assert(scan.contains("ReadSchema: struct<id:bigint,k:bigint>"),
+      s"the keyed exchange must move key+used columns only: $scan")
+  }
+
   test("spread is the identity on a frame at or above the width") {
     import spark.implicits._
     val width = spark.sessionState.conf.numShufflePartitions
