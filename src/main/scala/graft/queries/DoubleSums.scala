@@ -166,7 +166,13 @@ object DoubleSums {
     "q214_acf_ljung_box", "q216_linkage_eval",
     "q217_calibration", // ratio rounds use the VARCHAR→DECIMAL idiom
     // (round-12); the SUMs beneath them stay order-dependent dust
-    "q219_mase", "q220_heaps_law", "q221_quantile_norm", "q224_psi",
+    "q219_mase", "q220_heaps_law", "q221_quantile_norm",
+    "q222_hits", // L1 normalizer totals Σh/Σa over normalized doubles;
+    // always this class — the round-12 l1 input-checkpoint rewrite
+    // merely made the sites visible to the walker (the old OUTPUT
+    // checkpoints hid the whole half-step subtree behind a LogicalRDD
+    // leaf); output ranks on the 8 dp-rounded score
+    "q224_psi",
     "q225_jackknife", "q227_cv_folds", "q228_learning_curve",
     "q229_holt", "q230_page_hinkley", "q231_rolling_z",
     "q235_winsorized", // quantile_cont bounds are interpolated (inexact)
