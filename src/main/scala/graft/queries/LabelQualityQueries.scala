@@ -146,14 +146,25 @@ object LabelQualityQueries {
     import graft.text.Ivf
     val (indexed, centroids) =
       index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
-    val e = indexed
+    // no checkpoint: the layout-era index is a parquet scan, so the
+    // query and candidate sides each re-derive a scan + narrow
+    // projection (cheaper than a checkpoint job + its write at any
+    // scale — the norm arithmetic is a per-row constant)
+    val e = indexed.select(col("vec_id"), col("v"), col("cell"))
       .withColumn("vt", slice(col("v"), 1, prefix))
       .withColumn("nrm", Sim.norm2(col("v")))
       .withColumn("nrmt", Sim.norm2(col("vt")))
-      .localCheckpoint(false) // feeds both the query and candidate side
     val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("vt").as("qvt"), col("nrm").as("qnrm"), col("nrmt").as("qnrmt"))
-    val probes = Ivf.probeCells(q, centroids, nProbe)
+    // spread the probe stream (guide §2.5): the corpus side broadcasts,
+    // so the O(n·nProbe/nCells) scoring projection runs at the STREAM
+    // side's width — and the probe table's window exchange is small
+    // enough that AQE coalesces it to one partition at fixture scale,
+    // single-threading the whole scoring leg. The keyed spread is a
+    // REPARTITION_BY_NUM exchange AQE never coalesces; at cluster
+    // scale it is one cheap exchange of the skinny probe table.
+    val probes = graft.model.Tables.spread(
+      Ivf.probeCells(q, centroids, nProbe), col("q_id"))
     val npF = col("qnrm") * col("nrm")
     val npT = col("qnrmt") * col("nrmt")
     matryoshkaOverPairs(
@@ -299,16 +310,21 @@ object LabelQualityQueries {
     // a few Lloyd rounds and the fit is the query's dominant constant
     val (indexed, centroids) =
       index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
-    // the label rides back onto the indexed corpus once; both the
-    // query side (la, via probeCells' pass-through columns) and the
-    // candidate side (payload packing) read it from this one join
-    val e = indexed
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .withColumn("nrm", Sim.norm2(col("v")))
-      .localCheckpoint(false) // feeds both the query and candidate side
+    // the v2 layout corpus carries `label` (a physical column of the
+    // base table riding on the cell-indexed corpus); the join-back and
+    // the checkpoint it forced exist only for the buildIndex path
+    // (spec fixtures), whose transform output lacks the label
+    val e0 =
+      if (indexed.columns.contains("label")) indexed
+      else indexed.join(emb.select(col("vec_id"), col("label")),
+        Seq("vec_id")).localCheckpoint(false)
+    val e = e0.withColumn("nrm", Sim.norm2(col("v")))
     val queries = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm"), col("label").as("la"))
-    val probes = Ivf.probeCells(queries, centroids, nProbe)
+    // spread rationale: see ivfMatryoshkaAgreement — the scoring leg
+    // otherwise runs on one AQE-coalesced partition at fixture scale
+    val probes = graft.model.Tables.spread(
+      Ivf.probeCells(queries, centroids, nProbe), col("q_id"))
     val np = col("qnrm") * col("nrm")
     // same zero-norm convention as the exact twin: degenerate vectors
     // score -1.0 rather than NULL so they never shrink the heap
@@ -465,16 +481,20 @@ object LabelQualityQueries {
     import graft.text.Ivf
     val (indexed, centroids) =
       index.getOrElse(Ivf.buildIndex(emb, nCells, maxIter = 8))
-    // the label rides back onto the indexed corpus once (the q143
-    // shape): queries read it as `la` through probeCells' pass-through,
-    // candidates as `lb` from the same checkpointed frame
-    val e = indexed
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .withColumn("nrm", Sim.norm2(col("v")))
-      .localCheckpoint(false) // feeds both the query and candidate side
+    // the v2 layout corpus carries `label`; the join-back + checkpoint
+    // exist only for the buildIndex path (spec fixtures) — the q143
+    // rationale exactly
+    val e0 =
+      if (indexed.columns.contains("label")) indexed
+      else indexed.join(emb.select(col("vec_id"), col("label")),
+        Seq("vec_id")).localCheckpoint(false)
+    val e = e0.withColumn("nrm", Sim.norm2(col("v")))
     val queries = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qnrm"), col("label").as("la"))
-    val probes = Ivf.probeCells(queries, centroids, nProbe)
+    // spread rationale: see ivfMatryoshkaAgreement — the scoring leg
+    // otherwise runs on one AQE-coalesced partition at fixture scale
+    val probes = graft.model.Tables.spread(
+      Ivf.probeCells(queries, centroids, nProbe), col("q_id"))
     val np = col("qnrm") * col("nrm")
     tripletOverPairs(
       probes.join(e, Seq("cell")).where(col("q_id") =!= col("vec_id"))

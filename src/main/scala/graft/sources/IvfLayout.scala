@@ -22,8 +22,25 @@ import graft.text.Ivf
   */
 object IvfLayout {
 
-  /** Bump when the quantizer build changes semantically. */
-  private val LayoutVersion = 1
+  /** Bump when the quantizer build changes semantically.
+    * v2: same cell assignments as v1 (identical KMeans fit), the
+    * corpus rows additionally carry the base table's `label` column —
+    * at 100 TB the cell-indexed corpus IS the corpus table itself
+    * (cell is just a column on it), so every physical column rides
+    * along for free; v1 forced q143/q202 to re-scan embeddings and
+    * join the label back per query (one scan + one broadcast join +
+    * one localCheckpoint each, every run). */
+  private val LayoutVersion = 2
+
+  /** Corpus-count memo for the [[Ivf.cellsFor]] geometry dispatch:
+    * the count is parquet-footer METADATA of a static fixture table
+    * (the resolved value is baked into the layout directory name),
+    * but `DataFrame.count()` still runs a Spark job per call — one
+    * fixed-cost job inside EVERY consumer query (q83/q143/q202/q203).
+    * Memoized per (session, sfDir) exactly like Spark's own
+    * FileIndex caching; never caches query results. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def root(sfDir: String, nCells: Int, seed: Long, maxIter: Int): String =
     s"${SourceLayout.root("graft_ivf", sfDir)}/c${nCells}_s${seed}_i${maxIter}_v$LayoutVersion"
@@ -40,21 +57,24 @@ object IvfLayout {
             seed: Long = 42L, maxIter: Int = 8): (DataFrame, DataFrame) = {
     val cells =
       if (nCells > 0) nCells
-      else Ivf.cellsFor(Tables.embeddings(s, sfDir).count())
+      else Ivf.cellsFor(countMemo.computeIfAbsent(sfDir,
+        d => Tables.embeddings(s, d).count()))
     val base = root(sfDir, cells, seed, maxIter)
     val corpusDir = s"$base/corpus"
     val centDir = s"$base/centroids"
     SourceLayout.writeOnce(centDir) {
-      val (indexed, centroids) =
-        Ivf.buildIndex(Tables.embeddings(s, sfDir), cells, seed, maxIter)
+      val emb = Tables.embeddings(s, sfDir)
+      val (indexed, centroids) = Ivf.buildIndex(emb, cells, seed, maxIter)
       // corpus first: the centroid _SUCCESS is the layout's completion
       // marker, so a half-written pair is never re-registered
-      indexed.write.mode("overwrite").parquet(corpusDir)
+      indexed.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(corpusDir)
       // one file: the centroid table is nCells rows; a file per row
       // just multiplies listing/footer overhead on every read
       centroids.coalesce(1).write.mode("overwrite").parquet(centDir)
     }
-    (s.read.parquet(corpusDir).select(col("vec_id"), col("v"), col("cell")),
+    (s.read.parquet(corpusDir)
+        .select(col("vec_id"), col("v"), col("cell"), col("label")),
       s.read.parquet(centDir))
   }
 }

@@ -114,7 +114,14 @@ object Ivf {
     val queries = indexed.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         l2_norm(col("v")).as("qnrm"))
-    val probes = probeCells(queries, centroids, nProbe)
+    // spread the probe stream (guide §2.5): the indexed-corpus side
+    // broadcasts below the threshold, so the candidate scoring runs at
+    // the probe stream's width — whose window exchange AQE coalesces
+    // to ONE partition at fixture scale. The keyed spread survives
+    // AQE (REPARTITION_BY_NUM); at cluster scale it is one cheap
+    // exchange of the skinny probe table.
+    val probes = graft.model.Tables.spread(
+      probeCells(queries, centroids, nProbe), col("q_id"))
     // Search only the probed cells. Same candidate-stream discipline
     // as q141 (LabelQualityQueries.knnLabelAgreement): norms ride as
     // scalar columns so each candidate costs ONE codegen'd dot (the
