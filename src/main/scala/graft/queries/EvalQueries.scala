@@ -163,8 +163,10 @@ object EvalQueries {
       col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
-        " as string)), 1, 8), 16, 10) as bigint)") % 3).as("split"))))
+      // md5_prefix32 ≡ the oracle's conv(substring(md5(…),1,8),16,10)
+      // without the hex-string round-trip (Md5PrefixSpec pins equality)
+      (graft.functions.Md5Prefix.md5_prefix32(
+        col("l_orderkey") * 10 + col("l_linenumber")) % 3).as("split"))))
 
   /** The q218 plan over any (flag, cents, ok, ln, split: 0/1/2) frame
     * — EvalSpec pins the ⌈0.9(n+1)⌉ rank choice including the
@@ -491,8 +493,8 @@ object EvalQueries {
         ROUND(th.theta + 1.96 * v.se, 6) AS ci_hi
       FROM loo, th, v ORDER BY 1"""),
     (s, d) => jackknifeRatio(lineitem(s, d).select(
-      (expr("cast(conv(substring(md5(cast(l_orderkey as string)), 1, 8)," +
-        " 16, 10) as bigint)") % 10).as("bucket"),
+      (graft.functions.Md5Prefix.md5_prefix32(col("l_orderkey")) % 10)
+        .as("bucket"),
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
         .cast("bigint").as("rev"),
       col("l_quantity").cast("bigint").as("qty"))))
@@ -601,8 +603,8 @@ object EvalQueries {
     (s, d) => cvFolds(lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
-      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
-        " as string)), 1, 8), 16, 10) as bigint)") % 5).as("fold"))))
+      (graft.functions.Md5Prefix.md5_prefix32(
+        col("l_orderkey") * 10 + col("l_linenumber")) % 5).as("fold"))))
 
   /** The q227 plan over any (flag, cents, fold) frame — EvalSpec
     * hand-traces the LOO-sum predictor and the fold sd. */
@@ -694,8 +696,8 @@ object EvalQueries {
     (s, d) => learningCurve(lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
-      (expr("cast(conv(substring(md5(cast(l_orderkey * 10 + l_linenumber" +
-        " as string)), 1, 8), 16, 10) as bigint)") % 100).as("u"))))
+      (graft.functions.Md5Prefix.md5_prefix32(
+        col("l_orderkey") * 10 + col("l_linenumber")) % 100).as("u"))))
 
   /** The q228 plan over any (flag, cents, u: 0..99) frame. */
   def learningCurve(in: org.apache.spark.sql.DataFrame)

@@ -266,8 +266,7 @@ object MixtureQueries {
       SELECT source, doc_id, n_chars, es_key, CAST(rk AS INT) AS rk
       FROM r WHERE rk <= 3 ORDER BY source, rk"""),
     (s, d) => {
-      val u = (expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+      val u = (graft.functions.Md5Prefix.md5_prefix32(col("doc_id"))
         + lit(1L)) / lit(4294967296.0)
       val key = round(log(u) / col("n_chars"), 8)
       val w = Window.partitionBy(col("source"))
