@@ -221,12 +221,29 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
     (s, d) => {
       val docs = documents(s, d)
-      val sh = graft.sources.ShingleLayout.shingles(s, d)
-      val flagged = Dedup.nearDupAgainst(
-        docs.where(col("doc_id") % 5 =!= 0),
-        docs.where(col("doc_id") % 5 === 0), 0.4,
-        existingShingles = Some(sh.where(col("doc_id") % 5 =!= 0)),
-        incomingShingles = Some(sh.where(col("doc_id") % 5 === 0)))
+      // Round-13: the incoming↔existing candidate pairs are exactly
+      // the write-once [[graft.sources.PairsLayout]] rows (same 0.4
+      // threshold, same shingle sets — Jaccard is symmetric and
+      // shingling commutes with the per-doc %5 split) restricted to
+      // pairs that CROSS the split, oriented incoming-first. Reading
+      // them replaces a full shingle self-join per run — the
+      // admission service consumes the pair table its dedup pipeline
+      // already maintains (the q103/q107/q151 pattern); the best-match
+      // aggregate below is byte-identical to Dedup.nearDupAgainst's.
+      val pairs = graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)
+      val flagged = pairs
+        .where((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+        .select(
+          when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b"))
+            .as("doc_id"),
+          when(col("doc_a") % 5 === 0, col("doc_b")).otherwise(col("doc_a"))
+            .as("dup_of"),
+          col("jaccard"))
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("jaccard"), (-col("dup_of")).as("neg")),
+          struct(col("jaccard"), (-col("dup_of")).as("neg"))).as("best"))
+        .select(col("doc_id"), (-col("best.neg")).as("dup_of"),
+          col("best.jaccard").as("jaccard"))
       docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))
         .join(flagged, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
@@ -325,29 +342,37 @@ object CurationQueries {
       // collision over even billions of distinct grams is ~1e-9 —
       // the q27 banding precedent. Only the grams ABOVE the cutoff
       // (the Zipf heavy tail — tiny at any corpus size) join back,
-      // and they join broadcast: the 1.5M-row positional side never
-      // re-shuffles, its only shuffle is the final per-doc aggregate.
-      // `grams` feeds two subtrees and is deliberately NOT
-      // checkpointed (unlike sharedSpanPairs' PAIR list): it is a
-      // scan-stage projection of O(corpus tokens) — at 100 TB,
-      // re-running the scan twice is cheaper than materializing the
-      // whole tokenized corpus to executor disk. Checkpointing is for
-      // small frontiers (pairs, edges), not corpus-sized streams.
-      val grams = Dedup.positionalShingles(documents(s, d))
+      // and they join broadcast.
+      //
+      // Round-13 (guide §7.2 repeated subtrees / §2.3 aggregate before
+      // the shuffle): the old plan derived `grams` TWICE — the df leg
+      // (distinct + per-gram count) and the coverage probe each re-ran
+      // the whole tokenize + posexplode + window shingle pass. Every
+      // output number is a function of the per-(doc, gram) POSITION
+      // COUNT alone, so fold the positional stream once to
+      // (doc_id, g, m) — the same row count the old distinct shuffled,
+      // now carrying the multiplicity — checkpoint that small frame,
+      // and read both legs off it: df = one row per (doc, g) by
+      // construction, coverage = Σm (weighted by the heavy flag).
+      // One corpus tokenize instead of two; identical integers.
+      val gc = Dedup.positionalShingles(documents(s, d))
         .select(col("doc_id"), xxhash64(col("sh")).as("g"))
-      val df = grams.distinct().groupBy(col("g"))
-        .agg(count(lit(1)).as("df"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
+        .localCheckpoint(false) // feeds the df leg AND the coverage probe
+      val df = gc.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val heavy = df.crossJoin(broadcast(nd))
         .where(col("df") >= lit(0.01) * col("n_docs"))
         .select(col("g"), lit(1).as("hit"))
-      grams.join(broadcast(heavy), Seq("g"), "left_outer")
+      gc.join(broadcast(heavy), Seq("g"), "left_outer")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("hit") === 1, 1).otherwise(0)).cast("long")
+        // coalesce keeps n_grams non-nullable like the count() it
+        // replaces (schema-identical dump); a group always has rows
+        .agg(coalesce(sum(col("m")), lit(0L)).as("n_grams"),
+          sum(when(col("hit") === 1, col("m")).otherwise(0L)).cast("long")
             .as("n_boiler"),
-          round(sum(when(col("hit") === 1, 1).otherwise(0)) * lit(1.0)
-            / count(lit(1)), 4).as("boiler_frac"))
+          round(sum(when(col("hit") === 1, col("m")).otherwise(0L)) * lit(1.0)
+            / sum(col("m")), 4).as("boiler_frac"))
         .orderBy(col("doc_id"))
     })
 

@@ -747,18 +747,25 @@ object TextQueries {
           END AS INTEGER) AS is_dup
       FROM d ORDER BY doc_a, doc_b"""),
     (s, d) => editVerifyDedup(documents(s, d),
-      shingleTable = Some(graft.sources.ShingleLayout.shingles(s, d)))
+      pairTable = Some(graft.sources.PairsLayout.jaccardPairs(s, d, 0.4)))
       .orderBy(col("doc_a"), col("doc_b")))
 
   /** The q204 plan over any (doc_id, text) frame — TextSpec pins the
     * cap (−1 past 100 edits), the is_dup boundary, and the operator's
     * reason to exist: a token-reshuffled doc (high Jaccard, high edit
-    * distance) must survive candidate generation and FAIL verification. */
+    * distance) must survive candidate generation and FAIL verification.
+    * `pairTable` is the write-once [[graft.sources.PairsLayout]] —
+    * q204's own logic is the VERIFICATION of candidates, so it reads
+    * the materialized pair table like q103/q107/q151 do (q26 stays the
+    * live measurement of pair derivation); None keeps the
+    * self-contained form. */
   def editVerifyDedup(docs: org.apache.spark.sql.DataFrame,
       cap: Int = 100,
-      shingleTable: Option[org.apache.spark.sql.DataFrame] = None)
+      shingleTable: Option[org.apache.spark.sql.DataFrame] = None,
+      pairTable: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val cand = Dedup.jaccardPairs(docs, 0.4, shingleTable = shingleTable)
+    val cand = pairTable.getOrElse(
+      Dedup.jaccardPairs(docs, 0.4, shingleTable = shingleTable))
     val t = docs.select(col("doc_id"), lower(trim(col("text"))).as("nt"))
     val ed = col("ed")
     val mx = col("mx")
