@@ -390,9 +390,13 @@ object AnalyticsQueries {
           AS agree
       FROM seeds sd LEFT JOIN p2 ON sd.s = p2.s ORDER BY 1"""),
     (s, d) => {
-      // write-once GraphEdgesLayout edge set (q119's convention)
+      // write-once GraphEdgesLayout edge set (q119's convention).
+      // No checkpoint: the layout is a parquet scan, so each round's
+      // re-read is a scan + projection (the checkpoint predates the
+      // layout, when the edge set was a per-run distinct derivation);
+      // statically known scan sizes also let the planner pick its
+      // join sides without AQE guesswork.
       val edges = graft.sources.GraphEdgesLayout.supplierPart(s, d)
-        .localCheckpoint(false)
       val seeds = supplier(s, d)
         .select(col("s_suppkey").as("s"), col("s_nationkey").as("lab"))
       val partLabels = propagateMode(edges.join(seeds, "s"), col("p"))
@@ -408,16 +412,27 @@ object AnalyticsQueries {
 
   /** One propagation round: the deterministic neighbourhood mode of
     * `lab` per `node` (max count, ties to the smaller label) as a pure
-    * two-level aggregate. */
+    * two-level aggregate. The mode winner is selected by max over ONE
+    * packed long, `(c << 32) | (2³²−1 − lab)` — the lexicographic
+    * max(struct(c, −lab)) it replaces forces a SortAggregate pair per
+    * round (struct buffers aren't hash-aggregable); the packed max is
+    * a plain long HashAggregate with map-side combine. Encoding needs
+    * labels in [0, 2³²) and per-node counts < 2³¹ — label vocabularies
+    * (nation keys here) and per-node distinct-neighbor counts sit far
+    * inside both at any corpus size. */
   private[queries] def propagateMode(labeledEdges: org.apache.spark.sql.DataFrame,
                             node: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    val labType = labeledEdges.schema("lab").dataType
+    val mask = (1L << 32) - 1
     labeledEdges
       .groupBy(node.as("n"), col("lab")).agg(count(lit(1)).as("c"))
       .groupBy(col("n"))
-      .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-      .select(col("n").as(node.toString), (-col("m.nl")).as("lab"),
-        col("m.c").as("votes"))
+      .agg(max(shiftleft(col("c"), 32) + (lit(mask) - col("lab"))).as("m"))
+      .select(col("n").as(node.toString),
+        (lit(mask) - col("m").bitwiseAND(lit(mask))).cast(labType).as("lab"),
+        shiftright(col("m"), 32).as("votes"))
+  }
 
   /** PageRank over any (src, dst) edge frame (every node must carry at
     * least one out-edge — true for any symmetrized graph). The degree
