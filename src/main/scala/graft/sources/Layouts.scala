@@ -24,27 +24,65 @@ import graft.text.Dedup
   */
 object Layouts {
 
-  def warm(s: SparkSession, sfDir: String): Unit = {
-    BucketedTables.ensure(s, sfDir)
-    PartitionedTables.events(s, sfDir)
-    ZOrderedTables.linear(s, sfDir)
-    ZOrderedTables.zordered(s, sfDir)
-    ShingleLayout.shingles(s, sfDir)
-    SpansLayout.duplicatedSpans(s, sfDir, 8)
-    SpansLayout.yesterdayGrams(s, sfDir, 8)
-    PairsLayout.jaccardPairs(s, sfDir, 0.4)
-    ComponentLayout.dedupComponents(s, sfDir, 0.4)
-    ComponentLayout.yesterdayComponents(s, sfDir, 0.4)
-    GraphEdgesLayout.supplierPart(s, sfDir)
-    GraphEdgesLayout.supplierPartDegrees(s, sfDir)
-    GraphEdgesLayout.nodes(s, sfDir)
-    CopurchaseLayout.pairCounts(s, sfDir)
-    CopurchaseLayout.yesterdayPairCounts(s, sfDir)
-    CopurchaseLayout.yesterdayTriangles(s, sfDir)
-    EmbeddingPairsLayout.exactPairs(s, sfDir, 0.4)
-    EmbeddingPairsLayout.exactComponents(s, sfDir, 0.4)
-    EmbeddingPairsLayout.lshComponents(s, sfDir, 0.4, dim = 64,
-      planes = Dedup.lshPlanesFor(Tables.embeddings(s, sfDir).count()))
-    IvfLayout.index(s, sfDir)
-  }
+  /** The warm inventory, named — one entry per write-once layout
+    * table family. LayoutsSpec pins this list: a NEW layout table
+    * must be registered here (so its build cost lands in the bench
+    * artifact's layout_warm block) before any query reads it — the
+    * round-12 verdict's accounting rule, frozen as a lint. The
+    * build-cost notes live in COVERAGE.md's LAYOUTS table. */
+  val inventory: Seq[(String, (SparkSession, String) => Any)] = Seq(
+    "bucketed_tables" ->
+      ((s, d) => BucketedTables.ensure(s, d)),
+    "partitioned_events" ->
+      ((s, d) => PartitionedTables.events(s, d)),
+    "zorder_linear" ->
+      ((s, d) => ZOrderedTables.linear(s, d)),
+    "zorder_zordered" ->
+      ((s, d) => ZOrderedTables.zordered(s, d)),
+    "shingles" ->
+      ((s, d) => ShingleLayout.shingles(s, d)),
+    "duplicated_spans" ->
+      ((s, d) => SpansLayout.duplicatedSpans(s, d, 8)),
+    "yesterday_grams" ->
+      ((s, d) => SpansLayout.yesterdayGrams(s, d, 8)),
+    "jaccard_pairs" ->
+      ((s, d) => PairsLayout.jaccardPairs(s, d, 0.4)),
+    "dedup_components" ->
+      ((s, d) => ComponentLayout.dedupComponents(s, d, 0.4)),
+    "yesterday_components" ->
+      ((s, d) => ComponentLayout.yesterdayComponents(s, d, 0.4)),
+    "graph_edges" ->
+      ((s, d) => GraphEdgesLayout.supplierPart(s, d)),
+    "graph_edge_degrees" ->
+      ((s, d) => GraphEdgesLayout.supplierPartDegrees(s, d)),
+    "graph_nodes" ->
+      ((s, d) => GraphEdgesLayout.nodes(s, d)),
+    "copurchase_pairs" ->
+      ((s, d) => CopurchaseLayout.pairCounts(s, d)),
+    "copurchase_yesterday_pairs" ->
+      ((s, d) => CopurchaseLayout.yesterdayPairCounts(s, d)),
+    "copurchase_yesterday_triangles" ->
+      ((s, d) => CopurchaseLayout.yesterdayTriangles(s, d)),
+    "embedding_exact_pairs" ->
+      ((s, d) => EmbeddingPairsLayout.exactPairs(s, d, 0.4)),
+    "embedding_exact_components" ->
+      ((s, d) => EmbeddingPairsLayout.exactComponents(s, d, 0.4)),
+    "embedding_lsh_components" ->
+      ((s, d) => EmbeddingPairsLayout.lshComponents(s, d, 0.4, dim = 64,
+        planes = Dedup.lshPlanesFor(Tables.embeddings(s, d).count()))),
+    "ivf_index" ->
+      ((s, d) => IvfLayout.index(s, d)))
+
+  /** Warm every layout, returning (name, seconds) per entry — Bench
+    * emits these into the bench JSON line and BENCH_DETAIL so layout
+    * materialization cost is VISIBLE next to the per-query times it
+    * is excluded from (round-12 verdict item 2: layouts must stay
+    * storage, never untimed query work hidden from the artifact).
+    * On a warmed warehouse each entry is a few marker stats. */
+  def warm(s: SparkSession, sfDir: String): Seq[(String, Double)] =
+    inventory.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      build(s, sfDir)
+      name -> (System.nanoTime() - t0) / 1e9
+    }
 }
