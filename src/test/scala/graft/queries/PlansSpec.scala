@@ -293,8 +293,15 @@ class PlansSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       s"the df heavy tail must broadcast, not co-shuffle:\n$p")
-    // …and gram keys must ride hashed (xxhash64), never as strings
-    assert(p.contains("xxhash64"), p)
+    // …and gram keys must ride hashed, never as strings: since round
+    // 13 the xxhash64 projection lives INSIDE the checkpointed
+    // (doc_id, g, m) fold (invisible to this outer plan), so the pin
+    // is that no `sh` string column survives into the visible plan —
+    // every exchange downstream of the checkpoint carries long keys
+    assert(p.contains("Scan ExistingRDD"),
+      s"the (doc_id, g, m) fold must be checkpointed once:\n$p")
+    assert(!p.contains("sh#"),
+      s"string grams must never reach an exchange:\n$p")
   }
 
   test("q141 selects neighbors through the bounded heap, not a sort") {
