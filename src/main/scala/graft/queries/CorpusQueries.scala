@@ -158,27 +158,26 @@ object CorpusQueries {
           AS DECIMAL(38,18)), 4) AS DOUBLE) AS top_tok_frac
       FROM tstats s JOIN gstats USING (doc_id) ORDER BY 1"""),
     (s, d) => {
-      // spread: the tokenize explosion is the pre-shuffle cost here;
-      // checkpointed because BOTH stat subtrees below consume it (the
-      // q27/q89 re-execution lesson)
-      val words = spread(documents(s, d)).select(col("doc_id"),
+      // Round-13: the gram leg reads the write-once ShingleLayout —
+      // d3 (distinct 3-grams per doc) is exactly one row-count per
+      // doc_id of the distinct shingle index, and n3 (gram positions)
+      // is nw − 2 arithmetically (len(t) − 2 full windows per doc) —
+      // so the second tokenize + two lead windows + countDistinct the
+      // old plan ran per run disappear, along with the corpus-sized
+      // checkpoint of the exploded token stream that fed both legs.
+      // Docs under 3 tokens are absent from the layout, matching the
+      // old inner join against the t2-filtered gram leg exactly.
+      val tokStats = spread(documents(s, d)).select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-        .localCheckpoint(false)
-      val tokStats = words
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("maxc"), sum(col("c")).as("nw"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val gramStats = words
-        .select(col("doc_id"), concat_ws(" ", col("tok"),
-          lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("g"),
-          lead(col("tok"), 2).over(w).as("t2"))
-        .filter(col("t2").isNotNull)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+      val gramStats = graft.sources.ShingleLayout.shingles(s, d)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("d3"))
       tokStats.join(gramStats, Seq("doc_id"))
         .select(col("doc_id"), col("nw"),
-          round(lit(1) - col("d3") * lit(1.0) / col("n3"), 4).as("rep3_frac"),
+          round(lit(1) - col("d3") * lit(1.0) / (col("nw") - 2), 4)
+            .as("rep3_frac"),
           round(col("maxc") * lit(1.0) / col("nw"), 4).as("top_tok_frac"))
         .orderBy(col("doc_id"))
     })
