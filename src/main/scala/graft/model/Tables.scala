@@ -113,9 +113,12 @@ object Tables {
     * assignment); hashing a deterministic key needs no such sort AND
     * is retry-exact by construction. Measured at sf0.1 on the 600k-row
     * lineitem projection: 0.66 s round-robin vs 0.37 s keyed, same
-    * downstream shape. The key must be (near-)unique — duplicate keys
-    * co-locate, so a heavy-duplicate key column would rebuild the skew
-    * spread exists to remove; callers pass the row id (doc_id, rid,
+    * downstream shape. The key must be (near-)unique AND NON-NULL —
+    * duplicate keys co-locate, so a heavy-duplicate key column would
+    * rebuild the skew spread exists to remove, and xxhash64(null)
+    * returns the seed constant, so every null-key row lands in ONE
+    * bucket (a null-heavy key silently degenerates the spread to a
+    * single partition); callers pass the row id (doc_id, rid,
     * cents…). `width·64` hash buckets keep the bucket→partition step
     * balanced (20–100× more distinct values than partitions, §2.5).
     * Unlike the round-robin form the partition expression references

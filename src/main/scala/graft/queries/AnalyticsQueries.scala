@@ -2072,6 +2072,13 @@ object AnalyticsQueries {
     * hand-traces the fences and the clamp-vs-drop distinction. */
   def winsorized(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // PRECONDITION: `cents` must be near-unique across rows — it is
+    // the keyed-spread key below, and heavy-duplicate keys co-locate
+    // (spread's documented contract), which would rebuild the skew
+    // the spread exists to remove. The TPC-H caller qualifies
+    // (extendedprice·100 is 97% distinct at sf0.1); a caller with a
+    // low-cardinality value column should pass a row id instead.
+    //
     // feeds the fences AND the re-scan; spread first — the exact
     // percentile's partial aggregation buffers every value per flag,
     // and at the raw fixture scan's 3 partitions that collection leg

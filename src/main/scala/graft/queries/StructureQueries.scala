@@ -502,9 +502,9 @@ object StructureQueries {
     var h = 0
     var drained = false
     // ONE action per hop (round-12 job-count inventory: the old
-    // two-isEmpty loop billed 48 jobs to a 6-hop BFS): the union with
-    // an empty frontier is a no-op, so append unconditionally and let
-    // the single isEmpty both advance and terminate the loop.
+    // two-isEmpty loop billed 48 jobs to a 6-hop BFS): the loop's one
+    // isEmpty both terminates it AND guards the union, so a drained
+    // frontier is never appended and no second probe is needed.
     while (h < maxHops && !drained) {
       h += 1
       frontier = frontier
